@@ -1,13 +1,688 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.functions.TextFunctions
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent `oracleSql` (hash-compared
+  * by the driver at sf0.01), plus the training-pipeline operators (dedup /
+  * similarity / text analysis / ANN) over `documents` and `embeddings`.
+  *
+  * Determinism discipline (needed for cross-engine hash parity):
+  *  - double sums go through DECIMAL(25,4) (order-independent, exact);
+  *  - timestamps are surfaced as DATE (events.ts is parquet NANOS, which
+  *    Spark truncates to µs but DuckDB keeps — dates agree);
+  *  - every query ends in a total-order ORDER BY on its key columns.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared frame builders -------------------------------------------
+
+  /** Lineitem recast as the reference's transaction stream: the flagship
+    * enrichment input (SURVEY.md §3.1). */
+  private def lineitemTxns(s: SparkSession, dir: String): DataFrame =
+    LogIndex.addLogIndex(
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("transaction_id"),
+        col("l_linenumber"),
+        col("l_partkey").as("token_address"),
+        col("l_extendedprice").as("coin_value"),
+        col("l_tax").as("fee"),
+        (col("l_linenumber") % 3).as("type"),
+        col("l_shipdate")),
+      partitionCol = "transaction_id",
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so
+      // the order-by must form a total order within each transaction for a
+      // deterministic rank (SURVEY.md §7.4 risk 1).
+      orderBy = Seq("l_shipdate" -> true, "l_linenumber" -> true,
+        "token_address" -> true, "coin_value" -> true, "fee" -> true))
+
+  /** Part recast as token metadata + a per-brand price dimension (J1). */
+  private def partDims(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    val meta = part.select(
+      col("p_partkey").as("token_address"),
+      col("p_brand").as("symbol"),
+      (col("p_size") % 4).as("decimals"))
+    val price = part.groupBy(col("p_brand").as("symbol"))
+      .agg((max(col("p_retailprice")) / 1000.0).as("coin_price_usd"))
+    Enrichment.dims(meta, price)
+  }
+
+  /** Events recast as the reference's typed-transfer frame (A3-A5 input):
+    * type codes from event_type, synthetic fee/USD columns (deterministic
+    * per-row arithmetic), and a DATE-typed block date. */
+  private def eventTxns(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("user_id").as("transaction_id"),
+      col("event_type"),
+      when(col("event_type") === "click", 0)
+        .when(col("event_type") === "view", 1)
+        .when(col("event_type") === "purchase", 2)
+        .otherwise(3).as("type"),
+      // value is 2-decimal; ×1.5/×0.25 keep products on short decimal
+      // grids (3-5 digits), so DECIMAL(25,6) casts never round — exact
+      // cross-engine sums with no HALF_UP/HALF_EVEN ambiguity.
+      col("value").as("coin_value"),
+      (col("value") * 1.5).as("coin_value_usd"),
+      (col("value") * 0.25).as("fee"),
+      (col("value") * 0.25 * 1.5).as("fee_usd"),
+      col("ts").cast("date").as("block_date_time"),
+      col("ts_ns"),
+      col("event_id"))
+
+  private val eventTxnsSql =
+    """SELECT user_id AS transaction_id, event_type,
+      | CASE WHEN event_type = 'click' THEN 0 WHEN event_type = 'view' THEN 1
+      |      WHEN event_type = 'purchase' THEN 2 ELSE 3 END AS "type",
+      | value AS coin_value, value * 1.5 AS coin_value_usd,
+      | value * 0.25 AS fee, value * 0.25 * 1.5 AS fee_usd,
+      | CAST(ts AS DATE) AS block_date_time, event_id
+      |FROM events""".stripMargin
+
+  private def dSum(sqlExpr: String) =
+    s"CAST(sum(CAST($sqlExpr AS DECIMAL(25,6))) AS DOUBLE)"
+  private def dSumWhere(pred: String, sqlExpr: String) =
+    s"CAST(sum(CAST(CASE WHEN $pred THEN $sqlExpr END AS DECIMAL(25,6))) AS DOUBLE)"
+
+  // ---- flagship --------------------------------------------------------
+
+  /** Flagship enrichment slice (SURVEY.md §7.2) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q03Enrich(spark, "/root/testdata/sf0.001")
+
+  private def q03Enrich(s: SparkSession, dir: String): DataFrame =
+    Enrichment.enrich(lineitemTxns(s, dir), partDims(s, dir), tronFeeRule = true)
+      .select("transaction_id", "l_linenumber", "token_address", "log_index",
+        "coin_value", "coin_value_usd", "fee", "fee_usd")
+      .orderBy("transaction_id", "l_linenumber")
+
+  // ---- registry --------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2/A3-style pricing summary (TPC-H Q1 shape): filtered scan →
+    // grouped filtered aggregation, partial+final hash agg.
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
+          Aggregations.exactSum(col("l_extendedprice")).as("sum_base_price"),
+          Aggregations.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // W1 log_index: per-transaction row_number with total-order tiebreak.
+    "q02_log_index" -> ((s, dir) =>
+      lineitemTxns(s, dir)
+        .select("transaction_id", "l_linenumber", "log_index")
+        .orderBy("transaction_id", "l_linenumber")),
+
+    // §3.1 flagship enrichment: J1+J2 broadcast joins, P8 conditional
+    // decimals, F1 scaling, F2 USD, tron fee rule.
+    "q03_enrich" -> (q03Enrich(_, _)),
+
+    // A3 transactions_agg: filtered sums by type code.
+    "q04_transactions_agg" -> ((s, dir) =>
+      Aggregations.transactionsAgg(eventTxns(s, dir)).orderBy("transaction_id")),
+
+    // A4 link_inputs_agg: composite key, filtered + unfiltered sums.
+    "q05_link_inputs" -> ((s, dir) =>
+      Aggregations.linkInputsAgg(
+        eventTxns(s, dir).withColumn("sender_address", col("event_type")))
+        .orderBy("transaction_id", "sender_address")),
+
+    // A5 link_outputs_agg.
+    "q06_link_outputs" -> ((s, dir) =>
+      Aggregations.linkOutputsAgg(
+        eventTxns(s, dir)
+          .withColumn("receiver_address", (col("transaction_id") % 7).cast("string")))
+        .orderBy("transaction_id", "receiver_address")),
+
+    // A6 chain_state pivot-table max.
+    "q07_chain_state" -> ((s, dir) =>
+      eventTxns(s, dir).groupBy("event_type").agg(
+        max(col("coin_value")).as("max_value"),
+        max(col("block_date_time")).as("max_date"),
+        max(col("event_id")).as("max_event_id"))
+        .orderBy("event_type")),
+
+    // A7 distinct.
+    "q08_distinct" -> ((s, dir) =>
+      Tables.orders(s, dir).select("o_orderstatus", "o_orderpriority")
+        .distinct().orderBy("o_orderstatus", "o_orderpriority")),
+
+    // J1 chained left joins through two broadcast dimensions.
+    "q09_left_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      c.join(n, c("c_nationkey") === n("n_nationkey"), "left")
+        .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J2 inner equi-join doubling as a semi-filter.
+    "q10_inner_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = broadcast(Tables.part(s, dir).filter(col("p_size") > 40))
+      li.join(p, li("l_partkey") === p("p_partkey"), "inner")
+        .select("l_orderkey", "l_linenumber", "p_brand", "p_size")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // J5 anti-join (parts never shipped in small quantities).
+    "q11_anti_join" -> ((s, dir) =>
+      Tables.part(s, dir).join(
+          Tables.lineitem(s, dir).filter(col("l_quantity") <= 2.0),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey").orderBy("p_partkey")),
+
+    // J4 full outer join of two aggregates.
+    "q12_full_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_customers"))
+      val sp = Tables.supplier(s, dir).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"))
+      c.join(sp, c("c_nationkey") === sp("s_nationkey"), "full_outer")
+        .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+          col("n_customers"), col("n_suppliers"))
+        .orderBy("nationkey")
+    }),
+
+    // Left-semi join (EXISTS).
+    "q13_semi_join" -> ((s, dir) =>
+      Tables.customer(s, dir).join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    // P4-P7 predicate stack: IN-list, date range, comparison.
+    "q14_filters" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity").isin(1.0, 2.0, 3.0) &&
+          col("l_shipdate") >= lit("1995-07-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("bigint").as("qty"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P8/P9/P10 conditional update, constant column, null fill.
+    "q15_cond_update" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("status_flag",
+          when(col("o_orderstatus") === "F", "final")
+            .when(col("o_orderstatus") === "O", "open")
+            .otherwise("other"))
+        .withColumn("big_order", when(col("o_totalprice") > 150000.0, 1).otherwise(0))
+        .withColumn("source_tag", lit("tpch"))
+        .select("o_orderkey", "status_flag", "big_order", "source_tag")
+        .orderBy("o_orderkey")),
+
+    // U1 union all.
+    "q16_union_all" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select("event_id", "event_type")
+        .unionByName(
+          ev.filter(col("event_type") === "purchase").select("event_id", "event_type"))
+        .orderBy("event_id")
+    }),
+
+    // U2 except (set difference).
+    "q17_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.select("user_id").distinct()
+        .except(ev.filter(col("event_type") === "purchase" && col("value") > 95.0)
+          .select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    // O1/O2 multi-column sort + limit (top-k).
+    "q18_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10).select("o_orderkey", "o_totalprice")),
+
+    // A1 one-pass max_by (the reference's two-query max fix, SURVEY.md §4).
+    "q19_latest_block" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        max(col("event_id")).as("head_event"),
+        max_by(col("event_id"), col("ts_ns")).as("latest_event_id"),
+        max(col("ts").cast("date")).as("head_date"))),
+
+    // A2 grouped count by date.
+    "q20_count_by_date" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("n")).orderBy("d")),
+
+    // F5/P6 date functions + range predicate.
+    "q21_date_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          col("o_orderdate").cast("date").as("d"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy("o_orderkey")),
+
+    // F4 regex/string functions.
+    "q22_regex" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        regexp_replace(col("text"), "[aeiou]", "").as("devoweled"),
+        upper(substring(col("text"), 1, 20)).as("head_upper"),
+        length(col("text")).as("n_len"))
+        .orderBy("doc_id")),
+
+    // D1 exact dedup groups (keep-min-id survivor rule).
+    "q23_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .select("keep_id", "n_dups").orderBy("keep_id")),
+
+    // Token counting (training-pipeline text op).
+    "q24_token_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextFunctions.tokens(lower(col("text"))))).as("n_distinct"),
+        length(col("text")).as("n_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: stopword ratio, mean token length, composite score.
+    "q25_quality" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.stopwordRatio(col("text"), stop).as("stop_ratio"),
+        TextFunctions.meanTokenLength(col("text")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic (stopword-marker argmax).
+    "q26_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text"), Seq(
+          "en" -> Seq("the", "a", "of"),
+          "de" -> Seq("der", "die", "das"),
+          "fr" -> Seq("le", "la", "les"))).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting (MD5 content hash — cross-engine standard).
+    "q27_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.md5Fingerprint(col("text")).as("fp_md5"))
+        .orderBy("doc_id")),
+
+    // MinHash+LSH near-duplicate pairs (no SQL oracle — banding is
+    // engine-specific; correctness covered by MinHashSpec planted dups).
+    "q28_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.10)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash 64-bit signatures (no SQL oracle — xxhash64-based).
+    "q29_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        Dedup.simHash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // n-gram Jaccard similarity self-join, blocked by language.
+    "q30_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCols = Seq("lang"), threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // Brute-force cosine top-k ANN baseline.
+    "q31_ann_bruteforce" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), k = 10)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; no oracle — probabilistic recall,
+    // measured against q31 in AnnSpec).
+    "q32_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, nBits = 8, nTables = 8)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // Embedding stats per label (vector math over array<float>).
+    "q33_embed_stats" -> ((s, dir) =>
+      Tables.embeddings(s, dir).groupBy("label").agg(
+        count(lit(1)).as("n"),
+        max(VectorFunctions.normSq(col("embedding")).cast("decimal(25,6)"))
+          .cast("double").as("max_norm_sq"),
+        min(VectorFunctions.normSq(col("embedding")).cast("decimal(25,6)"))
+          .cast("double").as("min_norm_sq"))
+        .orderBy("label")),
+
+    // Pivot (explicit value list) with exact sums.
+    "q34_pivot" -> ((s, dir) =>
+      Tables.events(s, dir).groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(Aggregations.exactSum(col("value")))
+        .orderBy("user_id")),
+
+    // Window functions: lag/lead/row_number/running sum.
+    "q35_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        row_number().over(w).as("rn"),
+        sum(col("value").cast("decimal(25,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"))
+        .orderBy("event_id")
+    }),
+
+    // T2 sync-advance decision as a one-pass aggregate (SURVEY.md §2.10).
+    "q36_sync_advance" -> ((s, dir) =>
+      Tables.events(s, dir).agg(
+        least(max(col("event_id")) - lit(50L), lit(2000L)).as("next_watermark"),
+        (least(max(col("event_id")) - lit(50L), lit(2000L)) > lit(0L)).as("should_run")))
+  )
+
+  // ---- oracles ---------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+         | ${dSum("l_extendedprice")} AS sum_base_price,
+         | ${dSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_log_index" ->
+      """SELECT l_orderkey AS transaction_id, l_linenumber,
+        | CAST(row_number() OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_shipdate, l_linenumber, l_partkey, l_extendedprice, l_tax)
+        |   AS INT) AS log_index
+        |FROM lineitem ORDER BY transaction_id, l_linenumber""".stripMargin,
+
+    "q03_enrich" ->
+      """WITH price AS (
+        |  SELECT p_brand AS symbol, max(p_retailprice) / 1000.0 AS coin_price_usd
+        |  FROM part GROUP BY p_brand),
+        |meta AS (
+        |  SELECT p_partkey AS token_address, p_brand AS symbol,
+        |         p_size % 4 AS decimals FROM part),
+        |dims AS (
+        |  SELECT m.token_address, p.coin_price_usd, m.decimals
+        |  FROM meta m LEFT JOIN price p USING (symbol)),
+        |txns AS (
+        |  SELECT l_orderkey AS transaction_id, l_linenumber,
+        |         l_partkey AS token_address, l_extendedprice AS coin_value,
+        |         l_tax AS fee, l_linenumber % 3 AS typ,
+        |         CAST(row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_shipdate, l_linenumber, l_partkey, l_extendedprice,
+        |                    l_tax) AS INT) AS log_index
+        |  FROM lineitem),
+        |joined AS (
+        |  SELECT t.transaction_id, t.l_linenumber, t.token_address, t.log_index,
+        |    COALESCE(d.coin_price_usd, 0) AS price0,
+        |    CAST(t.coin_value AS DOUBLE) /
+        |      power(10.0, CASE WHEN t.typ IN (0,1) THEN 0
+        |                       ELSE COALESCE(d.decimals, 0) END) AS cv,
+        |    t.fee
+        |  FROM txns t JOIN dims d USING (token_address))
+        |SELECT transaction_id, l_linenumber, token_address, log_index,
+        |  cv AS coin_value, cv * price0 AS coin_value_usd,
+        |  CASE WHEN log_index > 1 THEN 0.0 ELSE fee END AS fee,
+        |  fee * price0 AS fee_usd
+        |FROM joined ORDER BY transaction_id, l_linenumber""".stripMargin,
+
+    "q04_transactions_agg" ->
+      s"""WITH txns AS ($eventTxnsSql)
+         |SELECT transaction_id,
+         | ${dSumWhere("\"type\" = 0", "coin_value")} AS external_value,
+         | ${dSumWhere("\"type\" = 0", "coin_value_usd")} AS external_value_usd,
+         | max(block_date_time) AS block_date,
+         | ${dSum("fee")} AS txn_fee,
+         | ${dSum("fee_usd")} AS txn_fee_usd,
+         | ${dSumWhere("\"type\" = 1", "coin_value")} AS internal_value,
+         | ${dSumWhere("\"type\" = 1", "coin_value_usd")} AS internal_value_usd,
+         | ${dSumWhere("\"type\" = 2", "coin_value_usd")} AS token_transfer_usd
+         |FROM txns GROUP BY transaction_id ORDER BY transaction_id""".stripMargin,
+
+    "q05_link_inputs" ->
+      s"""WITH txns AS ($eventTxnsSql)
+         |SELECT transaction_id, event_type AS sender_address,
+         | ${dSumWhere("\"type\" IN (0,1)", "coin_value + fee")} AS value,
+         | ${dSum("coin_value_usd + fee_usd")} AS value_usd
+         |FROM txns GROUP BY transaction_id, event_type
+         |ORDER BY transaction_id, sender_address""".stripMargin,
+
+    "q06_link_outputs" ->
+      s"""WITH txns AS ($eventTxnsSql)
+         |SELECT transaction_id,
+         | CAST(transaction_id % 7 AS VARCHAR) AS receiver_address,
+         | ${dSumWhere("\"type\" IN (0,1)", "coin_value")} AS value,
+         | ${dSumWhere("\"type\" IN (0,1)", "coin_value_usd")} AS value_usd
+         |FROM txns GROUP BY 1, 2 ORDER BY transaction_id, receiver_address""".stripMargin,
+
+    "q07_chain_state" ->
+      """SELECT event_type, max(value) AS max_value,
+        | max(CAST(ts AS DATE)) AS max_date, max(event_id) AS max_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q08_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q09_left_join" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_inner_join" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_size
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size > 40 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q11_anti_join" ->
+      """SELECT p_partkey FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity <= 2)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q12_full_outer" ->
+      """WITH c AS (SELECT c_nationkey, count(*) AS n_customers
+        |           FROM customer GROUP BY c_nationkey),
+        |     s AS (SELECT s_nationkey, count(*) AS n_suppliers
+        |           FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |       n_customers, n_suppliers
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q13_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q14_filters" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+        | l_discount
+        |FROM lineitem
+        |WHERE l_quantity IN (1, 2, 3) AND l_shipdate >= TIMESTAMP '1995-07-01'
+        |  AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q15_cond_update" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderstatus = 'F' THEN 'final'
+        |      WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status_flag,
+        | CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS big_order,
+        | 'tpch' AS source_tag
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q16_union_all" ->
+      """SELECT event_id, event_type FROM events WHERE event_type = 'click'
+        |UNION ALL
+        |SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "q17_except" ->
+      """SELECT DISTINCT user_id FROM events
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events
+        |WHERE event_type = 'purchase' AND value > 95
+        |ORDER BY user_id""".stripMargin,
+
+    "q18_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q19_latest_block" ->
+      """SELECT max(event_id) AS head_event,
+        | arg_max(event_id, ts) AS latest_event_id,
+        | max(CAST(ts AS DATE)) AS head_date
+        |FROM events""".stripMargin,
+
+    "q20_count_by_date" ->
+      """SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY d""".stripMargin,
+
+    "q21_date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS y,
+        | CAST(month(o_orderdate) AS INT) AS m,
+        | CAST(o_orderdate AS DATE) AS d,
+        | strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q22_regex" ->
+      """SELECT doc_id, regexp_replace(text, '[aeiou]', '', 'g') AS devoweled,
+        | upper(substr(text, 1, 20)) AS head_upper,
+        | CAST(length(text) AS INT) AS n_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q24_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS INT)
+        |   AS n_distinct,
+        | CAST(length(text) AS INT) AS n_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_quality" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks,
+        |  string_split_regex(trim(text), '\s+') AS rawtoks
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |   / greatest(len(toks), 1) AS stop_ratio,
+        | CAST(list_sum(list_transform(rawtoks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        |   / greatest(len(rawtoks), 1) AS mean_tok_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q26_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id,
+        |  len(list_filter(toks, x -> x IN ('the','a','of'))) AS h_en,
+        |  len(list_filter(toks, x -> x IN ('der','die','das'))) AS h_de,
+        |  len(list_filter(toks, x -> x IN ('le','la','les'))) AS h_fr
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+        |      WHEN h_en >= h_de THEN 'en' ELSE 'de' END AS predicted_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q27_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
+        | FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q31_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |           WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      list_sum(list_transform(list_zip(q.qe, e.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(q.qe,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |      e.vec_id) AS rnk
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+        |SELECT qid AS query_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rank
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q33_embed_stats" ->
+      """SELECT label, count(*) AS n,
+        | CAST(max(CAST(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(25,6)))
+        |   AS DOUBLE) AS max_norm_sq,
+        | CAST(min(CAST(list_sum(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(25,6)))
+        |   AS DOUBLE) AS min_norm_sq
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q34_pivot" ->
+      s"""SELECT user_id,
+         | ${dSumWhere("event_type = 'click'", "value")} AS click,
+         | ${dSumWhere("event_type = 'error'", "value")} AS error,
+         | ${dSumWhere("event_type = 'purchase'", "value")} AS purchase,
+         | ${dSumWhere("event_type = 'signup'", "value")} AS signup,
+         | ${dSumWhere("event_type = 'view'", "value")} AS view
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q35_window_funcs" ->
+      """SELECT event_id, user_id,
+        | lag(event_id, 1) OVER w AS prev_event_id,
+        | lead(event_type, 1) OVER w AS next_type,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | CAST(sum(CAST(value AS DECIMAL(25,6))) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q36_sync_advance" ->
+      """SELECT CAST(least(max(event_id) - 50, 2000) AS BIGINT) AS next_watermark,
+        | least(max(event_id) - 50, 2000) > 0 AS should_run
+        |FROM events""".stripMargin
+  )
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A3-A6 — the reference's grouped aggregations, re-expressed as native
+  * Catalyst hash aggregates (SURVEY.md §2.4).
+  *
+  * The reference implements these as pandas `groupby().apply(fn)` with
+  * boolean-mask filtered sums (`tigergraph/v1/streaming_operator.py:310-348`,
+  * duplicated at `tigergraph/v1/utils.py:131-169`). In Spark each becomes
+  * `groupBy(...).agg(sum(when(pred, x)))` — a partial+final hash aggregate
+  * with map-side combine, so the shuffle carries one row per group per
+  * partition rather than the raw data. That is the single most important
+  * scale property of this module: at 100 TB the shuffled bytes are
+  * O(groups), not O(rows).
+  *
+  * Exact-sum discipline: doubles are cast to DECIMAL(25,4) before
+  * summing so results are independent of partitioning/summation order
+  * (a real concern: Spark's double sums are nondeterministic across
+  * retries and AQE re-plans), then cast back to double.
+  */
+object Aggregations {
+
+  /** Order-independent exact sum of a double expression. Scale 6 is
+    * chosen so that every synthetic money column (≤5 decimal digits)
+    * converts without rounding — a tie-breaking hazard otherwise, since
+    * Spark rounds HALF_UP and other engines HALF_EVEN. */
+  def exactSum(c: Column): Column =
+    sum(c.cast("decimal(25,6)")).cast("double")
+
+  /** Filtered exact sum: Σ c where pred (reference's masked `.sum()`). */
+  def sumWhere(pred: Column, c: Column): Column =
+    exactSum(when(pred, c).otherwise(lit(null)))
+
+  /** A3 `transactions_agg` (`streaming_operator.py:310-324`): per
+    * transaction — external/internal/token-transfer value splits by type,
+    * fee totals, and the max block time. */
+  def transactionsAgg(df: DataFrame): DataFrame =
+    df.groupBy("transaction_id").agg(
+      sumWhere(col("type") === 0, col("coin_value")).as("external_value"),
+      sumWhere(col("type") === 0, col("coin_value_usd")).as("external_value_usd"),
+      max(col("block_date_time")).as("block_date"),
+      exactSum(col("fee")).as("txn_fee"),
+      exactSum(col("fee_usd")).as("txn_fee_usd"),
+      sumWhere(col("type") === 1, col("coin_value")).as("internal_value"),
+      sumWhere(col("type") === 1, col("coin_value_usd")).as("internal_value_usd"),
+      sumWhere(col("type") === 2, col("coin_value_usd")).as("token_transfer_usd"))
+
+  /** A4 `link_inputs_agg` (`streaming_operator.py:327-337`): per
+    * (transaction, sender) — value = Σ(coin_value+fee) where type ∈ (0,1);
+    * value_usd = Σ(coin_value_usd+fee_usd) unfiltered (the reference's
+    * asymmetry, preserved deliberately). */
+  def linkInputsAgg(df: DataFrame): DataFrame =
+    df.groupBy("transaction_id", "sender_address").agg(
+      sumWhere(col("type").isin(0, 1), col("coin_value") + col("fee")).as("value"),
+      exactSum(col("coin_value_usd") + col("fee_usd")).as("value_usd"))
+
+  /** A5 `link_outputs_agg` (`streaming_operator.py:340-348`): per
+    * (transaction, receiver) — value = Σ coin_value where type ∈ (0,1). */
+  def linkOutputsAgg(df: DataFrame): DataFrame =
+    df.groupBy("transaction_id", "receiver_address").agg(
+      sumWhere(col("type").isin(0, 1), col("coin_value")).as("value"),
+      sumWhere(col("type").isin(0, 1), col("coin_value_usd")).as("value_usd"))
+
+  /** A6 chain-state pivot-table max (`streaming_operator.py:151-155`):
+    * pandas pivot_table with aggfunc=max and no pivot column is a plain
+    * groupBy-max. */
+  def chainState(df: DataFrame, keyCol: String, maxCols: Seq[String]): DataFrame =
+    df.groupBy(keyCol).agg(maxCols.head match {
+      case h => max(col(h)).as(h)
+    }, maxCols.tail.map(c => max(col(c)).as(c)): _*)
+
+  /** A1 two-max correctness fix (SURVEY.md §4): the reference issues two
+    * sequential max queries that can disagree under concurrent writes
+    * (`airflow/bitquery.py:119-150`). One-pass equivalent: max_by. */
+  def latestBlock(df: DataFrame, blockCol: String, dateCol: String): DataFrame =
+    df.agg(
+      max(col(blockCol)).as("latest_block"),
+      max_by(col(dateCol), col(blockCol)).as("latest_block_date"))
+}
