@@ -354,7 +354,7 @@ object SparkEntry {
     // measured against q31 in AnnSpec).
     "q32_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, nBits = 8, nTables = 8)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, nBits = 6, nTables = 16)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),

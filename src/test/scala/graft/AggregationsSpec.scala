@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Aggregations
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class AggregationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def txnFrame = Seq(
+    // (transaction_id, type, coin_value, coin_value_usd, fee, fee_usd, block_date_time, sender, receiver)
+    ("t1", 0, 10.0, 20.0, 1.0, 2.0, "2024-01-02", "a", "x"),
+    ("t1", 1, 5.0, 10.0, 0.5, 1.0, "2024-01-03", "a", "y"),
+    ("t1", 2, 3.0, 6.0, 0.25, 0.5, "2024-01-01", "b", "x"),
+    ("t2", 0, 7.0, 14.0, 0.0, 0.0, "2024-01-05", "c", "z"))
+    .toDF("transaction_id", "type", "coin_value", "coin_value_usd",
+      "fee", "fee_usd", "block_date_time", "sender_address", "receiver_address")
+
+  test("transactionsAgg reproduces the reference's filtered sums (A3)") {
+    val out = Aggregations.transactionsAgg(txnFrame)
+      .orderBy("transaction_id").collect()
+    val t1 = out(0)
+    assert(t1.getAs[String]("transaction_id") == "t1")
+    assert(t1.getAs[Double]("external_value") == 10.0)      // type=0 only
+    assert(t1.getAs[Double]("internal_value") == 5.0)       // type=1 only
+    assert(t1.getAs[Double]("token_transfer_usd") == 6.0)   // type=2 only
+    assert(t1.getAs[Double]("txn_fee") == 1.75)             // unfiltered
+    assert(t1.getAs[String]("block_date") == "2024-01-03")  // max
+    val t2 = out(1)
+    assert(t2.getAs[Double]("external_value") == 7.0)
+    assert(t2.getAs[Any]("internal_value") == null)         // no type=1 rows
+  }
+
+  test("linkInputsAgg: filtered value, unfiltered usd (A4 asymmetry)") {
+    val out = Aggregations.linkInputsAgg(txnFrame)
+      .orderBy("transaction_id", "sender_address").collect()
+    // t1/a: types 0,1 → value = (10+1)+(5+0.5) = 16.5; usd over ALL a-rows = (20+2)+(10+1)=33
+    val t1a = out(0)
+    assert(t1a.getAs[Double]("value") == 16.5)
+    assert(t1a.getAs[Double]("value_usd") == 33.0)
+    // t1/b: type 2 → value null, usd = 6.5
+    val t1b = out(1)
+    assert(t1b.getAs[Any]("value") == null)
+    assert(t1b.getAs[Double]("value_usd") == 6.5)
+  }
+
+  test("linkOutputsAgg: both sums filtered to types 0/1 (A5)") {
+    val out = Aggregations.linkOutputsAgg(txnFrame)
+      .orderBy("transaction_id", "receiver_address").collect()
+    // t1/x: rows type0(10) + type2(3, excluded) → 10
+    assert(out(0).getAs[Double]("value") == 10.0)
+    assert(out(0).getAs[Double]("value_usd") == 20.0)
+  }
+
+  test("chainState = groupBy max over requested columns (A6)") {
+    val out = Aggregations.chainState(
+      txnFrame.withColumnRenamed("transaction_id", "chain"),
+      "chain", Seq("coin_value", "block_date_time"))
+      .orderBy("chain").collect()
+    assert(out(0).getAs[Double]("coin_value") == 10.0)
+    assert(out(0).getAs[String]("block_date_time") == "2024-01-03")
+  }
+
+  test("latestBlock is a one-pass max/max_by (A1 two-query fix)") {
+    val df = Seq((1L, "d1"), (5L, "d5"), (3L, "d3")).toDF("block", "d")
+    val row = Aggregations.latestBlock(df, "block", "d").head()
+    assert(row.getAs[Long]("latest_block") == 5L)
+    assert(row.getAs[String]("latest_block_date") == "d5")
+  }
+
+  test("exactSum is independent of partitioning") {
+    val vals = (1 to 1000).map(i => i * 0.01)
+    val a = Aggregations.exactSum(col("v"))
+    val one = vals.toDF("v").coalesce(1).agg(a).head().getDouble(0)
+    val many = vals.toDF("v").repartition(13).agg(a).head().getDouble(0)
+    assert(one == many)
+    assert(one == 5005.0)
+  }
+}

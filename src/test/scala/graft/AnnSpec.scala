@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Ann
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force top-k returns known nearest neighbors on a toy grid") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),   // closest to 0
+      (2L, Array(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f)))  // opposite to 0
+      .toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L), k = 3)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(1L, 2L, 3L))     // similarity order
+    assert(out(0)._4 > 0.99)
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force on real embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(e, q, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // these embeddings are near-random (top-10 cosine ≈ 0.25-0.39), the
+    // hardest case for hyperplane LSH: measured recall ≈ 0.94 at 4×16
+    val approx = Ann.lshTopK(e, q, k = 10, nBits = 4, nTables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (4L, "completely different content about spark query engines and columnar formats"),
+    (5L, "another unrelated text describing distributed joins and shuffle exchanges"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups keeps min id and counts duplicates") {
+    val out = Dedup.exactGroups(docs, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[Long]("keep_id") == 1L && out(0).getAs[Long]("n_dups") == 2L)
+  }
+
+  test("dropTextDuplicates keeps one representative per distinct text") {
+    val out = Dedup.dropTextDuplicates(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    assert(out.filter(col("doc_id") === 2L).count() == 0)
+  }
+
+  test("minhash LSH finds planted exact and near duplicates, verified by jaccard") {
+    val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // exact dup always survives
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated text never pairs
+  }
+
+  test("minhash signature of identical texts is identical") {
+    val sigs = docs.filter(col("doc_id").isin(1, 2))
+      .select(Dedup.minHashSignature(
+        graft.functions.TextFunctions.wordShingles(col("text"), 2), 32).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhash: identical texts equal; near-dups within small hamming distance") {
+    val h = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    val hamming13 = java.lang.Long.bitCount(h(1L) ^ h(3L))
+    val hamming14 = java.lang.Long.bitCount(h(1L) ^ h(4L))
+    assert(hamming13 < hamming14) // near dup closer than unrelated
+    assert(hamming13 <= 16)
+  }
+
+  test("ngramJaccardPairs finds the near-dup family within blocks") {
+    val blocked = docs.withColumn("lang", lit("en"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+      Seq("lang"), threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((4L, 5L)))
+  }
+}

@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session; suites run
+  * sequentially under sbt's forked test JVM). */
+object TestSession {
+  lazy val spark: SparkSession = GraftSession.local("graft-test", 4)
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
+  val sfDir = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.{MicroBatchRunner, SyncState, SyncStatus}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SyncSpec extends SparkSpec {
+
+  test("advance: lag subtraction, batch cap, go/no-go (T2)") {
+    // head far ahead → capped at last+batch
+    assert(SyncState.advance(100, 10000, streamingLag = 50, batchSize = 500) == (600, true))
+    // head within lag → no-go
+    assert(SyncState.advance(100, 140, streamingLag = 50, batchSize = 500) == (90, false))
+    // monotone: never advances backwards past last_synced
+    assert(SyncState.advance(100, 100, streamingLag = 0, batchSize = 500) == (100, false))
+  }
+
+  test("state store round-trips and overwrites atomically (T1)") {
+    val dir = Files.createTempDirectory("sync").toString
+    val st = new SyncState(dir)
+    val k = st.key("bitcoin", "clickhouse", "tg")
+    assert(k == "tg_bitcoin_clickhouse_sync_status")
+    assert(st.get(k).isEmpty)
+    st.put(k, SyncStatus(42L, "2024-01-01", 100L, "2024-01-02"))
+    assert(st.get(k).contains(SyncStatus(42L, "2024-01-01", 100L, "2024-01-02")))
+    st.put(k, SyncStatus(100L, "2024-01-02", 200L, "2024-01-03"))
+    assert(st.get(k).get.lastSyncedBlock == 100L)
+  }
+
+  test("micro-batch loop processes every event exactly once in bounded ranges (T2-T5)") {
+    val dir = Files.createTempDirectory("mb").toString
+    val sink = s"$dir/sink"
+    val events = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+    val total = events.count()
+    val maxId = events.agg(max("event_id")).head().getLong(0)
+    val res = MicroBatchRunner.run(spark, events, "event_id",
+      new SyncState(s"$dir/state"), "test_sync",
+      streamingLag = 0, batchSize = 150,
+      pipeline = df => df.withColumn("tagged", lit(1)), sinkPath = sink)
+    // loop starts from watermark -1, so it covers (−1, maxId] in 150-block steps
+    assert(res.batchesRun == math.ceil((maxId + 1) / 150.0).toInt)
+    val landed = spark.read.parquet(sink)
+    assert(landed.count() == total)                       // exactly once
+    assert(landed.select("event_id").distinct().count() == total)
+  }
+
+  test("structured streaming: windowed aggregation with watermark over events") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("ss").toString
+    // copy a bounded slice of events to a streaming source dir as parquet
+    val src = s"$dir/src"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.write.parquet(src)
+    val stream = spark.readStream.schema(ev.schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("agg_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("agg_out")
+    assert(out.count() > 0)
+    val totalN = out.agg(sum("n")).head().getLong(0)
+    assert(totalN == ev.count())
+  }
+}

@@ -1,0 +1,27 @@
+package graft
+
+import graft.checks.Validations
+import org.apache.spark.sql.functions._
+
+class ValidationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("countParity passes on equal partitions and fails on drift (V1)") {
+    val a = Seq(("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)).toDF("d", "v")
+    val b = Seq(("2024-01-01", 9), ("2024-01-01", 8), ("2024-01-02", 7)).toDF("d", "v")
+    assert(Validations.countParity(a, b, col("d") === "2024-01-01").passed)
+    val drifted = b.filter(col("v") =!= 8)
+    assert(!Validations.countParity(a, drifted, col("d") === "2024-01-01").passed)
+  }
+
+  test("priceSanity: native price, zero-ratio, missing tokens (V2)") {
+    val prices = Seq(("BTC", 50000.0), ("ETH", 3000.0), ("DEAD", 0.0))
+      .toDF("symbol", "price")
+    val supported = Seq("BTC", "ETH", "DEAD", "MISSING").toDF("symbol")
+    val rs = Validations.priceSanity(prices, supported, "symbol", "price", "BTC")
+      .map(r => r.name -> r.passed).toMap
+    assert(rs("native_price_positive"))
+    assert(rs("zero_price_ratio"))      // 1 of 3 < half
+    assert(!rs("no_missing_tokens"))    // MISSING has no price
+  }
+}
