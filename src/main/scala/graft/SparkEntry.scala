@@ -324,10 +324,13 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // MinHash+LSH near-duplicate pairs (no SQL oracle — banding is
-    // engine-specific; correctness covered by MinHashSpec planted dups).
+    // engine-specific; correctness covered by DedupSpec planted dups).
+    // Signature-estimate verification: candidate joins carry 64 longs,
+    // not shingle sets — the scale path for low thresholds.
     "q28_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDuplicates(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.10)
+        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.10,
+        exactVerify = false)
         .orderBy("id_a", "id_b")),
 
     // SimHash 64-bit signatures (no SQL oracle — xxhash64-based).
@@ -336,10 +339,13 @@ object SparkEntry {
         Dedup.simHash(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
-    // n-gram Jaccard similarity self-join, blocked by language.
+    // n-gram (2-gram shingle) Jaccard similarity self-join, blocked on
+    // (lang, source): low thresholds defeat prefix filtering, so the
+    // economical exact plan is tight blocking + per-block quadratic —
+    // block sizes stay O(corpus/|lang×source|), pairs never cross blocks.
     "q30_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        blockCols = Seq("lang"), threshold = 0.5)
+        blockCols = Seq("lang", "source"), threshold = 0.08, shingleSize = 2)
         .orderBy("id_a", "id_b")),
 
     // Brute-force cosine top-k ANN baseline.
@@ -359,15 +365,15 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // Embedding stats per label (vector math over array<float>).
-    "q33_embed_stats" -> ((s, dir) =>
+    // Embedding stats per label (codegen'd vector math over array<float>).
+    "q33_embed_stats" -> ((s, dir) => {
+      val n2 = graft.expressions.VectorExpressions.norm2F(col("embedding"))
       Tables.embeddings(s, dir).groupBy("label").agg(
         count(lit(1)).as("n"),
-        max(VectorFunctions.normSq(col("embedding")).cast("decimal(25,6)"))
-          .cast("double").as("max_norm_sq"),
-        min(VectorFunctions.normSq(col("embedding")).cast("decimal(25,6)"))
-          .cast("double").as("min_norm_sq"))
-        .orderBy("label")),
+        max(n2.cast("decimal(25,6)")).cast("double").as("max_norm_sq"),
+        min(n2.cast("decimal(25,6)")).cast("double").as("min_norm_sq"))
+        .orderBy("label")
+    }),
 
     // Pivot (explicit value list) with exact sums.
     "q34_pivot" -> ((s, dir) =>
@@ -620,15 +626,19 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q30_jaccard_pairs" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |  list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS tk
-        | FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
-        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
-        |   / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.5
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |    i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+        |         string_split_regex(lower(trim(text)), '\s+')[i+1])) AS tk
+        | FROM documents),
+        |j AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.tk, b.tk))) AS jaccard
+        | FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.08
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q31_ann_bruteforce" ->

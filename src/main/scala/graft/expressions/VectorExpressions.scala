@@ -1,0 +1,170 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge.{column, expression}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for dense-vector math over `array<float>`.
+  *
+  * The higher-order-function formulations (`zip_with` + `aggregate`) are
+  * semantically right but evaluate interpreted (ArrayAggregate is
+  * CodegenFallback), which dominates ANN runtime. These expressions emit
+  * tight primitive loops via `doGenCode`, keeping the hot path inside
+  * WholeStageCodegen — the preference order the build calls for: built-in
+  * first, custom Expression before any UDF.
+  */
+object VectorExpressions {
+  def dotF(a: Column, b: Column): Column =
+    column(FloatVecDot(expression(a), expression(b)))
+  def norm2F(a: Column): Column = column(FloatVecNormSq(expression(a)))
+  def cosineF(a: Column, b: Column): Column =
+    column(FloatVecCosine(expression(a), expression(b)))
+
+  /** Packed random-hyperplane sign bits (LSH bucket key). */
+  def hyperplaneBucket(v: Column, nBits: Int, seed: Int): Column =
+    column(HyperplaneBucket(expression(v), nBits, seed))
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * splitmix64 of (seed, bit, dim) — identical on every executor, no
+    * broadcast needed. */
+  @inline def component(seed: Int, bit: Int, dim: Int): Double = {
+    var z = seed.toLong * 0x9E3779B97F4A7C15L + bit.toLong * 0xBF58476D1CE4E5B9L +
+      dim.toLong * 0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11) * (1.0 / (1L << 52)) * 2.0 - 1.0
+  }
+}
+
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class FloatVecNormSq(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0; var i = 0
+    while (i < x.numElements()) {
+      val v = x.getFloat(i).toDouble; s += v * v; i += 1
+    }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val s = ctx.freshName("s"); val v = ctx.freshName("v")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** cosine(a,b) = dot / (|a|·|b|) in one pass. */
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble; val yv = y.getFloat(i).toDouble
+      d += xv * yv; na += xv * xv; nb += yv * yv; i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val d = ctx.freshName("d"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double) $a.getFloat($i);
+         |  double $yv = (double) $b.getFloat($i);
+         |  $d += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** All `nBits` hyperplane sign bits of a vector, packed into a long —
+  * the LSH bucket key computed in a single fused loop. Hyperplane
+  * components come from a splitmix64 of (seed, bit, dim): deterministic,
+  * identical across executors, nothing broadcast. */
+case class HyperplaneBucket(child: Expression, nBits: Int, seed: Int)
+    extends UnaryExpression {
+  require(nBits <= 63, "bucket must fit a long")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var bit = 0
+    while (bit < nBits) {
+      var s = 0.0; var i = 0
+      while (i < x.numElements()) {
+        s += x.getFloat(i).toDouble * VectorExpressions.component(seed, bit, i)
+        i += 1
+      }
+      bucket = (bucket << 1) | (if (s >= 0) 1L else 0L)
+      bit += 1
+    }
+    bucket
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = VectorExpressions.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      val bit = ctx.freshName("bit"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val bucket = ctx.freshName("bucket")
+      s"""
+         |long $bucket = 0L;
+         |for (int $bit = 0; $bit < $nBits; $bit++) {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $a.numElements(); $i++) {
+         |    $s += (double) $a.getFloat($i) * $cls.component($seed, $bit, $i);
+         |  }
+         |  $bucket = ($bucket << 1) | ($s >= 0 ? 1L : 0L);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorFunctions._
+import graft.expressions.VectorExpressions.{cosineF, hyperplaneBucket}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,7 +30,7 @@ object Ann {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", cosineF(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -49,14 +49,14 @@ object Ann {
       (0 until nTables).map { t =>
         df.select(col(idCol).as(id), col(vecCol).as(vec))
           .withColumn("table", lit(t))
-          .withColumn("bucket", packBits(hyperplaneBits(col(vec), nBits, 7919 + t)))
+          .withColumn("bucket", hyperplaneBucket(col(vec), nBits, 7919 + t))
       }.reduce(_ unionByName _)
     val c = bucketed(corpus, "neighbor_id", "c_vec")
     val q = bucketed(queries, "query_id", "q_vec")
     val cand = c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("sim", cosineF(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     cand.withColumn("rank", row_number().over(w))

@@ -45,41 +45,80 @@ object Dedup {
 
   /** MinHash signature: for each of `numHashes` hash functions, the min
     * over the document's shingle set of an independent 64-bit hash.
-    * Implemented per-row with higher-order functions — no shuffle, no UDF. */
+    * Single fused codegen'd pass (graft.expressions.MinHashSig). */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shingles, s => xxhash64(s, i))))
+    graft.expressions.MinHashSig.minhash(shingles, numHashes)
 
   /** MinHash-LSH candidate pairs with Jaccard verification.
     *
-    * @param bands  number of LSH bands (b); rowsPerBand = numHashes / b
+    * Scale shape: the banded self-join carries only (band, bucket, id) —
+    * never the shingle sets — so the shuffle is narrow even when a bucket
+    * is hot. Candidate pairs are deduplicated BEFORE verification, then
+    * the shingle sets are joined back by id for the exact-Jaccard check,
+    * bounding the expensive array work to distinct candidates.
+    *
+    * @param bands  number of LSH bands (b); rowsPerBand = numHashes / b;
+    *               s-curve midpoint ≈ (1/b)^(b/numHashes)
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
     */
   def minHashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, exactVerify: Boolean = true,
+      maxBucketSize: Int = 64): DataFrame = {
     val r = numHashes / bands
-    val sigs = df.select(
+    // shingle sets as sorted long-hash arrays (fused codegen pass) — all
+    // downstream set math runs on primitive longs
+    // Cached: the plan references sets/banded from both sides of two
+    // self-joins — without persistence the shingle+signature pass would
+    // recompute ~6×. (The cluster-scale analog: materialize signatures
+    // once, they are ~100× smaller than the corpus.)
+    val sets = df.select(
       col(idCol).as("id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("sh"))
+      graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minHashSignature(col("sh"), numHashes))
-    // band key = hash of the band's signature slice → narrow shuffle key
-    val banded = sigs.select(col("id"), col("sh"),
+      .cache()
+    val banded = sets
+      .withColumn("sig", graft.expressions.TextHash.minhashFromHashes(col("sh"), numHashes))
+      .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+      .cache()
+    // Hot-bucket cap (standard LSH-at-scale guard): a bucket with b docs
+    // contributes b² candidates but almost no true near-dups beyond what
+    // other bands already produce — oversized buckets are evidence the
+    // band hash is non-discriminative there, so drop them instead of
+    // letting one skewed key go quadratic.
+    val counted = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucketSize)
+    val pruned = banded.join(counted.select("band", "bucket"), Seq("band", "bucket"))
+    val cand = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    if (exactVerify)
+      cand
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.expressions.TextHash.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    else {
+      // estimate Jaccard from signature agreement (unbiased MinHash
+      // estimator): joins carry 64 longs instead of full shingle sets —
+      // the scale path when candidate volume is large.
+      val sigs = sets
+        .withColumn("sig", graft.expressions.TextHash.minhashFromHashes(col("sh"), numHashes))
+        .select("id", "sig")
+      cand
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.expressions.MinHashSig.overlap(col("sig_a"), col("sig_b")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
   }
 
   /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
@@ -94,23 +133,65 @@ object Dedup {
     bits.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1) + b)
   }
 
+  /** Exact n-gram-Jaccard similarity join via prefix filtering
+    * (AllPairs/PPJoin family): tokens are globally ordered by document
+    * frequency (rarest first); a pair with J ≥ t MUST share a token in
+    * each side's first |x| − ⌈t·|x|⌉ + 1 tokens, so candidates are
+    * generated from an inverted index over prefixes only, deduplicated,
+    * then verified with true Jaccard. Returns exactly the same pairs as
+    * the quadratic formulation — at a cost proportional to candidate
+    * pairs, not n² — which is what survives a 100× corpus scale-up.
+    *
+    * Shuffles: token-frequency agg, per-doc window, prefix-token join,
+    * pair dedup, two id-joins for verification. All on narrow keys. */
+  def prefixJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
+      shingleSize: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).as("id") +:
+        graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize).as("tk") +:
+        blockCols.map(col): _*)
+      .filter(size(col("tk")) > 0)
+      .withColumn("n", size(col("tk")))
+    val toks = sets.select(Seq(col("id"), col("n"), explode(col("tk")).as("t")) ++
+      blockCols.map(col): _*)
+    val freq = toks.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df").asc, col("t").asc)
+    val prefix = toks.join(freq, Seq("t"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold) + 1)
+    val a = prefix.select(Seq(col("t"), col("id").as("id_a")) ++ blockCols.map(col): _*)
+    val b = prefix.select(Seq(col("t"), col("id").as("id_b")) ++ blockCols.map(col): _*)
+    val cand = a.join(b, "t" +: blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    cand
+      .join(sets.select(col("id").as("id_a"), col("tk").as("tk_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("tk").as("tk_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.expressions.TextHash.jaccardSorted(col("tk_a"), col("tk_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** n-gram Jaccard similarity join: all pairs (within an optional
     * blocking key) with word-set Jaccard ≥ threshold. O(n²) within a
     * block — callers block on cheap keys (lang, length bucket) so the
-    * cross product never materializes globally. */
+    * cross product never materializes globally. Kept as the reference
+    * formulation; [[prefixJaccardPairs]] is the scale path. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
-      threshold: Double): DataFrame = {
+      threshold: Double, shingleSize: Int = 1): DataFrame = {
     val base = df.select(col(idCol).as("id") +:
-      array_distinct(tokens(lower(col(textCol)))).as("tk") +:
+      graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize).as("tk") +:
       blockCols.map(col): _*)
+      .filter(size(col("tk")) > 0)
     val l = base.select(col("id").as("id_a") +: col("tk").as("tk_a") +: blockCols.map(col): _*)
     val r = base.select(col("id").as("id_b") +: col("tk").as("tk_b") +: blockCols.map(col): _*)
     val joined = if (blockCols.nonEmpty) l.join(r, blockCols) else l.crossJoin(r)
     joined.filter(col("id_a") < col("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("tk_a"), col("tk_b"))).cast("double") /
-          size(array_union(col("tk_a"), col("tk_b"))).cast("double"))
+        graft.expressions.TextHash.jaccardSorted(col("tk_a"), col("tk_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -1,0 +1,74 @@
+package graft
+
+import graft.expressions.{MinHashSig, VectorExpressions => VE}
+import graft.functions.VectorFunctions
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 2.0f, 3.0f)),
+    (1L, Array(-1.0f, 0.5f, 2.0f))).toDF("vec_id", "embedding")
+
+  test("codegen'd dot/norm/cosine agree with the HOF formulations") {
+    val r = vecs.filter(col("vec_id") === 0L)
+      .crossJoin(vecs.filter(col("vec_id") === 1L)
+        .select(col("embedding").as("other")))
+      .select(
+        VE.dotF(col("embedding"), col("other")).as("d1"),
+        VectorFunctions.dot(col("embedding"), col("other")).as("d2"),
+        VE.norm2F(col("embedding")).as("n1"),
+        VectorFunctions.normSq(col("embedding")).as("n2"),
+        VE.cosineF(col("embedding"), col("other")).as("c1"),
+        VectorFunctions.cosine(col("embedding"), col("other")).as("c2"))
+      .head()
+    assert(r.getDouble(0) == r.getDouble(1))
+    assert(r.getDouble(0) == 1.0 * -1.0 + 2.0 * 0.5 + 3.0 * 2.0)
+    assert(r.getDouble(2) == r.getDouble(3))
+    assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-12)
+  }
+
+  test("hyperplane bucket: deterministic, equal vectors collide, opposite differ") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
+    val b = df.select(VE.hyperplaneBucket(col("v"), 16, 42).as("b")).as[Long].collect()
+    assert(b(0) == b(1))
+    assert(b(0) == (~b(2) & 0xFFFFL)) // sign flip inverts every bit
+  }
+
+  test("minhash signature: identical sets equal; overlap fraction ≈ jaccard") {
+    val df = Seq(
+      (0L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h")),
+      (2L, Seq("a", "b", "c", "d", "w", "x", "y", "z"))).toDF("id", "sh")
+    val sigs = df.select(MinHashSig.minhash(col("sh"), 256).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+    val agree = sigs(0).zip(sigs(2)).count { case (a, b) => a == b } / 256.0
+    // true jaccard = 4/12 = 0.333; 256 hashes → ±0.1 easily
+    assert(math.abs(agree - 1.0 / 3.0) < 0.12, s"minhash agreement $agree")
+  }
+
+  test("prefixJaccardPairs returns exactly the quadratic result") {
+    val docs = Tables5docs
+    val quad = Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang"), 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // same tokens: unigram == shingleSize 1
+    val fast = Dedup.prefixJaccardPairs(docs, "doc_id", "text", Seq("lang"),
+      shingleSize = 1, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(fast == quad)
+  }
+
+  private def Tables5docs = Seq(
+    (1L, "en", "the quick brown fox jumps over the lazy dog"),
+    (2L, "en", "the quick brown fox leaps over the lazy dog"),
+    (3L, "en", "a completely different sentence about engines"),
+    (4L, "de", "der schnelle braune fuchs springt"),
+    (5L, "de", "der schnelle braune fuchs rennt")).toDF("doc_id", "lang", "text")
+}
