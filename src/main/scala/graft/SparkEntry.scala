@@ -395,6 +395,44 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Multimodal metadata projection (binary payload + typed meta struct).
+    "q37_media_meta" -> ((s, dir) =>
+      multimodal.Multimodal.fromDocuments(Tables.documents(s, dir))
+        .select(col("media_id"), col("meta.kind").as("kind"),
+          col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
+        .orderBy("media_id")),
+
+    // Multimodal decode→feature-extract via per-partition mapPartitions
+    // (stub codec; plumbing is the product — no oracle for binary path).
+    "q38_media_features" -> ((s, dir) =>
+      multimodal.Multimodal.extractFeatures(
+        multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)),
+        () => new multimodal.Multimodal.StubCodec)
+        .orderBy("media_id")),
+
+    // Video-style frame sampling: per-media frame counts are deterministic
+    // functions of payload size → oracle-checkable.
+    "q39_frame_counts" -> ((s, dir) =>
+      multimodal.Multimodal.sampleFrames(
+        multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)),
+        everyMs = 64, () => new multimodal.Multimodal.StubCodec)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")),
+
+    // Embedding-cosine near-duplicate pairs (exact quadratic; the LSH
+    // variant is q32's bucketing applied as a pre-filter at scale).
+    "q40_embed_neardup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("sim",
+          graft.expressions.VectorExpressions.cosineF(col("va"), col("vb")))
+        .filter(col("sim") >= 0.3)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
     // T2 sync-advance decision as a one-pass aggregate (SURVEY.md §2.10).
     "q36_sync_advance" -> ((s, dir) =>
       Tables.events(s, dir).agg(
@@ -693,6 +731,28 @@ object SparkEntry {
     "q36_sync_advance" ->
       """SELECT CAST(least(max(event_id) - 50, 2000) AS BIGINT) AS next_watermark,
         | least(max(event_id) - 50, 2000) > 0 AS should_run
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q37_media_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind, 'raw' AS format,
+        | CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q39_frame_counts" ->
+      """SELECT doc_id AS media_id,
+        | least(CAST(ceil(length(text) / 64.0) AS BIGINT), 8) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q40_embed_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b FROM p WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
   )
 }
