@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * similarity / text analysis / ANN) over `documents` and `embeddings`.
   *
   * Determinism discipline (needed for cross-engine hash parity):
-  *  - double sums go through DECIMAL(25,4) (order-independent, exact);
+  *  - double sums go through DECIMAL(28,10) (order-independent, exact);
   *  - timestamps are surfaced as DATE (events.ts is parquet NANOS, which
   *    Spark truncates to µs but DuckDB keeps — dates agree);
   *  - every query ends in a total-order ORDER BY on its key columns.
@@ -66,7 +66,7 @@ object SparkEntry {
         .when(col("event_type") === "purchase", 2)
         .otherwise(3).as("type"),
       // value is 2-decimal; ×1.5/×0.25 keep products on short decimal
-      // grids (3-5 digits), so DECIMAL(25,6) casts never round — exact
+      // grids (3-5 digits), so DECIMAL(28,10) casts never round — exact
       // cross-engine sums with no HALF_UP/HALF_EVEN ambiguity.
       col("value").as("coin_value"),
       (col("value") * 1.5).as("coin_value_usd"),
@@ -86,9 +86,9 @@ object SparkEntry {
       |FROM events""".stripMargin
 
   private def dSum(sqlExpr: String) =
-    s"CAST(sum(CAST($sqlExpr AS DECIMAL(25,6))) AS DOUBLE)"
+    s"CAST(sum(CAST($sqlExpr AS DECIMAL(28,10))) AS DOUBLE)"
   private def dSumWhere(pred: String, sqlExpr: String) =
-    s"CAST(sum(CAST(CASE WHEN $pred THEN $sqlExpr END AS DECIMAL(25,6))) AS DOUBLE)"
+    s"CAST(sum(CAST(CASE WHEN $pred THEN $sqlExpr END AS DECIMAL(28,10))) AS DOUBLE)"
 
   // ---- flagship --------------------------------------------------------
 
@@ -113,8 +113,9 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
-          Aggregations.exactSum(col("l_extendedprice")).as("sum_base_price"),
-          Aggregations.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          // 2/4-decimal summands with ~1e9 totals → scale 4 (see exactSum)
+          Aggregations.exactSum(col("l_extendedprice"), 4).as("sum_base_price"),
+          Aggregations.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -370,8 +371,8 @@ object SparkEntry {
       val n2 = graft.expressions.VectorExpressions.norm2F(col("embedding"))
       Tables.embeddings(s, dir).groupBy("label").agg(
         count(lit(1)).as("n"),
-        max(n2.cast("decimal(25,6)")).cast("double").as("max_norm_sq"),
-        min(n2.cast("decimal(25,6)")).cast("double").as("min_norm_sq"))
+        max(n2.cast("decimal(28,10)")).cast("double").as("max_norm_sq"),
+        min(n2.cast("decimal(28,10)")).cast("double").as("min_norm_sq"))
         .orderBy("label")
     }),
 
@@ -389,7 +390,7 @@ object SparkEntry {
         lag(col("event_id"), 1).over(w).as("prev_event_id"),
         lead(col("event_type"), 1).over(w).as("next_type"),
         row_number().over(w).as("rn"),
-        sum(col("value").cast("decimal(25,6)"))
+        sum(col("value").cast("decimal(28,10)"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_value"))
         .orderBy("event_id")
@@ -433,6 +434,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // §3.1+§3.2 composed pipeline: enrichment spine → transactions-vertex
+    // aggregation (compute-once fan-out is exercised in PipelinesSpec;
+    // here the vertex branch is oracle-checked end-to-end).
+    "q41_pipeline_vertices" -> ((s, dir) => {
+      val part = Tables.part(s, dir)
+      val enriched = pipelines.Pipelines.enrichmentPipeline(
+        Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("transaction_id"),
+          col("l_linenumber"),
+          col("l_partkey").as("token_address"),
+          col("l_extendedprice").as("coin_value"),
+          col("l_tax").as("fee"),
+          (col("l_linenumber") % 3).as("type"),
+          col("l_shipdate"),
+          col("l_shipdate").cast("date").as("block_date_time")),
+        metadata = part.select(
+          col("p_partkey").as("token_address"),
+          col("p_brand").as("symbol"),
+          (col("p_size") % 4).as("decimals")),
+        prices = part.groupBy(col("p_brand").as("symbol"))
+          .agg((max(col("p_retailprice")) / 1000.0).as("coin_price_usd")),
+        sortSpec = Seq("l_shipdate" -> true, "l_linenumber" -> true,
+          "token_address" -> true, "coin_value" -> true, "fee" -> true),
+        tronFeeRule = true)
+      Aggregations.transactionsAgg(enriched).orderBy("transaction_id")
+    }),
+
     // T2 sync-advance decision as a one-pass aggregate (SURVEY.md §2.10).
     "q36_sync_advance" -> ((s, dir) =>
       Tables.events(s, dir).agg(
@@ -446,8 +474,9 @@ object SparkEntry {
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-         | ${dSum("l_extendedprice")} AS sum_base_price,
-         | ${dSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         | CAST(sum(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+         | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE)
+         |   AS sum_disc_price,
          | count(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          |GROUP BY l_returnflag, l_linestatus
@@ -699,10 +728,10 @@ object SparkEntry {
     "q33_embed_stats" ->
       """SELECT label, count(*) AS n,
         | CAST(max(CAST(list_sum(list_transform(embedding,
-        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(25,6)))
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(28,10)))
         |   AS DOUBLE) AS max_norm_sq,
         | CAST(min(CAST(list_sum(list_transform(embedding,
-        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(25,6)))
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DECIMAL(28,10)))
         |   AS DOUBLE) AS min_norm_sq
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
@@ -720,7 +749,7 @@ object SparkEntry {
         | lag(event_id, 1) OVER w AS prev_event_id,
         | lead(event_type, 1) OVER w AS next_type,
         | CAST(row_number() OVER w AS INT) AS rn,
-        | CAST(sum(CAST(value AS DECIMAL(25,6))) OVER
+        | CAST(sum(CAST(value AS DECIMAL(28,10))) OVER
         |   (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS running_value
@@ -742,6 +771,47 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         | least(CAST(ceil(length(text) / 64.0) AS BIGINT), 8) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q41_pipeline_vertices" ->
+      s"""WITH price AS (
+         |  SELECT p_brand AS symbol, max(p_retailprice) / 1000.0 AS coin_price_usd
+         |  FROM part GROUP BY p_brand),
+         |meta AS (
+         |  SELECT p_partkey AS token_address, p_brand AS symbol,
+         |         p_size % 4 AS decimals FROM part),
+         |dims AS (
+         |  SELECT m.token_address, p.coin_price_usd, m.decimals
+         |  FROM meta m LEFT JOIN price p USING (symbol)),
+         |txns AS (
+         |  SELECT l_orderkey AS transaction_id, l_partkey AS token_address,
+         |         l_extendedprice AS coin_value, l_tax AS fee,
+         |         l_linenumber % 3 AS typ, CAST(l_shipdate AS DATE) AS bdt,
+         |         row_number() OVER (PARTITION BY l_orderkey
+         |           ORDER BY l_shipdate, l_linenumber, l_partkey,
+         |                    l_extendedprice, l_tax) AS log_index
+         |  FROM lineitem),
+         |enriched AS (
+         |  SELECT t.transaction_id, t.typ, t.bdt AS block_date_time,
+         |    CAST(t.coin_value AS DOUBLE) /
+         |      power(10.0, CASE WHEN t.typ IN (0,1) THEN 0
+         |                       ELSE COALESCE(d.decimals, 0) END) AS cv,
+         |    CAST(t.coin_value AS DOUBLE) /
+         |      power(10.0, CASE WHEN t.typ IN (0,1) THEN 0
+         |                       ELSE COALESCE(d.decimals, 0) END)
+         |      * COALESCE(d.coin_price_usd, 0) AS cv_usd,
+         |    CASE WHEN t.log_index > 1 THEN 0.0 ELSE t.fee END AS fee,
+         |    t.fee * COALESCE(d.coin_price_usd, 0) AS fee_usd
+         |  FROM txns t JOIN dims d USING (token_address))
+         |SELECT transaction_id,
+         | ${dSumWhere("typ = 0", "cv")} AS external_value,
+         | ${dSumWhere("typ = 0", "cv_usd")} AS external_value_usd,
+         | max(block_date_time) AS block_date,
+         | ${dSum("fee")} AS txn_fee,
+         | ${dSum("fee_usd")} AS txn_fee_usd,
+         | ${dSumWhere("typ = 1", "cv")} AS internal_value,
+         | ${dSumWhere("typ = 1", "cv_usd")} AS internal_value_usd,
+         | ${dSumWhere("typ = 2", "cv_usd")} AS token_transfer_usd
+         |FROM enriched GROUP BY transaction_id ORDER BY transaction_id""".stripMargin,
 
     "q40_embed_neardup" ->
       """WITH p AS (

@@ -15,23 +15,32 @@ import org.apache.spark.sql.functions._
   * scale property of this module: at 100 TB the shuffled bytes are
   * O(groups), not O(rows).
   *
-  * Exact-sum discipline: doubles are cast to DECIMAL(25,4) before
+  * Exact-sum discipline: doubles are cast to DECIMAL(28,10) before
   * summing so results are independent of partitioning/summation order
   * (a real concern: Spark's double sums are nondeterministic across
   * retries and AQE re-plans), then cast back to double.
   */
 object Aggregations {
 
-  /** Order-independent exact sum of a double expression. Scale 6 is
-    * chosen so that every synthetic money column (≤5 decimal digits)
-    * converts without rounding — a tie-breaking hazard otherwise, since
-    * Spark rounds HALF_UP and other engines HALF_EVEN. */
-  def exactSum(c: Column): Column =
-    sum(c.cast("decimal(25,6)")).cast("double")
+  /** Order-independent exact sum of a double expression. Scale 10 is the
+    * sweet spot: ≥ the decimal-termination length of every money column
+    * in the pipelines (products of ≤5-digit decimal grids → ≤10 decimal
+    * digits, so the cast never rounds and the HALF_UP-vs-HALF_EVEN
+    * cross-engine tie hazard can't arise), yet small enough that
+    * value×10¹⁰ stays below 2⁵³ for engines converting double→decimal
+    * via a double multiply.
+    *
+    * The GROUP TOTAL × 10^scale must also stay below 2⁵³ (the final
+    * decimal→double conversion in int128-based engines goes through an
+    * integer that must be exactly representable): callers whose totals
+    * reach ~10⁹ pass a smaller scale matched to their summands' decimal
+    * termination (e.g. 4 for 2-decimal money). */
+  def exactSum(c: Column, scale: Int = 10): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
 
   /** Filtered exact sum: Σ c where pred (reference's masked `.sum()`). */
-  def sumWhere(pred: Column, c: Column): Column =
-    exactSum(when(pred, c).otherwise(lit(null)))
+  def sumWhere(pred: Column, c: Column, scale: Int = 10): Column =
+    exactSum(when(pred, c).otherwise(lit(null)), scale)
 
   /** A3 `transactions_agg` (`streaming_operator.py:310-324`): per
     * transaction — external/internal/token-transfer value splits by type,
