@@ -461,6 +461,21 @@ object SparkEntry {
       Aggregations.transactionsAgg(enriched).orderBy("transaction_id")
     }),
 
+    // J3 Ripple constant-key enrichment: degenerate join = broadcast of
+    // one price row; in/out value math (SURVEY.md §2.3 J3, §2.8 F3).
+    "q42_ripple_enrich" -> ((s, dir) => {
+      val txns = Tables.events(s, dir).select(
+        col("event_id").as("transaction_id"),
+        col("value").as("coin_value"),
+        (col("value") * 0.25).as("fee"))
+      val price = Tables.events(s, dir)
+        .agg((max(col("value")) / 100.0).as("coin_price_usd"))
+      Enrichment.enrichConstantKey(txns, price)
+        .select("transaction_id", "outgoing_value", "incoming_value",
+          "outgoing_value_usd", "incoming_value_usd")
+        .orderBy("transaction_id")
+    }),
+
     // T2 sync-advance decision as a one-pass aggregate (SURVEY.md §2.10).
     "q36_sync_advance" -> ((s, dir) =>
       Tables.events(s, dir).agg(
@@ -812,6 +827,15 @@ object SparkEntry {
          | ${dSumWhere("typ = 1", "cv_usd")} AS internal_value_usd,
          | ${dSumWhere("typ = 2", "cv_usd")} AS token_transfer_usd
          |FROM enriched GROUP BY transaction_id ORDER BY transaction_id""".stripMargin,
+
+    "q42_ripple_enrich" ->
+      """WITH price AS (SELECT max(value) / 100.0 AS coin_price_usd FROM events)
+        |SELECT event_id AS transaction_id,
+        | value + value * 0.25 AS outgoing_value,
+        | value AS incoming_value,
+        | (value + value * 0.25) * coin_price_usd AS outgoing_value_usd,
+        | value * coin_price_usd AS incoming_value_usd
+        |FROM events CROSS JOIN price ORDER BY transaction_id""".stripMargin,
 
     "q40_embed_neardup" ->
       """WITH p AS (
