@@ -366,6 +366,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN (coarse-quantizer cells + probe; no oracle — approximate,
+    // recall measured against q31 in SkewIvfSpec).
+    "q43_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
+        nCentroids = 8, nProbe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding stats per label (codegen'd vector math over array<float>).
     "q33_embed_stats" -> ((s, dir) => {
       val n2 = graft.expressions.VectorExpressions.norm2F(col("embedding"))

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot grouping keys (SURVEY.md "salting for skew").
+  *
+  * AQE's skew-join splitting handles joins; hot AGGREGATION keys are
+  * still a single-reducer bottleneck when one key holds a large share of
+  * the rows (the classic power-law address in chain data, or a boiler-
+  * plate document in a text corpus). Two-stage salted aggregation:
+  *
+  *   stage 1: groupBy(key, salt = hash(row) % buckets) — partial
+  *            aggregate spread over `buckets` reducers
+  *   stage 2: groupBy(key) — combine the ≤ buckets partials
+  *
+  * Correct for any commutative-associative aggregate; exposed here for
+  * sum/count/min/max. With DECIMAL sums the result is bit-identical to
+  * the unsalted plan (order-independence is what exactSum buys).
+  */
+object Skew {
+
+  final case class SaltedAgg(valueCol: Column, how: String, outName: String)
+
+  def sum_(c: Column, as: String): SaltedAgg = SaltedAgg(c, "sum", as)
+  def count_(as: String): SaltedAgg = SaltedAgg(lit(1L), "count", as)
+  def min_(c: Column, as: String): SaltedAgg = SaltedAgg(c, "min", as)
+  def max_(c: Column, as: String): SaltedAgg = SaltedAgg(c, "max", as)
+
+  def saltedAggregate(
+      df: DataFrame, keyCols: Seq[String], aggs: Seq[SaltedAgg],
+      buckets: Int = 64): DataFrame = {
+    require(aggs.nonEmpty)
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+    def partial(a: SaltedAgg, name: String): Column = a.how match {
+      case "sum"   => sum(a.valueCol).as(name)
+      case "count" => count(a.valueCol).as(name)
+      case "min"   => min(a.valueCol).as(name)
+      case "max"   => max(a.valueCol).as(name)
+    }
+    val stage1 = salted.groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(partial(aggs.head, "__p0"),
+        aggs.tail.zipWithIndex.map { case (a, i) => partial(a, s"__p${i + 1}") }: _*)
+    def combine(a: SaltedAgg, i: Int): Column = (a.how match {
+      case "sum" | "count" => sum(col(s"__p$i"))
+      case "min"           => min(col(s"__p$i"))
+      case "max"           => max(col(s"__p$i"))
+    }).as(a.outName)
+    stage1.groupBy(keyCols.map(col): _*)
+      .agg(combine(aggs.head, 0),
+        aggs.tail.zipWithIndex.map { case (a, i) => combine(a, i + 1) }: _*)
+  }
+}

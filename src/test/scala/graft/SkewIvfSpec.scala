@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Ann, Skew}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SkewIvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals direct groupBy (sum/count/min/max)") {
+    val rnd = new scala.util.Random(7)
+    // skewed: 80% of rows on one key
+    val rows = (1 to 2000).map { i =>
+      val k = if (rnd.nextDouble() < 0.8) "hot" else s"k${rnd.nextInt(20)}"
+      (k, rnd.nextInt(1000) * 0.01)
+    }
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k").agg(
+      sum(col("v").cast("decimal(28,10)")).cast("double").as("s"),
+      count(lit(1L)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val salted = Skew.saltedAggregate(df, Seq("k"), Seq(
+      Skew.SaltedAgg(col("v").cast("decimal(28,10)"), "sum", "s"),
+      Skew.count_("n"), Skew.min_(col("v"), "mn"), Skew.max_(col("v"), "mx")),
+      buckets = 16)
+      .withColumn("s", col("s").cast("double"))
+    val d = direct.orderBy("k").collect().map(_.toSeq)
+    val sl = salted.orderBy("k").collect().map(_.toSeq)
+    assert(d.toSeq == sl.toSeq)
+  }
+
+  test("IVF ANN: centroids train, probes bound work, recall is reasonable") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5)
+    val exact = Ann.bruteForceTopK(e, q, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(e, q, k = 10, nCentroids = 8, nProbe = 4)
+    val got = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 10))
+    val recall = (exact & got).size.toDouble / exact.size
+    // near-random embeddings: probing half the cells ⇒ recall ≈ nProbe/nCentroids
+    assert(recall >= 0.3, s"IVF recall too low: $recall")
+  }
+}
