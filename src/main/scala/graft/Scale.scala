@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Aggregations, Dedup, Enrichment, LogIndex, Skew}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up evidence harness: runs the heavy operator shapes on 1× and
+  * N× copies of the sf0.1 data (keys shifted so cardinalities scale too)
+  * and prints per-shape runtimes. The point is the RATIO: a shape whose
+  * runtime grows ~linearly with input is cluster-ready; superlinear
+  * growth exposes a plan that would not survive 100 TB.
+  *
+  * Usage: runMain graft.Scale [multiplier]  (default 10)
+  */
+object Scale {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val spark = GraftSession.local("scale", 32)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      (0 until mult).map { i =>
+        keyCols.foldLeft(df) { (d, k) =>
+          d.withColumn(k, col(k) + lit(i.toLong * 100000000L)) }
+      }.reduce(_ unionByName _)
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SCALE $name rows=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+
+    val li1 = Tables.lineitem(spark, dir)
+    val liN = amplify(li1, Seq("l_orderkey"))
+    val ev1 = Tables.events(spark, dir)
+    val evN = amplify(ev1, Seq("event_id", "user_id"))
+
+    def enrichShape(li: DataFrame): Long = {
+      val txns = LogIndex.addLogIndex(
+        li.select(col("l_orderkey").as("transaction_id"), col("l_linenumber"),
+          col("l_partkey").as("token_address"),
+          col("l_extendedprice").as("coin_value"), col("l_tax").as("fee"),
+          (col("l_linenumber") % 3).as("type"), col("l_shipdate")),
+        "transaction_id",
+        Seq("l_shipdate" -> true, "l_linenumber" -> true,
+          "token_address" -> true, "coin_value" -> true, "fee" -> true))
+      val part = Tables.part(spark, dir)
+      val meta = part.select(col("p_partkey").as("token_address"),
+        col("p_brand").as("symbol"), (col("p_size") % 4).as("decimals"))
+      val price = part.groupBy(col("p_brand").as("symbol"))
+        .agg((max(col("p_retailprice")) / 1000.0).as("coin_price_usd"))
+      Enrichment.enrich(txns, Enrichment.dims(meta, price), tronFeeRule = true).count()
+    }
+
+    def aggShape(ev: DataFrame): Long =
+      Aggregations.transactionsAgg(ev.select(
+        col("user_id").as("transaction_id"),
+        (col("event_id") % 3).cast("int").as("type"),
+        col("value").as("coin_value"), (col("value") * 1.5).as("coin_value_usd"),
+        (col("value") * 0.25).as("fee"), (col("value") * 0.375).as("fee_usd"),
+        col("ts").cast("date").as("block_date_time"))).count()
+
+    def saltShape(ev: DataFrame): Long =
+      Skew.saltedAggregate(ev.select(col("event_type"), col("value")),
+        Seq("event_type"),
+        Seq(Skew.SaltedAgg(col("value").cast("decimal(28,10)"), "sum", "s"),
+          Skew.count_("n")), buckets = 64).count()
+
+    def minhashShape(docs: DataFrame): Long =
+      Dedup.minHashNearDuplicates(docs, "doc_id", "text", shingleSize = 2,
+        numHashes = 64, bands = 32, threshold = 0.10, exactVerify = false).count()
+
+    val docs1 = Tables.documents(spark, dir)
+    val docsN = (0 until mult).map(i =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("text", concat(col("text"), lit(" tail" + i)))
+    ).reduce(_ unionByName _)
+
+    println(s"== multiplier $mult, base $dir ==")
+    time("enrich_1x") { enrichShape(li1) }
+    time(s"enrich_${mult}x") { enrichShape(liN) }
+    time("txnagg_1x") { aggShape(ev1) }
+    time(s"txnagg_${mult}x") { aggShape(evN) }
+    time("saltagg_1x") { saltShape(ev1) }
+    time(s"saltagg_${mult}x") { saltShape(evN) }
+    time("minhash_1x") { minhashShape(docs1) }
+    time(s"minhash_${mult}x") { minhashShape(docsN) }
+    spark.stop()
+  }
+}

@@ -81,6 +81,14 @@ object TextFunctions {
   def md5Fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** F4 — Hedera transaction-id → nanosecond timestamp
+    * (`clickhouse/utils.py:42-60`): strip the `shard.realm.num-` prefix,
+    * then the seconds-nanos dash becomes a decimal point:
+    * `0.0.1234-1700000000-123456789` → `1700000000.123456789`. */
+  def hederaTxTimestamp(txId: Column): Column =
+    regexp_replace(
+      regexp_replace(txId, "^\\d+\\.\\d+\\.\\d+-", ""), "-", ".")
+
   /** Language-ID heuristic: score each candidate language by stopword-hit
     * ratio over its marker list; pick the argmax (ties → first in `langs`
     * order, i.e. a deterministic preference list). */
