@@ -45,6 +45,41 @@ class SyncSpec extends SparkSpec {
     assert(landed.select("event_id").distinct().count() == total)
   }
 
+  test("stateful dedup suppresses replayed keys across micro-batches (T5)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StatefulDedup
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sdd").toString
+    val src = s"$dir/src"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    new java.io.File(src).mkdirs()
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("key LONG, payload STRING").parquet(src).as[StatefulDedup.Keyed]
+      val q = StatefulDedup.firstOccurrences(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // batch 1: keys 1,2,3 (3 duplicated within the batch)
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (3L, "c2")).toDF("key", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 3)
+
+    // batch 2 (same checkpoint): replay of 2,3 + new key 4 → only 4 emits
+    Seq((2L, "b-replay"), (3L, "c-replay"), (4L, "d")).toDF("key", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val all = spark.read.parquet(out).as[StatefulDedup.Keyed].collect()
+    assert(all.length == 4)
+    assert(all.map(_.key).toSet == Set(1L, 2L, 3L, 4L))
+    assert(all.count(_.key == 3L) == 1, all.mkString(","))
+  }
+
   test("structured streaming: windowed aggregation with watermark over events") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("ss").toString
