@@ -486,6 +486,32 @@ object SparkEntry {
         .orderBy("transaction_id")
     }),
 
+    // Exact percentiles (median / p90) per group — interpolated, exact
+    // (not approx) so it can be oracle-checked.
+    "q44_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_discount, 0.5)").as("median_disc"))
+        .orderBy("l_returnflag")),
+
+    // ROLLUP hierarchy totals with grouping flags.
+    "q45_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("bigint")).cast("bigint").as("qty"),
+          grouping_id(col("l_returnflag"), col("l_linestatus")).cast("int").as("gflag"))
+        .orderBy(col("gflag"), col("l_returnflag"), col("l_linestatus"))),
+
+    // Exact multi-column distinct counts per group.
+    "q46_distinct_counts" -> ((s, dir) =>
+      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
+        .orderBy("l_returnflag")),
+
     // T2 sync-advance decision as a one-pass aggregate (SURVEY.md §2.10).
     "q36_sync_advance" -> ((s, dir) =>
       Tables.events(s, dir).agg(
@@ -837,6 +863,27 @@ object SparkEntry {
          | ${dSumWhere("typ = 1", "cv_usd")} AS internal_value_usd,
          | ${dSumWhere("typ = 2", "cv_usd")} AS token_transfer_usd
          |FROM enriched GROUP BY transaction_id ORDER BY transaction_id""".stripMargin,
+
+    "q44_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty,
+        | quantile_cont(l_discount, 0.5) AS median_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q45_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gflag
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gflag, l_returnflag, l_linestatus""".stripMargin,
+
+    "q46_distinct_counts" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT (l_partkey, l_suppkey)) AS n_pairs
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q42_ripple_enrich" ->
       """WITH price AS (SELECT max(value) / 100.0 AS coin_price_usd FROM events)
