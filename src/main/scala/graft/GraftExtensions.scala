@@ -1,0 +1,43 @@
+package graft
+
+import graft.expressions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions entry point: exposes the engine's native
+  * Catalyst expressions to SQL users, so
+  * `spark.sql("SELECT cosine_f(a, b) …")` plans the same codegen'd
+  * operators the DataFrame API uses.
+  *
+  * Register with:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or spark.sql.extensions=graft.GraftExtensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def register(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.expressions", name), builder))
+
+    register("cosine_f", args => FloatVecCosine(args(0), args(1)))
+    register("dot_f", args => FloatVecDot(args(0), args(1)))
+    register("norm_sq_f", args => FloatVecNormSq(args(0)))
+    register("hyperplane_bucket", args =>
+      HyperplaneBucket(args(0), intArg(args(1), "nBits"), intArg(args(2), "seed")))
+    register("shingle_hashes", args =>
+      ShingleHashes(args(0), intArg(args(1), "n")))
+    register("jaccard_sorted", args => JaccardSorted(args(0), args(1)))
+    register("minhash_sig", args =>
+      MinHashFromHashesExpr(args(0), intArg(args(1), "k")))
+    register("minhash_overlap", args => SigOverlapExpr(args(0), args(1)))
+  }
+}

@@ -15,6 +15,7 @@ object GraftSession {
   def builder(appName: String = "graft", cpus: String = "32"): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -28,6 +28,12 @@ object VectorExpressions {
   def hyperplaneBucket(v: Column, nBits: Int, seed: Int): Column =
     column(HyperplaneBucket(expression(v), nBits, seed))
 
+  /** Bucket keys for `nTables` independent hyperplane families in one
+    * fused pass — callers posexplode the array, so the corpus is scanned
+    * once instead of once per table. */
+  def hyperplaneBuckets(v: Column, nBits: Int, nTables: Int, seed: Int): Column =
+    column(HyperplaneBuckets(expression(v), nBits, nTables, seed))
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * splitmix64 of (seed, bit, dim) — identical on every executor, no
     * broadcast needed. */
@@ -124,6 +130,57 @@ case class FloatVecCosine(left: Expression, right: Expression)
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** [[HyperplaneBucket]] for `nTables` independent families (seed + t):
+  * returns array<long> of bucket keys, one per table. */
+case class HyperplaneBuckets(child: Expression, nBits: Int, nTables: Int, seed: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var bit = 0
+      while (bit < nBits) {
+        var s = 0.0; var i = 0
+        while (i < x.numElements()) {
+          s += x.getFloat(i).toDouble * VectorExpressions.component(seed + t, bit, i)
+          i += 1
+        }
+        bucket = (bucket << 1) | (if (s >= 0) 1L else 0L)
+        bit += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cls = "graft.expressions.VectorExpressions$.MODULE$"
+      val t = ctx.freshName("t"); val bit = ctx.freshName("bit"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val bucket = ctx.freshName("bucket")
+      val out = ctx.freshName("out")
+      s"""
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $bit = 0; $bit < $nBits; $bit++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $a.numElements(); $i++) {
+         |      $s += (double) $a.getFloat($i) * $cls.component($seed + $t, $bit, $i);
+         |    }
+         |    $bucket = ($bucket << 1) | ($s >= 0 ? 1L : 0L);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** All `nBits` hyperplane sign bits of a vector, packed into a long —

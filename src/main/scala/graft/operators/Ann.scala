@@ -111,13 +111,12 @@ object Ann {
       corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 12, nTables: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // each table uses an independent hyperplane family (distinct seed)
+    // all tables' bucket keys in one fused pass, one corpus scan
     def bucketed(df: DataFrame, id: String, vec: String) =
-      (0 until nTables).map { t =>
-        df.select(col(idCol).as(id), col(vecCol).as(vec))
-          .withColumn("table", lit(t))
-          .withColumn("bucket", hyperplaneBucket(col(vec), nBits, 7919 + t))
-      }.reduce(_ unionByName _)
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          posexplode(graft.expressions.VectorExpressions
+            .hyperplaneBuckets(col(vecCol), nBits, nTables, 7919)))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val c = bucketed(corpus, "neighbor_id", "c_vec")
     val q = bucketed(queries, "query_id", "q_vec")
     val cand = c.join(broadcast(q), Seq("table", "bucket"))
