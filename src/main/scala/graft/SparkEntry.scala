@@ -300,6 +300,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish sub-word token estimate (whitespace + boundary-transition
+    // pre-tokenizer heuristic), RE2-portable and oracle-checked.
+    "q47_subword_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
     // Quality scoring: stopword ratio, mean token length, composite score.
     "q25_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "to")
@@ -711,6 +719,14 @@ object SparkEntry {
         | CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS INT)
         |   AS n_distinct,
         | CAST(length(text) AS INT) AS n_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q47_subword_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+'))
+        |   + len(regexp_extract_all(text, '[a-z][A-Z0-9]|[0-9][A-Za-z]')) AS INT)
+        |   AS n_subwords,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q25_quality" ->

@@ -15,11 +15,13 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish sub-word token estimate: split on whitespace AND on
-    * letter/digit/punctuation boundaries, the usual pre-tokenizer regex. */
+  /** BPE-ish sub-word token estimate: whitespace tokens plus intra-token
+    * case/digit boundary splits (the usual pre-tokenizer heuristic).
+    * Formulated without regex lookarounds so it is portable to RE2-based
+    * engines: estimate = |tokens| + |boundary transitions|. */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "(?=\\s)|(?<=\\s)|(?<=[a-z])(?=[A-Z0-9])|(?<=[0-9])(?=[A-Za-z])"),
-      t => length(trim(t)) > 0))
+    tokenCount(text) +
+      size(regexp_extract_all(text, lit("[a-z][A-Z0-9]|[0-9][A-Za-z]"), lit(0)))
 
   /** Ratio of characters matching `klass` (e.g. punctuation) — computed by
     * length difference after regexp_replace, a codegen-friendly idiom. */
