@@ -357,6 +357,17 @@ object SparkEntry {
         blockCols = Seq("lang", "source"), threshold = 0.08, shingleSize = 2)
         .orderBy("id_a", "id_b")),
 
+    // Near-duplicate clustering: connected components (hash-min label
+    // propagation) over the q30 pair graph — every doc mapped to the min
+    // doc_id of its duplicate component.
+    "q48_dup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang", "source"), threshold = 0.08, shingleSize = 2)
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
     // Brute-force cosine top-k ANN baseline.
     "q31_ann_bruteforce" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -774,6 +785,29 @@ object SparkEntry {
         |   AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.08
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q48_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |    i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+        |         string_split_regex(lower(trim(text)), '\s+')[i+1])) AS tk
+        | FROM documents),
+        |j AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.08),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM j
+        | UNION SELECT id_b, id_a FROM j),
+        |reach(id, comp) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(comp) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q31_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -174,6 +174,47 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Duplicate clustering: connected components over a near-duplicate
+    * pair graph (the step after candidate detection in a real dedup
+    * pipeline — each cluster keeps one canonical document).
+    *
+    * Hash-min label propagation: every node starts labeled with its own
+    * id; each round every node takes the min label in its neighborhood;
+    * converges in O(component diameter) rounds. Each round is one
+    * shuffle join + one aggregation — the standard scalable CC for
+    * short-diameter dedup graphs (near-dup components are dense, so
+    * diameters are tiny; `maxIterations` guards pathological chains).
+    *
+    * @return (id, cluster_id) for every id in `ids`; cluster_id = min id
+    *         of the component (singletons map to themselves). */
+  def duplicateClusters(
+      ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIterations: Int = 20): DataFrame = {
+    val nodes = ids.select(col(idCol).as("id")).distinct().cache()
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = nodes.withColumn("label", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // min label among self + neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** n-gram Jaccard similarity join: all pairs (within an optional
     * blocking key) with word-set Jaccard ≥ threshold. O(n²) within a
     * block — callers block on cheap keys (lang, length bucket) so the

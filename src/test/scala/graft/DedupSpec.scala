@@ -54,6 +54,15 @@ class DedupSpec extends SparkSpec {
     assert(hamming13 <= 16)
   }
 
+  test("duplicateClusters: chains collapse into one component, singletons stay") {
+    val ids = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
+    // chain 1-2, 2-3 → {1,2,3}; pair 4-5 → {4,5}; 6 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("ngramJaccardPairs finds the near-dup family within blocks") {
     val blocked = docs.withColumn("lang", lit("en"))
     val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
