@@ -193,26 +193,34 @@ object Dedup {
     val nodes = ids.select(col(idCol).as("id")).distinct().cache()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
-    var labels = nodes.withColumn("label", col("id"))
+      .distinct().localCheckpoint(true)
+    // iterate ONLY over nodes that participate in a pair — in a dedup
+    // graph that's a small fraction of the corpus; untouched nodes are
+    // singleton clusters and join back at the end
+    val active = edges.select(col("src").as("id")).distinct()
+    // localCheckpoint each round: iterative self-joins otherwise nest the
+    // plan exponentially (the analyzer, not the data, runs out of heap)
+    var labels = active.withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // min label among self + neighbors
+      // min label among self + neighbors; convergence flag computed in
+      // the same pass so each round is ONE heavy job + one cheap scan
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("__changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("__changed")).limit(1).count() == 0
+      labels = next.drop("__changed")
       iter += 1
     }
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** n-gram Jaccard similarity join: all pairs (within an optional
