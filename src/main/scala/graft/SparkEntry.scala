@@ -531,6 +531,23 @@ object SparkEntry {
         countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
         .orderBy("l_returnflag")),
 
+    // As-of backward join: each click joined to the user's most recent
+    // prior-or-equal purchase (one shuffle + window; DuckDB oracle uses
+    // its native ASOF JOIN, so semantics are cross-validated).
+    "q49_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_ns")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"),
+          col("value").as("last_purchase_value"))
+      AsOfJoin.asofBackward(clicks, purchases,
+        keyCols = Seq("user_id"), tsCol = "ts_ns",
+        valueCols = Seq("last_purchase_value"))
+        .select("event_id", "user_id", "last_purchase_value")
+        .orderBy("event_id")
+    }),
+
     // T2 sync-advance decision as a one-pass aggregate (SURVEY.md §2.10).
     "q36_sync_advance" -> ((s, dir) =>
       Tables.events(s, dir).agg(
@@ -934,6 +951,17 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(DISTINCT (l_partkey, l_suppkey)) AS n_pairs
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q49_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, value AS last_purchase_value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.last_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
 
     "q42_ripple_enrich" ->
       """WITH price AS (SELECT max(value) / 100.0 AS coin_price_usd FROM events)

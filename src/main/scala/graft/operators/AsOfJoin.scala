@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for every left row, the most recent right row
+  * with `right.ts <= left.ts` on the same key — the reference's
+  * "(symbol, day) → latest price" lookup pattern (SURVEY.md §1.1)
+  * generalized to event time.
+  *
+  * Spark-first realization (no custom strategy needed): tag and UNION
+  * both sides, then a per-key `last(value, ignoreNulls)` running window
+  * ordered by (ts, side) carries each right value forward to the left
+  * rows that follow it. ONE shuffle (hash by key) + one sort — the same
+  * cost as the sort-merge join a native as-of operator would do, and it
+  * scales exactly like any windowed aggregation. Right rows sort before
+  * left rows at equal ts, so ties are inclusive (ASOF >= semantics).
+  */
+object AsOfJoin {
+
+  def asofBackward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    require(valueCols.forall(right.columns.contains), "valueCols must be in right")
+    val l = valueCols.foldLeft(left.withColumn("__side", lit(1)))(
+      (df, v) => df.withColumn(v, lit(null).cast(
+        right.schema(v).dataType)))
+    val r0 = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
+      .withColumn("__side", lit(0))
+    val r = lCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+      .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val u = l.select((lCols ++ valueCols :+ "__side").map(col): _*)
+      .unionByName(r.select((lCols ++ valueCols :+ "__side").map(col): _*))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(u)(
+      (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w)))
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}
