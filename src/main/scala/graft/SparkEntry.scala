@@ -548,6 +548,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Gap-based sessionization (1h gap): lag boundary + running sum.
+    "q50_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(
+        Tables.events(s, dir).select("event_id", "user_id", "ts_ns"),
+        keyCol = "user_id", tsCol = "ts_ns", gapNanos = 3600L * 1000000000L)
+        .select("event_id", "user_id", "session_id")
+        .orderBy("event_id")),
+
+    // Bounded interval self-join (2h window) via time-bucket equi-join —
+    // O(events × density) candidates, never a per-key cross join.
+    "q51_interval_join" -> ((s, dir) =>
+      Sessions.intervalSelfJoin(
+        Tables.events(s, dir).select("event_id", "user_id", "ts_ns"),
+        keyCol = "user_id", idCol = "event_id", tsCol = "ts_ns",
+        windowNanos = 2L * 3600L * 1000000000L)
+        .orderBy("user_id", "id_a", "id_b")),
+
     // T2 sync-advance decision as a one-pass aggregate (SURVEY.md §2.10).
     "q36_sync_advance" -> ((s, dir) =>
       Tables.events(s, dir).agg(
@@ -962,6 +979,26 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q50_sessionize" ->
+      """WITH x AS (
+        |  SELECT event_id, user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(sum(CASE WHEN pts IS NOT NULL AND ts - pts > INTERVAL 1 HOUR
+        |                THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+        |    AS BIGINT) AS session_id
+        |FROM x ORDER BY event_id""".stripMargin,
+
+    "q51_interval_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL 2 HOUR
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin,
 
     "q42_ripple_enrich" ->
       """WITH price AS (SELECT max(value) / 100.0 AS coin_price_usd FROM events)
