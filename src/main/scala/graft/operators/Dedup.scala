@@ -204,15 +204,21 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      // min label among self + neighbors; convergence flag computed in
-      // the same pass so each round is ONE heavy job + one cheap scan
+      // min label among self + neighbors, then a pointer-jump
+      // (label ← label-of-label) so label chains halve every round:
+      // converges in O(log diameter) rounds instead of O(diameter)
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (coalesce(col("nlabel"), col("label")) < col("label")).as("__changed"))
+      val cand = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val parent = labels.select(col("id").as("__pid"), col("label").as("__plabel"))
+      val next = cand.join(parent, cand("label") === parent("__pid"), "left")
+        .select(cand("id"),
+          least(cand("label"), coalesce(col("__plabel"), cand("label"))).as("label"),
+          (least(cand("label"), coalesce(col("__plabel"), cand("label"))) <
+            col("__old")).as("__changed"))
         .localCheckpoint(true)
       converged = next.filter(col("__changed")).limit(1).count() == 0
       labels = next.drop("__changed")
