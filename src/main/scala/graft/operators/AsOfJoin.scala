@@ -25,6 +25,8 @@ object AsOfJoin {
       valueCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
     require(valueCols.forall(right.columns.contains), "valueCols must be in right")
+    require(valueCols.forall(!lCols.contains(_)),
+      "valueCols must not collide with left columns")
     val l = valueCols.foldLeft(left.withColumn("__side", lit(1)))(
       (df, v) => df.withColumn(v, lit(null).cast(
         right.schema(v).dataType)))

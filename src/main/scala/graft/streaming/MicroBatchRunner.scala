@@ -48,13 +48,13 @@ object MicroBatchRunner {
       go = proceed
       if (proceed) {
         val batch = source.filter(col(blockCol) > st.lastSyncedBlock && col(blockCol) <= latest)
-        val out = pipeline(batch)
-        out.write.mode("append").parquet(sinkPath)
-        // T4: commit from destination state, not the loop counter
-        val landedMax = spark.read.parquet(sinkPath)
-          .agg(max(col(blockCol))).head().getLong(0)
-        rows += out.count()
-        st = SyncStatus(landedMax, "", latest, "")
+        pipeline(batch).write.mode("append").parquet(sinkPath)
+        // T4: commit from destination state, not the loop counter — and
+        // count what LANDED rather than re-running the pipeline
+        val landed = spark.read.parquet(sinkPath)
+          .agg(max(col(blockCol)).as("m"), count(lit(1)).as("n")).head()
+        st = SyncStatus(landed.getLong(0), "", latest, "")
+        rows = landed.getLong(1)
         state.put(stateKey, st)
         ranges :+= (st.lastSyncedBlock, latest)
         n += 1
