@@ -285,9 +285,11 @@ object SparkEntry {
         length(col("text")).as("n_len"))
         .orderBy("doc_id")),
 
-    // D1 exact dedup groups (keep-min-id survivor rule).
+    // D1 exact dedup groups (keep-min-id survivor rule); byte-exact
+    // grouping to match the oracle's GROUP BY raw text.
     "q23_dedup_exact" -> ((s, dir) =>
-      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text",
+        normalize = false)
         .select("keep_id", "n_dups").orderBy("keep_id")),
 
     // Token counting (training-pipeline text op).
@@ -441,13 +443,18 @@ object SparkEntry {
         .orderBy("media_id")),
 
     // Video-style frame sampling: per-media frame counts are deterministic
-    // functions of payload size → oracle-checkable.
-    "q39_frame_counts" -> ((s, dir) =>
-      multimodal.Multimodal.sampleFrames(
-        multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)),
-        everyMs = 64, () => new multimodal.Multimodal.StubCodec)
-        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
-        .orderBy("media_id")),
+    // functions of payload size → oracle-checkable. Left join back to the
+    // media set so zero-frame (empty-payload) media still emit a 0 row.
+    "q39_frame_counts" -> ((s, dir) => {
+      val media = multimodal.Multimodal.fromDocuments(Tables.documents(s, dir))
+      val counts = multimodal.Multimodal.sampleFrames(
+          media, everyMs = 64, () => new multimodal.Multimodal.StubCodec)
+        .groupBy("media_id").agg(count(lit(1)).as("__n"))
+      media.select("media_id").join(counts, Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("__n"), lit(0L)).as("n_frames"))
+        .orderBy("media_id")
+    }),
 
     // Embedding-cosine near-duplicate pairs (exact quadratic; the LSH
     // variant is q32's bucketing applied as a pre-filter at scale).
@@ -622,7 +629,7 @@ object SparkEntry {
         |SELECT transaction_id, l_linenumber, token_address, log_index,
         |  cv AS coin_value, cv * price0 AS coin_value_usd,
         |  CASE WHEN log_index > 1 THEN 0.0 ELSE fee END AS fee,
-        |  fee * price0 AS fee_usd
+        |  (CASE WHEN log_index > 1 THEN 0.0 ELSE fee END) * price0 AS fee_usd
         |FROM joined ORDER BY transaction_id, l_linenumber""".stripMargin,
 
     "q04_transactions_agg" ->
@@ -935,7 +942,8 @@ object SparkEntry {
          |                       ELSE COALESCE(d.decimals, 0) END)
          |      * COALESCE(d.coin_price_usd, 0) AS cv_usd,
          |    CASE WHEN t.log_index > 1 THEN 0.0 ELSE t.fee END AS fee,
-         |    t.fee * COALESCE(d.coin_price_usd, 0) AS fee_usd
+         |    (CASE WHEN t.log_index > 1 THEN 0.0 ELSE t.fee END)
+         |      * COALESCE(d.coin_price_usd, 0) AS fee_usd
          |  FROM txns t JOIN dims d USING (token_address))
          |SELECT transaction_id,
          | ${dSumWhere("typ = 0", "cv")} AS external_value,

@@ -27,20 +27,28 @@ object AsOfJoin {
     require(valueCols.forall(right.columns.contains), "valueCols must be in right")
     require(valueCols.forall(!lCols.contains(_)),
       "valueCols must not collide with left columns")
-    val l = valueCols.foldLeft(left.withColumn("__side", lit(1)))(
-      (df, v) => df.withColumn(v, lit(null).cast(
-        right.schema(v).dataType)))
+    // Right values travel inside ONE struct: the running last(ignoreNulls)
+    // then matches "latest right ROW" even when that row's value columns
+    // are genuinely NULL (filling the value columns directly would skip
+    // null values and surface a stale older match).
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(
+        org.apache.spark.sql.types.StructType(valueCols.map(v =>
+          org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))))
     val r0 = right.select((keyCols :+ tsCol).map(col) ++ valueCols.map(col): _*)
       .withColumn("__side", lit(0))
+      .withColumn("__rv", struct(valueCols.map(v => col(v).as(v)): _*))
+      .drop(valueCols: _*)
     val r = lCols.filterNot(c => keyCols.contains(c) || c == tsCol)
       .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val u = l.select((lCols ++ valueCols :+ "__side").map(col): _*)
-      .unionByName(r.select((lCols ++ valueCols :+ "__side").map(col): _*))
+    val u = l.select((lCols :+ "__rv" :+ "__side").map(col): _*)
+      .unionByName(r.select((lCols :+ "__rv" :+ "__side").map(col): _*))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(u)(
-      (df, v) => df.withColumn(v, last(col(v), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 1).drop("__side")
+    val filled = u.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(filled.filter(col("__side") === 1))(
+      (df, v) => df.withColumn(v, col("__rv").getField(v)))
+      .drop("__rv", "__side")
   }
 }

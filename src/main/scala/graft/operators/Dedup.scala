@@ -32,10 +32,16 @@ object Dedup {
   /** D1 — exact duplicate groups by content fingerprint: one row per
     * distinct text with the surviving (min) id and the duplicate count.
     * Grouping on xxhash64(text) keeps shuffle rows narrow; the min-id
-    * survivor rule matches "keep first". */
-  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(fingerprint(col(textCol)).as("fp"))
+    * survivor rule matches "keep first". `normalize` lowercases and
+    * collapses whitespace first (the training-pipeline default); pass
+    * false for byte-exact dedup semantics (GROUP BY raw text). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String,
+      normalize: Boolean = true): DataFrame = {
+    val key = if (normalize) fingerprint(col(textCol))
+              else xxhash64(col(textCol))
+    df.groupBy(key.as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
 
   /** D1 as a filter: keep one representative row per distinct text. */
   def dropTextDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -40,13 +40,18 @@ object Enrichment {
       .withColumn("coin_value",
         col("coin_value").cast("double") / pow(lit(10.0), col("decimals")))
       .withColumn("coin_value_usd", col("coin_value") * col("coin_price_usd"))
-      .withColumn("fee_usd", col("fee") * col("coin_price_usd"))
+    // Per-chain fee zeroing happens BEFORE USD derivation: in the
+    // reference pipeline the CH-side tron rule (`operator.py:486-487`)
+    // runs upstream of the TG-side `fee_usd = fee * price`
+    // (`streaming_operator.py:95`), so a zeroed fee has zero USD value.
     val withFee =
       if (tronFeeRule)
         joined.withColumn("fee",
           when(col("log_index") > 1, lit(0.0)).otherwise(col("fee")))
       else joined
-    withFee.drop("decimals")
+    withFee
+      .withColumn("fee_usd", col("fee") * col("coin_price_usd"))
+      .drop("decimals")
   }
 
   /** J3 — the Ripple degenerate join (`operator.py:588-595`,

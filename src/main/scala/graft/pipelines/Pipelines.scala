@@ -38,14 +38,19 @@ object Pipelines {
   /** §3.2: fan one enriched frame into the graph projection. The input
     * must carry sender_address / receiver_address / block_date_time in
     * addition to the enrichment outputs. */
-  def graphProjection(enriched: DataFrame, chainName: String): GraphProjection = {
+  def graphProjection(enriched: DataFrame, chainName: String,
+      blockCol: String = "block_number"): GraphProjection = {
     val cached = enriched.cache()
+    // block_number comes from the caller-designated block column (the
+    // reference pivots max over `block`, streaming_operator.py:151-158);
+    // falls back to transaction_id only when no block column exists.
+    val blockSrc = if (cached.columns.contains(blockCol)) blockCol else "transaction_id"
     val chainState = cached
       .withColumn("chain", lit(chainName))
       .groupBy("chain").agg(
         max(col("coin_price_usd")).as("price_usd"),
         max(col("block_date_time")).as("block_date_time"),
-        max(col("transaction_id")).as("block_number"))
+        max(col(blockSrc)).as("block_number"))
     GraphProjection(
       Aggregations.transactionsAgg(cached),
       Aggregations.linkInputsAgg(cached),

@@ -32,9 +32,12 @@ object Tables {
     * nanos (`ts_ns`) and a truncated-to-µs proper timestamp (`ts`). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral div — double division loses integer precision at
+    // epoch-nanos magnitudes (~1.7e18 > 2^53; ±128 ns rounding could
+    // shift a boundary event into the previous microsecond/day)
     s.read.parquet(p(dir, "events"))
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(col("ts_ns") / 1000 cast "long"))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -41,22 +41,32 @@ object MicroBatchRunner {
     var st = state.get(stateKey).getOrElse(SyncStatus(-1L, "", -1L, ""))
     var ranges = Vector.empty[(Long, Long)]
     var rows = 0L
+    var landedSoFar = 0L
     var n = 0
     var go = true
     while (go && n < maxBatches) {
       val (latest, proceed) = SyncState.advance(st.lastSyncedBlock, head, streamingLag, batchSize)
       go = proceed
       if (proceed) {
-        val batch = source.filter(col(blockCol) > st.lastSyncedBlock && col(blockCol) <= latest)
+        val prevLast = st.lastSyncedBlock
+        val batch = source.filter(col(blockCol) > prevLast && col(blockCol) <= latest)
         pipeline(batch).write.mode("append").parquet(sinkPath)
-        // T4: commit from destination state, not the loop counter — and
-        // count what LANDED rather than re-running the pipeline
-        val landed = spark.read.parquet(sinkPath)
-          .agg(max(col(blockCol)).as("m"), count(lit(1)).as("n")).head()
-        st = SyncStatus(landed.getLong(0), "", latest, "")
-        rows = landed.getLong(1)
+        // Count what LANDED (delta vs previous total) rather than
+        // re-running the pipeline; tolerate an empty/absent sink.
+        val landedNow = scala.util.Try(
+          spark.read.parquet(sinkPath).count()).getOrElse(0L)
+        rows += landedNow - landedSoFar
+        landedSoFar = landedNow
+        // The loop watermark advances to the END of the processed range —
+        // an empty or fully-filtered batch must still make progress
+        // (deriving it from the sink's max would loop forever on sparse
+        // ranges). The destination remains the recovery authority: on a
+        // crash between write and commit the state file still points at
+        // the last committed range end, the batch replays, and replay
+        // duplicates are handled by dedup (T5, SURVEY.md §7.4 risk 5).
+        st = SyncStatus(latest, "", latest, "")
         state.put(stateKey, st)
-        ranges :+= (st.lastSyncedBlock, latest)
+        ranges :+= (prevLast, latest)
         n += 1
       }
     }

@@ -23,6 +23,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("d") == None)        // k2 has no right rows
   }
 
+  test("a latest right row with NULL value yields NULL, not a stale match") {
+    val left = Seq(("k", 25L)).toDF("key", "ts")
+    val right = Seq(("k", 10L, Some(5.0)), ("k", 20L, None))
+      .toDF("key", "ts", "price")
+    val out = AsOfJoin.asofBackward(left, right, Seq("key"), "ts", Seq("price"))
+    assert(out.count() == 1)
+    assert(out.head().isNullAt(out.columns.indexOf("price")))
+  }
+
   test("left rows and columns are preserved exactly") {
     val left = Seq((1L, "k", 100L)).toDF("id", "key", "ts")
     val right = Seq(("k", 50L, 7.0)).toDF("key", "ts", "v")

@@ -29,7 +29,7 @@ class EnrichmentSpec extends SparkSpec {
     assert(r1.getAs[Double]("fee") == 10.0)                  // log_index=1 keeps fee
     val r2 = out(1)
     assert(r2.getAs[Double]("fee") == 0.0)                   // tron rule
-    assert(r2.getAs[Double]("fee_usd") == 20.0)              // computed pre-zeroing
+    assert(r2.getAs[Double]("fee_usd") == 0.0)               // zeroed fee → zero USD
     val r3 = out(2)
     assert(r3.getAs[Double]("coin_value") == 500.0)          // type 0 → 10^0
     val r4 = out(3)
