@@ -572,6 +572,31 @@ object SparkEntry {
         windowNanos = 2L * 3600L * 1000000000L)
         .orderBy("user_id", "id_a", "id_b")),
 
+    // CUBE over two dimensions with grouping flags.
+    "q52_cube" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+            .cast("int").as("gflag"))
+        .orderBy("gflag", "o_orderstatus", "o_orderpriority")),
+
+    // INTERSECT (set semantics).
+    "q53_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+        .intersect(ev.filter(col("event_type") === "error")
+          .select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+
+    // Deterministic ordered string aggregation per group.
+    "q54_string_agg" -> ((s, dir) =>
+      Tables.nation(s, dir).groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy("n_regionkey")),
+
     // T2 sync-advance decision as a one-pass aggregate (SURVEY.md §2.10).
     "q36_sync_advance" -> ((s, dir) =>
       Tables.events(s, dir).agg(
@@ -987,6 +1012,24 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
+
+    "q52_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+        |   AS gflag
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gflag, o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q53_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q54_string_agg" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
 
     "q50_sessionize" ->
       """WITH x AS (
