@@ -195,11 +195,41 @@ object Dedup {
     *         of the component (singletons map to themselves). */
   def duplicateClusters(
       ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20,
+      localEdgeThreshold: Long = 1L << 21): DataFrame = {
     val nodes = ids.select(col(idCol).as("id")).distinct().cache()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint(true)
+    // Adaptive strategy, same idea as the broadcast-join threshold: a
+    // dedup pair graph is usually a sliver of the corpus. Below the
+    // threshold, collect the edge list and run union-find on the driver
+    // (exact, O(E α(E)), no per-round job overhead); above it, fall
+    // through to the distributed hash-min/pointer-jump loop.
+    val edgeCount = edges.count()
+    if (edgeCount <= localEdgeThreshold) {
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labelMap = (es.map(_._1) ++ es.map(_._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val labelsDf = labelMap.toSeq.toDF("id", "label")
+      return nodes.join(broadcast(labelsDf), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("label"), col("id")).as("cluster_id"))
+    }
     // iterate ONLY over nodes that participate in a pair — in a dedup
     // graph that's a small fraction of the corpus; untouched nodes are
     // singleton clusters and join back at the end

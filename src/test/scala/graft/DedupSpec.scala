@@ -58,9 +58,29 @@ class DedupSpec extends SparkSpec {
     val ids = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
     // chain 1-2, 2-3 → {1,2,3}; pair 4-5 → {4,5}; 6 singleton
     val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(ids, "doc_id", pairs)
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L)
+    val local = Dedup.duplicateClusters(ids, "doc_id", pairs)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+    assert(local == expected)
+    // force the distributed hash-min/pointer-jump path; must agree
+    val dist = Dedup.duplicateClusters(ids, "doc_id", pairs,
+      localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(dist == expected)
+  }
+
+  test("duplicateClusters: local and distributed paths agree on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 200L
+    val ids = (1L to n).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (1 to 150).map { _ =>
+      val a = rnd.nextInt(n.toInt) + 1L; val b = rnd.nextInt(n.toInt) + 1L
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val local = Dedup.duplicateClusters(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.duplicateClusters(ids, "doc_id", pairs,
+      localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(local == dist)
   }
 
   test("ngramJaccardPairs finds the near-dup family within blocks") {
