@@ -310,6 +310,13 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")),
 
+    // Deterministic train/val/test split + per-split stratified counts.
+    "q55_train_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("split", TextFunctions.stableSplit(col("doc_id")))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")),
+
     // Quality scoring: stopword ratio, mean token length, composite score.
     "q25_quality" -> ((s, dir) => {
       val stop = Seq("the", "a", "of", "and", "to")
@@ -805,6 +812,16 @@ object SparkEntry {
         |   AS n_subwords,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q55_train_split" ->
+      """WITH s AS (SELECT lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d','e')
+        |       THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+        |       THEN 'test' ELSE 'train' END AS split
+        | FROM documents)
+        |SELECT split, lang, count(*) AS n FROM s
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "q25_quality" ->
       """WITH t AS (SELECT doc_id,

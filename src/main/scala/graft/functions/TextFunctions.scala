@@ -91,6 +91,15 @@ object TextFunctions {
     regexp_replace(
       regexp_replace(txId, "^\\d+\\.\\d+\\.\\d+-", ""), "-", ".")
 
+  /** Deterministic train/val/test assignment: bucket by the first hex
+    * character of md5(key) — stable across runs, engines and cluster
+    * sizes (no RNG, no partition dependence), the standard reproducible
+    * split for training corpora. 13/16 ≈ 81% train, 2/16 val, 1/16 test. */
+  def stableSplit(key: Column): Column = {
+    val h = substring(md5(key.cast("string").cast("binary")), 1, 1)
+    when(h.isin("d", "e"), "val").when(h === "f", "test").otherwise("train")
+  }
+
   /** Language-ID heuristic: score each candidate language by stopword-hit
     * ratio over its marker list; pick the argmax (ties → first in `langs`
     * order, i.e. a deterministic preference list). */
