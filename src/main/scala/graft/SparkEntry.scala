@@ -310,6 +310,27 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")),
 
+    // Training-data prep flagship: exact dedup (keep min id) → quality
+    // gate (length + stopword incidence) → deterministic split →
+    // stratified per-split/lang stats. The whole prep is one lazy plan:
+    // dedup's groupBy is the only wide stage before the final count agg.
+    "q56_training_prep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keep = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+      val stop = Seq("the", "a", "of", "and", "to")
+      val gated = deduped
+        .withColumn("n_tok", TextFunctions.tokenCount(col("text")))
+        .withColumn("stop_ratio", TextFunctions.stopwordRatio(col("text"), stop))
+        .filter(col("n_tok") >= 20 && col("stop_ratio") >= 0.02)
+      gated.withColumn("split", TextFunctions.stableSplit(col("doc_id")))
+        .groupBy("split", "lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("bigint")).cast("bigint").as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
+
     // Deterministic train/val/test split + per-split stratified counts.
     "q55_train_split" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -812,6 +833,31 @@ object SparkEntry {
         |   AS n_subwords,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q56_training_prep" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |dd AS (
+        |  SELECT d.* FROM documents d
+        |  WHERE EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = d.doc_id)),
+        |gated AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+        |      / greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+        |      AS stop_ratio
+        |  FROM dd),
+        |split_assigned AS (
+        |  SELECT lang, n_tok,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d','e')
+        |         THEN 'val'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+        |         THEN 'test' ELSE 'train' END AS split
+        |  FROM gated WHERE n_tok >= 20 AND stop_ratio >= 0.02)
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens
+        |FROM split_assigned GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
     "q55_train_split" ->
       """WITH s AS (SELECT lang,
