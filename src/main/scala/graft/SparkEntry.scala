@@ -362,20 +362,21 @@ object SparkEntry {
         TextFunctions.md5Fingerprint(col("text")).as("fp_md5"))
         .orderBy("doc_id")),
 
-    // MinHash+LSH near-duplicate pairs (no SQL oracle — banding is
-    // engine-specific; correctness covered by DedupSpec planted dups).
-    // Signature-estimate verification: candidate joins carry 64 longs,
-    // not shingle sets — the scale path for low thresholds.
+    // MinHash+LSH near-duplicate pairs, portable md5-based hash family so
+    // banding + signature estimation are reproduced exactly by the DuckDB
+    // oracle. Signature-estimate verification: candidate joins carry 64
+    // longs, not shingle sets — the scale path for low thresholds.
     "q28_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDuplicates(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.10,
-        exactVerify = false)
+        exactVerify = false, portableHash = true)
         .orderBy("id_a", "id_b")),
 
-    // SimHash 64-bit signatures (no SQL oracle — xxhash64-based).
+    // SimHash 64-bit signatures (portable md5 bit votes, hex output —
+    // oracle-checked bit-for-bit).
     "q29_simhash" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
-        Dedup.simHash(col("text")).as("simhash"))
+        Dedup.simHashHex(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
     // n-gram (2-gram shingle) Jaccard similarity self-join, blocked on
@@ -406,21 +407,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN (scale path; no oracle — probabilistic recall,
-    // measured against q31 in AnnSpec).
+    // LSH-bucketed ANN (scale path), md5-seeded Rademacher hyperplanes so
+    // bucketing — and therefore the exact candidate set — is reproduced
+    // by the DuckDB oracle; recall vs q31 measured in AnnSpec.
     "q32_ann_lsh" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, nBits = 6, nTables = 16)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), k = 10, nBits = 6,
+        nTables = 16, portableHash = true)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
 
-    // IVF ANN (coarse-quantizer cells + probe; no oracle — approximate,
-    // recall measured against q31 in SkewIvfSpec).
+    // IVF ANN: sampled coarse quantizer (centroids = lowest-id vectors,
+    // no Lloyd refinement) + probe — fully deterministic, oracle-checked;
+    // the k-means-refined variant is exercised in SkewIvfSpec.
     "q43_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Ann.ivfTopK(e, e.filter(col("vec_id") < 5), k = 10,
-        nCentroids = 8, nProbe = 4)
+        nCentroids = 8, nProbe = 4, lloydIterations = 0, initById = true)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
     }),
@@ -463,12 +467,20 @@ object SparkEntry {
         .orderBy("media_id")),
 
     // Multimodal decode→feature-extract via per-partition mapPartitions
-    // (stub codec; plumbing is the product — no oracle for binary path).
-    "q38_media_features" -> ((s, dir) =>
-      multimodal.Multimodal.extractFeatures(
+    // (stub codec; the mapPartitions plumbing is the product). Output is
+    // the byte-nibble histogram recovered to exact integer counts — the
+    // array<float> feature vector itself stays internal so the result is
+    // scalar-typed and oracle-checkable (text is ASCII ⇒ byte = ascii()).
+    "q38_media_features" -> ((s, dir) => {
+      val feats = multimodal.Multimodal.extractFeatures(
         multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)),
         () => new multimodal.Multimodal.StubCodec)
-        .orderBy("media_id")),
+      val counts = (0 until 16).map(i =>
+        round(element_at(col("features"), i + 1) * col("n_bytes"))
+          .cast("bigint").as(f"c$i%02d"))
+      feats.select(col("media_id") +: col("n_bytes") +: counts: _*)
+        .orderBy("media_id")
+    }),
 
     // Video-style frame sampling: per-media frame counts are deterministic
     // functions of payload size → oracle-checkable. Left join back to the
@@ -899,6 +911,154 @@ object SparkEntry {
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Exact mirror of the portable MinHash-LSH path: md5-31 shingle
+    // hashes, affine family hᵢ=(aᵢh+bᵢ) mod 2³¹−1, 32 bands × 2 rows,
+    // hot-bucket cap 64, signature-agreement Jaccard estimate ≥ 0.10.
+    "q28_minhash_neardup" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t0
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_sort(list_distinct(list_transform(
+        |    list_transform(generate_series(1, len(t0) - 1),
+        |                   i -> t0[i] || ' ' || t0[i+1]),
+        |    sh -> ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647))) AS sh
+        |  FROM tk),
+        |sigs AS (
+        |  SELECT id, list_transform(range(64), i ->
+        |    list_min(list_transform(sh, h ->
+        |      ((((i+1)*1103515245 + 12345) % 2147483646 + 1) * h
+        |        + ((i+7)*69069 + 1) % 2147483647) % 2147483647))) AS sig
+        |  FROM sets WHERE len(sh) > 0),
+        |banded AS (
+        |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
+        |  FROM sigs s, range(32) r(b)),
+        |ok AS (
+        |  SELECT b, s1, s2 FROM banded GROUP BY b, s1, s2
+        |  HAVING count(*) <= 64),
+        |pruned AS (SELECT banded.* FROM banded JOIN ok USING (b, s1, s2)),
+        |cand AS (
+        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        |  FROM pruned x JOIN pruned y USING (b, s1, s2) WHERE x.id < y.id),
+        |est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1]))
+        |      AS DOUBLE) / 64 AS jaccard
+        |  FROM cand c JOIN sigs sa ON sa.id = c.id_a
+        |              JOIN sigs sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b, jaccard FROM est WHERE jaccard >= 0.10
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact mirror of the portable SimHash: distinct lowercase tokens,
+    // bit j of token = bit (j mod 8) of md5 byte ⌊j/8⌋ (hex chars
+    // high-nibble-first), vote ≥ 0 → 1, bytes rendered as lowercase hex.
+    "q29_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+        |    tkn -> md5(tkn)) AS hs
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, list_transform(range(64), j ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |      CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(h, 2*(j//8) + CASE WHEN j%8 < 4 THEN 2 ELSE 1 END, 1)) - 1)
+        |          >> (CASE WHEN j%8 < 4 THEN j%8 ELSE j%8 - 4 END)) & 1 = 1
+        |      THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END) AS b
+        |  FROM d)
+        |SELECT doc_id, array_to_string(list_transform(range(8), k ->
+        |    substr('0123456789abcdef',
+        |      1 + b[8*k+5] + 2*b[8*k+6] + 4*b[8*k+7] + 8*b[8*k+8], 1) ||
+        |    substr('0123456789abcdef',
+        |      1 + b[8*k+1] + 2*b[8*k+2] + 4*b[8*k+3] + 8*b[8*k+4], 1)), '')
+        |  AS simhash
+        |FROM bits ORDER BY doc_id""".stripMargin,
+
+    // Exact mirror of the portable Rademacher-LSH ANN: sign components
+    // from md5('hp{t}_{bit}_{d}'), 16 tables × 6 bits, candidates =
+    // bucket collisions, exact cosine re-rank.
+    "q32_ann_lsh" ->
+      """WITH sgn AS (
+        |  SELECT tt.t, bb.bit, list_transform(range(64), d ->
+        |    CASE WHEN strpos('0123456789abcdef',
+        |      substr(md5('hp' || tt.t || '_' || bb.bit || '_' || d), 1, 1)) - 1 < 8
+        |    THEN 1.0 ELSE -1.0 END) AS sgns
+        |  FROM range(16) tt(t), range(6) bb(bit)),
+        |vb AS (
+        |  SELECT e.vec_id, s.t,
+        |    sum(CASE WHEN list_sum(list_transform(list_zip(e.embedding, s.sgns),
+        |          p -> CAST(p[1] AS DOUBLE) * p[2])) >= 0
+        |        THEN (1::BIGINT << CAST(5 - s.bit AS INT)) ELSE 0 END) AS bucket
+        |  FROM embeddings e, sgn s GROUP BY e.vec_id, s.t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM vb q JOIN vb c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |scored AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    row_number() OVER (PARTITION BY cand.query_id ORDER BY
+        |      list_sum(list_transform(list_zip(qe.embedding, ce.embedding),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qe.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(ce.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |      cand.neighbor_id) AS rnk
+        |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Exact mirror of the sampled-coarse-quantizer IVF: centroids = the 8
+    // lowest-id vectors, assignment/probe by cosine (ties → larger cell
+    // index, matching array_max on struct(sim, idx)), probe 4 cells,
+    // exact cosine re-rank within probed cells.
+    "q43_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |asg AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.embedding AS v, c.ci AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.cv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        c.ci DESC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        |prb AS (
+        |  SELECT query_id, qv, cell FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.ci AS cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.embedding, c.cv),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(q.embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.cv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        c.ci DESC) AS rn
+        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 5)
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, a.id, a.v
+        |  FROM prb p JOIN asg a USING (cell) WHERE a.id <> p.query_id),
+        |scored AS (
+        |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY
+        |      list_sum(list_transform(list_zip(qv, v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |      id ASC) AS rnk
+        |  FROM cand)
+        |SELECT query_id, id AS neighbor_id, CAST(rnk AS INT) AS rank
+        |FROM scored WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "q30_jaccard_pairs" ->
       """WITH t AS (SELECT doc_id, lang, source,
         |  list_distinct(list_transform(
@@ -996,6 +1156,23 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'image' AS kind, 'raw' AS format,
         | CAST(length(text) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // StubCodec features = byte-nibble histogram / n_bytes; the query
+    // recovers exact counts (round(f·n)), and ASCII text ⇒ byte value =
+    // ascii(char), so the histogram is computable per character in SQL.
+    "q38_media_features" -> {
+      val cs = (0 until 16).map(k =>
+        s" CAST(len(list_filter(nibs, x -> x = $k)) AS BIGINT) AS c${"%02d".format(k)}")
+        .mkString(",\n")
+      s"""WITH n AS (
+         |  SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         |    list_transform(range(length(text)),
+         |      i -> ascii(substr(text, CAST(i + 1 AS INT), 1)) % 16) AS nibs
+         |  FROM documents)
+         |SELECT media_id, n_bytes,
+         |$cs
+         |FROM n ORDER BY media_id""".stripMargin
+    },
 
     "q39_frame_counts" ->
       """SELECT doc_id AS media_id,

@@ -33,6 +33,28 @@ object TextHash {
   def minhashFromHashes(hashes: Column, k: Int): Column =
     column(MinHashFromHashesExpr(expression(hashes), k))
 
+  /** Portable variant of [[shingleHashes]]: shingle hash = first 32 bits
+    * of MD5 reduced mod p = 2³¹−1. Any engine with an MD5 function
+    * reproduces it exactly (DuckDB: `('0x'||substr(md5(s),1,8))::BIGINT %
+    * 2147483647`), which is what makes the MinHash pipeline
+    * oracle-checkable cross-engine. */
+  def shingleHashes31(text: Column, n: Int): Column =
+    column(ShingleHashes31(expression(text), n))
+
+  /** Portable MinHash: hᵢ(h) = (aᵢ·h + bᵢ) mod p over the md5-31 shingle
+    * hashes; aᵢ, bᵢ from a fixed LCG so the whole family is plain 64-bit
+    * integer arithmetic in any engine (no wraparound anywhere: products
+    * stay < 2⁶²). */
+  def minhash31(hashes: Column, k: Int): Column =
+    column(MinHash31Expr(expression(hashes), k))
+
+  /** Portable SimHash: 64-bit signature over distinct lowercase tokens,
+    * bit j of a token = bit (j mod 8) of MD5-digest byte ⌊j/8⌋; returned
+    * as a 16-char lowercase hex string so there is no cross-engine signed
+    * 64-bit packing to get wrong. */
+  def simHash64Hex(text: Column): Column =
+    column(SimHash64HexExpr(expression(text)))
+
   @inline private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -95,6 +117,112 @@ object TextHash {
     }
     new GenericArrayData(mins)
   }
+
+  // ---- portable (md5-based) family ------------------------------------
+
+  val P31: Long = 2147483647L // 2^31 - 1
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 32 bits of MD5 (big-endian, = first 8 hex chars) mod P31. */
+  @inline def md5Hash31(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val h32 = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    h32 % P31
+  }
+
+  def shingles31(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toLowerCase.toString.trim
+    if (s.isEmpty) return new GenericArrayData(Array.emptyLongArray)
+    val toks = s.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      set.add(md5Hash31(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator(); var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** hᵢ = (aᵢ·h + bᵢ) mod P31; aᵢ,bᵢ from fixed LCGs (aᵢ ∈ [1, P31−1]). */
+  def minhash31From(hashes: ArrayData, k: Int): ArrayData = {
+    val as = new Array[Long](k); val bs = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      as(j) = ((j + 1L) * 1103515245L + 12345L) % (P31 - 1L) + 1L
+      bs(j) = ((j + 7L) * 69069L + 1L) % P31
+      j += 1
+    }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < hashes.numElements()) {
+      val h = hashes.getLong(i)
+      j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % P31
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** SimHash over distinct whitespace tokens of the lowercase text; bit j
+    * of token = bit (j mod 8) of md5 byte ⌊j/8⌋; output bit j = 1 iff the
+    * ±1 vote sum is ≥ 0; bytes rendered high-nibble-first as lowercase
+    * hex (the exact mirror of the DuckDB formulation in SparkEntry). */
+  def simhash64Hex(text: UTF8String): UTF8String = {
+    val s = text.toLowerCase.toString.trim
+    val toks = s.split("\\s+")
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) { set.add(toks(i)); i += 1 }
+    val acc = new Array[Int](64)
+    val md = md5Local.get()
+    val it = set.iterator()
+    while (it.hasNext) {
+      md.reset()
+      val d = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        if (((d(j >> 3) >> (j & 7)) & 1) == 1) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    val out = new Array[Char](16)
+    var k = 0
+    while (k < 8) {
+      var byte = 0
+      var m = 0
+      while (m < 8) { if (acc(8 * k + m) >= 0) byte |= (1 << m); m += 1 }
+      out(2 * k) = HEX((byte >>> 4) & 0xF)
+      out(2 * k + 1) = HEX(byte & 0xF)
+      k += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
 }
 
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
@@ -126,5 +254,35 @@ case class MinHashFromHashesExpr(child: Expression, k: Int) extends UnaryExpress
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.expressions.TextHash$$.MODULE$$.minhashFrom($a, $k);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class ShingleHashes31(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    TextHash.shingles31(a.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextHash$$.MODULE$$.shingles31($a, $n);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class MinHash31Expr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    TextHash.minhash31From(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextHash$$.MODULE$$.minhash31From($a, $k);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class SimHash64HexExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    TextHash.simhash64Hex(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextHash$$.MODULE$$.simhash64Hex($a);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

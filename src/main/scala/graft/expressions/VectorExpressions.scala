@@ -45,6 +45,66 @@ object VectorExpressions {
     z ^= (z >>> 31)
     (z >>> 11) * (1.0 / (1L << 52)) * 2.0 - 1.0
   }
+
+  /** Portable (md5-seeded) Rademacher-hyperplane bucket keys: component
+    * (t, bit, d) = +1 iff the first hex digit of md5("hp{t}_{bit}_{d}")
+    * is < 8. Reproducible in any engine with md5 — the oracle-checkable
+    * LSH family (DuckDB mirror lives in SparkEntry.oracleSql). */
+  def rademacherBuckets(v: Column, nBits: Int, nTables: Int): Column =
+    column(RademacherBuckets(expression(v), nBits, nTables))
+}
+
+/** Cached ±1 hyperplane matrices for [[RademacherBuckets]] — deterministic
+  * functions of (nTables, nBits, dim), so identical on every executor with
+  * no broadcast; computed once per JVM. */
+object RademacherSigns {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Array[Double]]]]
+
+  def get(nBits: Int, nTables: Int, dim: Int): Array[Array[Array[Double]]] =
+    cache.computeIfAbsent((nBits, nTables, dim), { _ =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nTables, nBits, dim) { (t, b, d) =>
+        md.reset()
+        val dig = md.digest(s"hp${t}_${b}_${d}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first hex digit < 8 ⇔ high bit of first byte clear
+        if ((dig(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    })
+
+  /** Packed sign-bit bucket per table (bit 0 = MSB), fused single pass. */
+  def buckets(x: ArrayData, nBits: Int, nTables: Int): ArrayData = {
+    val n = x.numElements()
+    val signs = get(nBits, nTables, n)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var bit = 0
+      while (bit < nBits) {
+        val row = signs(t)(bit)
+        var s = 0.0; var i = 0
+        while (i < n) { s += x.getFloat(i).toDouble * row(i); i += 1 }
+        bucket = (bucket << 1) | (if (s >= 0) 1L else 0L)
+        bit += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+case class RademacherBuckets(child: Expression, nBits: Int, nTables: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    RademacherSigns.buckets(a.asInstanceOf[ArrayData], nBits, nTables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.RademacherSigns$$.MODULE$$.buckets($a, $nBits, $nTables);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class FloatVecDot(left: Expression, right: Expression)

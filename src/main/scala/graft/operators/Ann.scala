@@ -53,13 +53,18 @@ object Ann {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, lloydIterations: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initById: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
 
-    // deterministic init: the nCentroids rows with smallest hash(id)
+    // deterministic init: the nCentroids rows with smallest hash(id) for
+    // a spread sample, or smallest id (`initById`) for the sampled-coarse-
+    // quantizer variant that a SQL oracle can reproduce (with
+    // lloydIterations = 0 the whole operator is engine-independent).
     var centroids: Array[Seq[Float]] = c
-      .orderBy(hash(col("id")), col("id")).limit(nCentroids)
+      .orderBy(if (initById) col("id") else hash(col("id")), col("id"))
+      .limit(nCentroids)
       .select("v").collect().map(_.getSeq[Float](0))
 
     def nearestCell(v: Column): Column = {
@@ -110,12 +115,21 @@ object Ann {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 12, nTables: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // all tables' bucket keys in one fused pass, one corpus scan
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      portableHash: Boolean = false): DataFrame = {
+    // all tables' bucket keys in one fused pass, one corpus scan;
+    // `portableHash` switches to md5-seeded Rademacher hyperplanes so the
+    // bucketing (and thus the candidate set) is reproducible in any
+    // engine with md5 — the oracle-checkable family.
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
-          posexplode(graft.expressions.VectorExpressions
-            .hyperplaneBuckets(col(vecCol), nBits, nTables, 7919)))
+          posexplode(
+            if (portableHash)
+              graft.expressions.VectorExpressions
+                .rademacherBuckets(col(vecCol), nBits, nTables)
+            else
+              graft.expressions.VectorExpressions
+                .hyperplaneBuckets(col(vecCol), nBits, nTables, 7919)))
         .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
     val c = bucketed(corpus, "neighbor_id", "c_vec")
     val q = bucketed(queries, "query_id", "q_vec")

@@ -71,24 +71,37 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, exactVerify: Boolean = true,
-      maxBucketSize: Int = 64): DataFrame = {
+      maxBucketSize: Int = 64, portableHash: Boolean = false): DataFrame = {
     val r = numHashes / bands
     // shingle sets as sorted long-hash arrays (fused codegen pass) — all
-    // downstream set math runs on primitive longs
+    // downstream set math runs on primitive longs.
+    // `portableHash` switches both the shingle hash and the affine MinHash
+    // family to the md5-based formulation any engine reproduces (the
+    // oracle-checkable path); band buckets are then the raw signature
+    // slices (array<long> join keys) instead of a murmur of them, so
+    // candidate generation is engine-independent too.
     // Cached: the plan references sets/banded from both sides of two
     // self-joins — without persistence the shingle+signature pass would
     // recompute ~6×. (The cluster-scale analog: materialize signatures
     // once, they are ~100× smaller than the corpus.)
     val sets = df.select(
       col(idCol).as("id"),
-      graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize).as("sh"))
+      (if (portableHash)
+         graft.expressions.TextHash.shingleHashes31(col(textCol), shingleSize)
+       else
+         graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize)).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
+    def signature(sh: Column) =
+      if (portableHash) graft.expressions.TextHash.minhash31(sh, numHashes)
+      else graft.expressions.TextHash.minhashFromHashes(sh, numHashes)
     val banded = sets
-      .withColumn("sig", graft.expressions.TextHash.minhashFromHashes(col("sh"), numHashes))
+      .withColumn("sig", signature(col("sh")))
       .select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * r + 1, lit(r)), b))))
+          b =>
+            if (portableHash) slice(col("sig"), b * r + 1, lit(r)).cast("array<long>")
+            else hash(slice(col("sig"), b * r + 1, lit(r)), b).cast("long"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .cache()
     // Hot-bucket cap (standard LSH-at-scale guard): a bucket with b docs
@@ -116,7 +129,7 @@ object Dedup {
       // estimator): joins carry 64 longs instead of full shingle sets —
       // the scale path when candidate volume is large.
       val sigs = sets
-        .withColumn("sig", graft.expressions.TextHash.minhashFromHashes(col("sh"), numHashes))
+        .withColumn("sig", signature(col("sh")))
         .select("id", "sig")
       cand
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -126,6 +139,11 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
     }
   }
+
+  /** Portable SimHash (md5 bit votes, hex-string signature) — the
+    * oracle-checkable variant; one fused codegen pass per row. */
+  def simHashHex(textCol: Column): Column =
+    graft.expressions.TextHash.simHash64Hex(textCol)
 
   /** SimHash: 64-bit signature = sign of per-bit weighted sums of token
     * hashes. Near-dup candidates share the full signature (or a band). */
