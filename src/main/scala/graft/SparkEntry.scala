@@ -316,9 +316,12 @@ object SparkEntry {
     // dedup's groupBy is the only wide stage before the final count agg.
     "q56_training_prep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val keep = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val deduped = docs.join(keep, Seq("doc_id"), "left_semi")
+      // exact dedup via one window over the 64-bit content hash (keep min
+      // doc_id): one shuffle on a narrow key — the full text is never a
+      // shuffle key, and no keep-set join is needed.
+      val w = Window.partitionBy(xxhash64(col("text"))).orderBy("doc_id")
+      val deduped = docs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
       val stop = Seq("the", "a", "of", "and", "to")
       val gated = deduped
         .withColumn("n_tok", TextFunctions.tokenCount(col("text")))

@@ -84,60 +84,69 @@ object Dedup {
     // self-joins — without persistence the shingle+signature pass would
     // recompute ~6×. (The cluster-scale analog: materialize signatures
     // once, they are ~100× smaller than the corpus.)
-    val sets = df.select(
-      col(idCol).as("id"),
-      (if (portableHash)
-         graft.expressions.TextHash.shingleHashes31(col(textCol), shingleSize)
-       else
-         graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .cache()
     def signature(sh: Column) =
       if (portableHash) graft.expressions.TextHash.minhash31(sh, numHashes)
       else graft.expressions.TextHash.minhashFromHashes(sh, numHashes)
-    val banded = sets
-      .withColumn("sig", signature(col("sh")))
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b =>
-            if (portableHash) slice(col("sig"), b * r + 1, lit(r)).cast("array<long>")
-            else hash(slice(col("sig"), b * r + 1, lit(r)), b).cast("long"))))
+    // one cached pass: shingle → signature; everything downstream (banding,
+    // verification joins) references this narrow table. In the estimate
+    // path the shingle sets are dropped before caching — at scale the
+    // signature table is ~100× smaller than the corpus and is what a real
+    // pipeline would materialize.
+    val sigs = {
+      val s = df.select(col(idCol).as("id"),
+        (if (portableHash)
+           graft.expressions.TextHash.shingleHashes31(col(textCol), shingleSize)
+         else
+           graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize)).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sig", signature(col("sh")))
+      (if (exactVerify) s else s.drop("sh")).cache()
+    }
+    // Band bucket keys: the portable family joins on the raw signature
+    // slice (engine-independent); r ≤ 2 packs the two 31-bit components
+    // into one long so the shuffle key is primitive. The fast path hashes
+    // the slice (murmur) — fine when no SQL oracle has to reproduce it.
+    def bucketOf(b: Int): Column =
+      if (!portableHash) hash(slice(col("sig"), b * r + 1, r), lit(b)).cast("long")
+      else if (r == 1) element_at(col("sig"), b * r + 1)
+      else if (r == 2) shiftleft(element_at(col("sig"), b * r + 1), 31)
+        .bitwiseOR(element_at(col("sig"), b * r + 2))
+      else hash(slice(col("sig"), b * r + 1, r)).cast("long")
+    require(portableHash == false || r <= 2,
+      "portable banding join keys support r <= 2 (pack) only")
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map(bucketOf): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .cache()
-    // Hot-bucket cap (standard LSH-at-scale guard): a bucket with b docs
-    // contributes b² candidates but almost no true near-dups beyond what
-    // other bands already produce — oversized buckets are evidence the
-    // band hash is non-discriminative there, so drop them instead of
-    // letting one skewed key go quadratic.
-    val counted = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") <= maxBucketSize)
-    val pruned = banded.join(counted.select("band", "bucket"), Seq("band", "bucket"))
-    val cand = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
+    // One shuffle does bucketing, the hot-bucket cap AND pair generation:
+    // group to (band, bucket) → member list; buckets over `maxBucketSize`
+    // are dropped (the standard LSH-at-scale guard — an oversized bucket
+    // is a non-discriminative band hash, b² candidates and ~no new true
+    // positives); pairs explode map-side from the member lists.
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val cand = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
     if (exactVerify)
       cand
-        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           graft.expressions.TextHash.jaccardSorted(col("sh_a"), col("sh_b")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-    else {
+    else
       // estimate Jaccard from signature agreement (unbiased MinHash
       // estimator): joins carry 64 longs instead of full shingle sets —
       // the scale path when candidate volume is large.
-      val sigs = sets
-        .withColumn("sig", signature(col("sh")))
-        .select("id", "sig")
       cand
         .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
         .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           graft.expressions.MinHashSig.overlap(col("sig_a"), col("sig_b")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
-    }
   }
 
   /** Portable SimHash (md5 bit votes, hex-string signature) — the
@@ -193,7 +202,7 @@ object Dedup {
       .join(sets.select(col("id").as("id_a"), col("tk").as("tk_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("tk").as("tk_b")), Seq("id_b"))
       .withColumn("jaccard",
-        graft.expressions.TextHash.jaccardSorted(col("tk_a"), col("tk_b")))
+        graft.expressions.TextHash.jaccardSortedGE(col("tk_a"), col("tk_b"), threshold))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -300,7 +309,7 @@ object Dedup {
     val joined = if (blockCols.nonEmpty) l.join(r, blockCols) else l.crossJoin(r)
     joined.filter(col("id_a") < col("id_b"))
       .withColumn("jaccard",
-        graft.expressions.TextHash.jaccardSorted(col("tk_a"), col("tk_b")))
+        graft.expressions.TextHash.jaccardSortedGE(col("tk_a"), col("tk_b"), threshold))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
