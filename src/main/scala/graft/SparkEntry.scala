@@ -644,7 +644,56 @@ object SparkEntry {
     "q36_sync_advance" -> ((s, dir) =>
       Tables.events(s, dir).agg(
         least(max(col("event_id")) - lit(50L), lit(2000L)).as("next_watermark"),
-        (least(max(col("event_id")) - lit(50L), lit(2000L)) > lit(0L)).as("should_run")))
+        (least(max(col("event_id")) - lit(50L), lit(2000L)) > lit(0L)).as("should_run"))),
+
+    // Per-group top-k (window rank): top 3 orders per customer.
+    "q57_group_topk" -> ((s, dir) =>
+      Corpus.topKPerGroup(
+        Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy("o_custkey", "rank")),
+
+    // UNPIVOT / melt: wide measures → long (id, measure, value) rows.
+    "q58_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount")
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // Vocabulary building: global token frequencies, top-50 with stable
+    // tie-break — the map-side-combine shape (shuffle is O(|vocab|)).
+    "q59_vocab" -> ((s, dir) =>
+      Corpus.vocabulary(Tables.documents(s, dir), "text", 50)),
+
+    // Deterministic stratified cap: ≤20 docs per (lang, source) chosen
+    // by md5(id) order — reproducible unbiased downsampling.
+    "q60_stratified_cap" -> ((s, dir) =>
+      Corpus.stratifiedCap(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        "doc_id", Seq("lang", "source"), cap = 20)
+        .orderBy("doc_id")),
+
+    // Composite quality score (C4/Gopher-style heuristic stack) with the
+    // engine-portable punctuation class; all-double arithmetic in a
+    // fixed evaluation order so the oracle matches bit-for-bit.
+    "q61_quality_score" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to")
+      val lenScore = least(length(col("text")).cast("double") / lit(200.0), lit(1.0))
+      val punct = (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("double") /
+        greatest(length(col("text")), lit(1)).cast("double")
+      val stopR = TextFunctions.stopwordRatio(col("text"), stop)
+      Tables.documents(s, dir).select(col("doc_id"),
+        lenScore.as("len_score"), punct.as("punct_ratio"), stopR.as("stop_ratio"),
+        least(greatest(
+          lenScore * lit(0.4) + (lit(1.0) - punct) * lit(0.3) +
+            least(stopR * lit(5.0), lit(1.0)) * lit(0.3),
+          lit(0.0)), lit(1.0)).as("quality"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -1302,6 +1351,54 @@ object SparkEntry {
         | (value + value * 0.25) * coin_price_usd AS outgoing_value_usd,
         | value * coin_price_usd AS incoming_value_usd
         |FROM events CROSS JOIN price ORDER BY transaction_id""".stripMargin,
+
+    "q57_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rank
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rank""".stripMargin,
+
+    "q58_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |       l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q59_vocab" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |        AS token FROM documents)
+        |WHERE token <> '' GROUP BY token
+        |ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "q60_stratified_cap" ->
+      """SELECT doc_id, lang, source
+        |FROM (SELECT doc_id, lang, source,
+        |        row_number() OVER (PARTITION BY lang, source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q61_quality_score" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |x AS (SELECT doc_id,
+        |  least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) AS len_score,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+        |    AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(toks, tk -> tk IN ('the','a','of','and','to')))
+        |    AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio
+        | FROM t)
+        |SELECT doc_id, len_score, punct_ratio, stop_ratio,
+        | least(greatest(len_score * 0.4 + (1.0 - punct_ratio) * 0.3 +
+        |   least(stop_ratio * 5.0, 1.0) * 0.3, 0.0), 1.0) AS quality
+        |FROM x ORDER BY doc_id""".stripMargin,
 
     "q40_embed_neardup" ->
       """WITH p AS (

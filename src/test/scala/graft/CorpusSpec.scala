@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Corpus, Dedup}
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "en", "web", "the cat sat on the mat"),
+    (2L, "en", "web", "a dog ran in the park"),
+    (3L, "en", "web", "the cat and the dog"),
+    (4L, "de", "web", "der hund lief im park"),
+    (5L, "de", "book", "die katze saß auf der matte"))
+    .toDF("doc_id", "lang", "source", "text")
+
+  test("vocabulary counts tokens globally with stable tie-break") {
+    val v = Corpus.vocabulary(docs, "text", 3).as[(String, Long)].collect()
+    assert(v.head == ("the", 5L))
+    // ties broken token-asc after count-desc
+    assert(v.map(_._2).sorted.reverse.sameElements(v.map(_._2)))
+  }
+
+  test("stratifiedCap keeps at most cap rows per stratum, deterministically") {
+    val capped = Corpus.stratifiedCap(docs, "doc_id", Seq("lang", "source"), 2)
+    assert(capped.groupBy("lang", "source").count()
+      .filter(col("count") > 2).isEmpty)
+    // deterministic: two runs agree row-for-row
+    val a = capped.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Corpus.stratifiedCap(docs, "doc_id", Seq("lang", "source"), 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // full strata under the cap survive whole
+    assert(capped.filter(col("source") === "book").count() == 1)
+  }
+
+  test("topKPerGroup attaches ranks and respects sort order") {
+    val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0))
+      .toDF("g", "v")
+    val top = Corpus.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .orderBy("g", "rank").as[(Int, Double, Int)].collect()
+    assert(top.toSeq == Seq((1, 30.0, 1), (1, 20.0, 2), (2, 5.0, 1)))
+  }
+
+  test("portable simhash: near-identical docs differ in few bits, distinct docs in many") {
+    def hamming(a: String, b: String): Int =
+      a.zip(b).map { case (x, y) =>
+        Integer.bitCount(Integer.parseInt(x.toString, 16) ^
+          Integer.parseInt(y.toString, 16))
+      }.sum
+    val sigs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the creek"),
+      (3L, "columnar execution engines vectorize expression evaluation pipelines"))
+      .toDF("id", "text")
+      .select(col("id"), Dedup.simHashHex(col("text")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(sigs(1L).length == 16)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("portable minhash estimates match planted duplicates") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different words without any overlap here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDuplicates(d, "doc_id", "text",
+      shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.5,
+      exactVerify = false, portableHash = true)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 == 1.0) // identical docs agree on every component
+  }
+
+  test("thresholded jaccard equals plain jaccard for survivors") {
+    val d = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e g"), (3L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val ge = Dedup.ngramJaccardPairs(d, "doc_id", "text", Nil,
+      threshold = 0.3, shingleSize = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    // shingle sets of 1&2 share 5 of 7 distinct tokens → J = 5/7
+    assert(ge.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    assert(math.abs(ge.head._3 - 5.0 / 7.0) < 1e-12)
+  }
+}
