@@ -186,6 +186,7 @@ object Dedup {
         blockCols.map(col): _*)
       .filter(size(col("tk")) > 0)
       .withColumn("n", size(col("tk")))
+      .cache() // read by the prefix index AND both verification joins
     val toks = sets.select(Seq(col("id"), col("n"), explode(col("tk")).as("t")) ++
       blockCols.map(col): _*)
     val freq = toks.groupBy("t").agg(count(lit(1)).as("df"))
@@ -300,10 +301,13 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
       threshold: Double, shingleSize: Int = 1): DataFrame = {
+    // cached: both join legs read it — one shingle pass, not two (the
+    // cluster-scale analog: materialize the shingle table once)
     val base = df.select(col(idCol).as("id") +:
       graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize).as("tk") +:
       blockCols.map(col): _*)
       .filter(size(col("tk")) > 0)
+      .cache()
     val l = base.select(col("id").as("id_a") +: col("tk").as("tk_a") +: blockCols.map(col): _*)
     val r = base.select(col("id").as("id_b") +: col("tk").as("tk_b") +: blockCols.map(col): _*)
     val joined = if (blockCols.nonEmpty) l.join(r, blockCols) else l.crossJoin(r)
