@@ -676,6 +676,48 @@ object SparkEntry {
         "doc_id", Seq("lang", "source"), cap = 20)
         .orderBy("doc_id")),
 
+    // Sequence packing (concat-and-chunk): documents concatenated in
+    // deterministic order within each split, cut every 2048 tokens —
+    // each doc mapped to its [start_win, end_win] context-window span.
+    // One window shuffle per split partition; integer division
+    // throughout (no float boundary drift).
+    "q62_seq_pack" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.stableSplit(col("doc_id")).as("split"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      val w = Window.partitionBy("split").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("split"), col("n_tok"),
+          expr("(cum - n_tok) div 2048").as("start_win"),
+          expr("(cum - 1) div 2048").as("end_win"))
+        .orderBy("doc_id")
+    }),
+
+    // Train/heldout contamination detection via n-gram collision (the
+    // standard 13-gram decontamination check, 8-gram at this doc size):
+    // a train doc is contaminated iff it shares any 8-token shingle with
+    // a val/test doc. Joins carry 31-bit shingle hashes, never text.
+    "q63_contamination" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.stableSplit(col("doc_id")).as("split"),
+        explode(graft.expressions.TextHash.shingleHashes31(col("text"), 8)).as("g"))
+      val heldout = sh.filter(col("split") =!= "train").select("g").distinct()
+      sh.filter(col("split") === "train")
+        .join(heldout, Seq("g"), "left_semi")
+        .select("doc_id").distinct().orderBy("doc_id")
+    }),
+
+    // Tumbling event-time windows (1h) per event type — the batch
+    // equivalent of the watermarked streaming aggregation (SyncSpec runs
+    // the Structured Streaming realization); integer nanos bucketing.
+    "q64_tumbling" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hour_id"))
+        .agg(count(lit(1)).as("n"),
+          Aggregations.exactSum(col("value")).as("sum_value"))
+        .orderBy("event_type", "hour_id")),
+
     // Composite quality score (C4/Gopher-style heuristic stack) with the
     // engine-portable punctuation class; all-double arithmetic in a
     // fixed evaluation order so the oracle matches bit-for-bit.
@@ -1384,6 +1426,45 @@ object SparkEntry {
         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |      FROM documents)
         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "q62_seq_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('d','e')
+        |       THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) = 'f'
+        |       THEN 'test' ELSE 'train' END AS split,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        | FROM documents),
+        |c AS (SELECT doc_id, split, n_tok,
+        |  sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+        |SELECT doc_id, split, n_tok,
+        |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q63_contamination" -> {
+      val cat = (0 until 8).map(k => if (k == 0) "t0[i]" else s"t0[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('d','e')
+         |       THEN 'val'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) = 'f'
+         |       THEN 'test' ELSE 'train' END AS split,
+         |  string_split_regex(lower(trim(text)), '\\s+') AS t0
+         | FROM documents),
+         |sh AS (SELECT doc_id, split,
+         |  unnest(list_distinct(list_transform(generate_series(1, len(t0) - 7),
+         |    i -> ('0x' || substr(md5($cat), 1, 8))::BIGINT % 2147483647))) AS g
+         | FROM tk)
+         |SELECT DISTINCT doc_id FROM sh WHERE split = 'train'
+         |  AND g IN (SELECT g FROM sh WHERE split <> 'train')
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q64_tumbling" ->
+      s"""SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
+         | count(*) AS n, ${dSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_id""".stripMargin,
 
     "q61_quality_score" ->
       """WITH t AS (SELECT doc_id, text,
