@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Aggregations, Dedup, Enrichment, LogIndex, Skew}
+import graft.operators.{Aggregations, Corpus, Dedup, Enrichment, LogIndex, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -86,6 +86,10 @@ object Scale {
     time(s"saltagg_${mult}x") { saltShape(evN) }
     time("minhash_1x") { minhashShape(docs1) }
     time(s"minhash_${mult}x") { minhashShape(docsN) }
+    // vocabulary = explode → partial+final agg: shuffle bytes O(|vocab|),
+    // so N× corpus at ~constant vocab must scale by scan cost only
+    time("vocab_1x") { Corpus.vocabulary(docs1, "text", 1000).count() }
+    time(s"vocab_${mult}x") { Corpus.vocabulary(docsN, "text", 1000).count() }
     spark.stop()
   }
 }
