@@ -39,5 +39,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("minhash_sig", args =>
       MinHashFromHashesExpr(args(0), intArg(args(1), "k")))
     register("minhash_overlap", args => SigOverlapExpr(args(0), args(1)))
+    // portable (md5-based) family — reproducible in any engine with md5
+    register("shingle_hashes31", args =>
+      ShingleHashes31(args(0), intArg(args(1), "n")))
+    register("minhash_sig31", args =>
+      MinHash31Expr(args(0), intArg(args(1), "k")))
+    register("simhash_hex", args => SimHash64HexExpr(args(0)))
+    register("jaccard_ge", args => JaccardSortedGE(args(0), args(1), args(2) match {
+      case Literal(v: Double, _) => v
+      case other => throw new IllegalArgumentException(
+        s"jaccard_ge expects a literal double threshold, got $other")
+    }))
+    register("rademacher_buckets", args =>
+      RademacherBuckets(args(0), intArg(args(1), "nBits"), intArg(args(2), "nTables")))
   }
 }

@@ -21,6 +21,26 @@ class TypedExtensionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("portable md5 family is reachable from SQL") {
+    val r = spark.sql(
+      """SELECT simhash_hex('the quick brown fox') AS sh,
+        |       jaccard_ge(shingle_hashes31('a b c d', 2),
+        |                  shingle_hashes31('a b c x', 2), 0.4D) AS jhit,
+        |       jaccard_ge(shingle_hashes31('a b c d', 2),
+        |                  shingle_hashes31('x y z w', 2), 0.4D) AS jmiss,
+        |       minhash_overlap(
+        |         minhash_sig31(shingle_hashes31('a b c d', 2), 64),
+        |         minhash_sig31(shingle_hashes31('a b c d', 2), 64)) AS m,
+        |       size(rademacher_buckets(array(1.0f, 2.0f), 6, 4)) AS nb
+        |""".stripMargin).head()
+    assert(r.getString(0).length == 16 &&
+      r.getString(0).forall("0123456789abcdef".contains(_)))
+    assert(r.getDouble(1) == 0.5)
+    assert(r.getDouble(2) == -1.0) // early-exit marker, filtered by callers
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getInt(4) == 4)
+  }
+
   test("typed Dataset pipeline: Aggregator equals untyped groupBy") {
     val ev = TypedPipeline.events(spark, sfDir)
     val typed = TypedPipeline.userStats(ev)
