@@ -51,4 +51,22 @@ object Skew {
       .agg(combine(aggs.head, 0),
         aggs.tail.zipWithIndex.map { case (a, i) => combine(a, i + 1) }: _*)
   }
+
+  /** Salted shuffle join for a skewed fact side when the other side is
+    * too big to broadcast but small enough to replicate `buckets`-fold:
+    * the fact gets a random salt, the right side is exploded across all
+    * salts, and the join key becomes (key, salt) — one hot key spreads
+    * over `buckets` reducers. Result rows are identical to the plain
+    * inner join. (When the right side IS broadcastable, use
+    * `broadcast()`; when AQE's skew split suffices, prefer that — this
+    * is the explicit tool for the residual cases.) */
+  def saltedJoin(
+      fact: DataFrame, dim: DataFrame, keyCols: Seq[String],
+      buckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(hash(fact.columns.map(col): _*), lit(buckets)))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    saltedFact.join(replicatedDim, keyCols :+ "__salt").drop("__salt")
+  }
 }
