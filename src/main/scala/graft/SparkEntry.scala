@@ -718,6 +718,23 @@ object SparkEntry {
           Aggregations.exactSum(col("value")).as("sum_value"))
         .orderBy("event_type", "hour_id")),
 
+    // Fixed-point PageRank over the undirected order↔part bipartite
+    // graph: 3 damped propagation rounds, all-integer arithmetic so the
+    // iterative loop itself is oracle-checked bit-for-bit (the graph
+    // analog of the reference's TigerGraph rank/centrality workloads).
+    "q65_pagerank" -> ((s, dir) => {
+      // dedup the (order, part) pairs BEFORE doubling directions — the
+      // two directed sets are disjoint (odd/even node spaces), so the
+      // union needs no second distinct and the dedup shuffle carries
+      // half the rows
+      val pairs = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
+      Graph.pageRankFixedPoint(edges, iterations = 3).orderBy("id")
+    }),
+
     // Composite quality score (C4/Gopher-style heuristic stack) with the
     // engine-portable punctuation class; all-double arithmetic in a
     // fixed evaluation order so the oracle matches bit-for-bit.
@@ -1465,6 +1482,30 @@ object SparkEntry {
       s"""SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_id,
          | count(*) AS n, ${dSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_id""".stripMargin,
+
+    "q65_pagerank" -> {
+      val iters = (1 to 3).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id, CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000
+           |    AS BIGINT) AS rank
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(r.rank // d.deg) AS BIGINT) AS c
+           |    FROM e JOIN r${k - 1} r ON r.id = e.src
+           |           JOIN deg d ON d.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |n AS (SELECT DISTINCT src AS id FROM e
+         |      UNION SELECT DISTINCT dst FROM e),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+         |$iters
+         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
+    },
 
     "q61_quality_score" ->
       """WITH t AS (SELECT doc_id, text,
