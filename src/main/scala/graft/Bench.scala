@@ -22,6 +22,10 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
+    // Drop every warm-up InMemoryRelation so the timed loop can never
+    // read a cache built above — even when the target SF IS sf0.001.
+    // (Janino's generated-code cache is JVM-level and survives this.)
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

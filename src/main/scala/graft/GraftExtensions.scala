@@ -46,9 +46,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHash31Expr(args(0), intArg(args(1), "k")))
     register("simhash_hex", args => SimHash64HexExpr(args(0)))
     register("jaccard_ge", args => JaccardSortedGE(args(0), args(1), args(2) match {
+      // SQL `0.4` parses as a Decimal literal, `0.4D` as Double — take
+      // any foldable numeric literal
       case Literal(v: Double, _) => v
+      case Literal(v: Float, _) => v.toDouble
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case Literal(v: Int, _) => v.toDouble
+      case Literal(v: Long, _) => v.toDouble
       case other => throw new IllegalArgumentException(
-        s"jaccard_ge expects a literal double threshold, got $other")
+        s"jaccard_ge expects a literal numeric threshold, got $other")
     }))
     register("rademacher_buckets", args =>
       RademacherBuckets(args(0), intArg(args(1), "nBits"), intArg(args(2), "nTables")))

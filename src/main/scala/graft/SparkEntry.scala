@@ -316,10 +316,13 @@ object SparkEntry {
     // dedup's groupBy is the only wide stage before the final count agg.
     "q56_training_prep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      // exact dedup via one window over the 64-bit content hash (keep min
-      // doc_id): one shuffle on a narrow key — the full text is never a
-      // shuffle key, and no keep-set join is needed.
-      val w = Window.partitionBy(xxhash64(col("text"))).orderBy("doc_id")
+      // exact dedup via one window over the 128-bit content hash (keep
+      // min doc_id): one shuffle on a narrow 16-byte key — the full text
+      // is never a shuffle key, and no keep-set join is needed. md5 (not
+      // xxhash64): at 1e10 docs a 64-bit key expects collisions (n²/2⁶⁵),
+      // a 128-bit one doesn't (n²/2¹²⁹ ≈ 1e-19); adversarial md5
+      // collisions would need a within-group byte-compare pass.
+      val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
       val deduped = docs.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
       val stop = Seq("the", "a", "of", "and", "to")

@@ -1,0 +1,89 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** `collect_list` over longs with a hard element cap: once a group holds
+  * `cap + 1` elements it stops growing (the +1 lets callers distinguish
+  * "exactly cap" from "over cap" and drop the group).
+  *
+  * Why it exists: the LSH hot-bucket guard wants "member list, unless the
+  * bucket is oversized". Plain `collect_list` must buffer the WHOLE
+  * bucket before `size()` can reject it — a degenerate band hash with
+  * 10⁷ ids in one bucket OOMs the aggregation buffer. This aggregate
+  * bounds every buffer at cap+1 longs while keeping the single-shuffle
+  * groupBy shape (partial buffers are capped too, and merges re-cap).
+  */
+case class CollectLongsCapped(
+    child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.ArrayList[Long]] {
+
+  private val limit = cap + 1
+
+  override def createAggregationBuffer(): java.util.ArrayList[Long] =
+    new java.util.ArrayList[Long](8)
+
+  override def update(buf: java.util.ArrayList[Long], input: InternalRow)
+      : java.util.ArrayList[Long] = {
+    if (buf.size() < limit) {
+      val v = child.eval(input)
+      if (v != null) buf.add(v.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(a: java.util.ArrayList[Long], b: java.util.ArrayList[Long])
+      : java.util.ArrayList[Long] = {
+    var i = 0
+    while (a.size() < limit && i < b.size()) { a.add(b.get(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: java.util.ArrayList[Long]): Any = {
+    val out = new Array[Long](buf.size())
+    var i = 0
+    while (i < out.length) { out(i) = buf.get(i); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.ArrayList[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    var i = 0
+    while (i < buf.size()) { bb.putLong(buf.get(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.ArrayList[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.ArrayList[Long](math.max(8, n))
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): CollectLongsCapped =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectLongsCapped =
+    copy(inputAggBufferOffset = o)
+}
+
+object CollectCapped {
+  /** Column API: capped long collect (order within the list is partition-
+    * dependent, as with collect_list — callers must not rely on it). */
+  def collectLongsCapped(c: Column, cap: Int): Column =
+    Bridge.column(CollectLongsCapped(Bridge.expression(c), cap)
+      .toAggregateExpression(isDistinct = false))
+}

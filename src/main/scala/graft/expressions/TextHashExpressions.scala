@@ -190,15 +190,23 @@ object TextHash {
     new GenericArrayData(out)
   }
 
-  /** hᵢ = (aᵢ·h + bᵢ) mod P31; aᵢ,bᵢ from fixed LCGs (aᵢ ∈ [1, P31−1]). */
+  private val minhashCoeffs =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]
+
+  /** hᵢ = (aᵢ·h + bᵢ) mod P31; aᵢ,bᵢ from fixed LCGs (aᵢ ∈ [1, P31−1]),
+    * cached per k — they are pure functions of the constant. */
   def minhash31From(hashes: ArrayData, k: Int): ArrayData = {
-    val as = new Array[Long](k); val bs = new Array[Long](k)
+    val (as, bs) = minhashCoeffs.computeIfAbsent(k, { _ =>
+      val a = new Array[Long](k); val b = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        a(j) = ((j + 1L) * 1103515245L + 12345L) % (P31 - 1L) + 1L
+        b(j) = ((j + 7L) * 69069L + 1L) % P31
+        j += 1
+      }
+      (a, b)
+    })
     var j = 0
-    while (j < k) {
-      as(j) = ((j + 1L) * 1103515245L + 12345L) % (P31 - 1L) + 1L
-      bs(j) = ((j + 7L) * 69069L + 1L) % P31
-      j += 1
-    }
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0

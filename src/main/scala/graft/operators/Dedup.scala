@@ -121,9 +121,13 @@ object Dedup {
     // group to (band, bucket) → member list; buckets over `maxBucketSize`
     // are dropped (the standard LSH-at-scale guard — an oversized bucket
     // is a non-discriminative band hash, b² candidates and ~no new true
-    // positives); pairs explode map-side from the member lists.
+    // positives); pairs explode map-side from the member lists. The
+    // capped collect stops buffering at maxBucketSize+1 elements, so a
+    // degenerate bucket costs O(cap) memory, not O(bucket) — the guard
+    // cannot OOM on the very skew it guards against.
     val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(graft.expressions.CollectCapped
+        .collectLongsCapped(col("id"), maxBucketSize).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
     val cand = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))

@@ -66,6 +66,10 @@ object Graph {
         .localCheckpoint(true)
       it += 1
     }
+    // final ranks are checkpointed (no lineage into the caches) — release
+    // the working tables so repeated invocations don't leak storage
+    nodes.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
     ranks
   }
 }

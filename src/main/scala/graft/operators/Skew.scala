@@ -63,8 +63,11 @@ object Skew {
   def saltedJoin(
       fact: DataFrame, dim: DataFrame, keyCols: Seq[String],
       buckets: Int = 16): DataFrame = {
+    // salt from a per-row id, NOT row content: a hot key's rows are often
+    // exact duplicates, which a content hash would send to one reducer.
+    // Join correctness doesn't depend on which salt a row gets.
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(buckets)))
+      pmod(hash(monotonically_increasing_id()), lit(buckets)))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(replicatedDim, keyCols :+ "__salt").drop("__salt")

@@ -42,6 +42,14 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("aggregation on the bucket key needs no exchange either") {
+    // self-contained: (re)write the bucketed table rather than relying on
+    // the previous test's side effect
+    dropTable("b_lineitem")
+    Bucketing.writeBucketed(
+      sources.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", Seq("o_orderkey"), 4, sortCols = Seq("o_orderkey"))
     val agg = spark.table("b_lineitem").groupBy("o_orderkey")
       .agg(sum(col("l_quantity")).as("q"))
     val plan = agg.queryExecution.executedPlan.toString
