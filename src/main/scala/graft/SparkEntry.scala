@@ -735,7 +735,8 @@ object SparkEntry {
         .distinct()
       val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
         .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
-      Graph.pageRankFixedPoint(edges, iterations = 3).orderBy("id")
+      Graph.pageRankFixedPoint(edges, iterations = 3, symmetric = true)
+        .orderBy("id")
     }),
 
     // Composite quality score (C4/Gopher-style heuristic stack) with the

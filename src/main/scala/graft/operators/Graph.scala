@@ -29,18 +29,27 @@ object Graph {
     * @param iterations number of damped propagation rounds
     * @param scale     fixed-point denominator (rank 1.0 ≡ `scale`)
     * @param dampingScaled damping factor × scale (0.85 → 850000)
+    * @param symmetric when the edge set is known symmetric (u→v ⇒ v→u,
+    *        e.g. an undirected graph doubled into directions), every
+    *        node appears as a src, so the node set IS the degree table's
+    *        key set — skips a whole corpus-sized distinct shuffle
     * @return (id, rank) for every node appearing in `edges`; rank is the
     *         fixed-point integer after `iterations` rounds from a flat
     *         start of `scale`. Dangling nodes contribute nothing (the
     *         common simplification; consistent with the oracle). */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int,
       scale: Long = 1000000L, dampingScaled: Long = 850000L,
-      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+      broadcastNodeLimit: Long = 2000000L,
+      symmetric: Boolean = false): DataFrame = {
+    // cache, not eager checkpoint: every iteration re-reads the edge
+    // list, but the first materialization can fold into iteration 1
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().cache()
+      .cache()
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).cache()
+    val nodes =
+      (if (symmetric) deg.select("id")
+       else e.select(col("src").as("id"))
+         .unionByName(e.select(col("dst").as("id"))).distinct()).cache()
     // Adaptive plan, same idea as the CC edge threshold: the rank/degree
     // tables are node-sized; below the limit broadcast them so the edge
     // table NEVER shuffles (each iteration = map-side joins + one
@@ -70,6 +79,7 @@ object Graph {
     // the working tables so repeated invocations don't leak storage
     nodes.unpersist(blocking = false)
     deg.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     ranks
   }
 }
