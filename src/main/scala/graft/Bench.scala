@@ -17,16 +17,21 @@ object Bench {
     // caches by generated source, which is identical across data dirs)
     // and JITs the hot paths. Standard benchmarking practice; the timed
     // loop below still does all its own IO/compute at the target SF.
+    // SPARK_GRAFT_ONLY=q65_pagerank,q28_minhash_neardup narrows the run
+    // while iterating on one query's plan
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
     // Drop every warm-up InMemoryRelation so the timed loop can never
     // read a cache built above — even when the target SF IS sf0.001.
     // (Janino's generated-code cache is JVM-level and survives this.)
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

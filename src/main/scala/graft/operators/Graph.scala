@@ -41,45 +41,70 @@ object Graph {
       scale: Long = 1000000L, dampingScaled: Long = 850000L,
       broadcastNodeLimit: Long = 2000000L,
       symmetric: Boolean = false): DataFrame = {
-    // cache, not eager checkpoint: every iteration re-reads the edge
-    // list, but the first materialization can fold into iteration 1
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .cache()
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")).cache()
-    val nodes =
-      (if (symmetric) deg.select("id")
-       else e.select(col("src").as("id"))
-         .unionByName(e.select(col("dst").as("id"))).distinct()).cache()
-    // Adaptive plan, same idea as the CC edge threshold: the rank/degree
-    // tables are node-sized; below the limit broadcast them so the edge
-    // table NEVER shuffles (each iteration = map-side joins + one
-    // groupBy(dst) with map-side partial agg). Above it, fall back to
-    // shuffle joins — there, co-bucketing edges and ranks by src
-    // (io/Bucketing) is the cluster-scale answer. Checkpointed loop
-    // tables lose stats, so AQE cannot make this call on its own.
-    val small = nodes.count() <= broadcastNodeLimit
+    import org.apache.spark.sql.expressions.Window
+    // Degree is loop-invariant, so attach it in the SAME pass that
+    // materializes the working edge table: a count window over src fuses
+    // scan + degree + attach into one shuffle, where agg-then-join would
+    // scan the upstream twice (or pay a second cache). The repartition by
+    // dst then makes every iteration's groupBy(dst) exchange-free in
+    // broadcast mode — the loop body is one broadcast join + one local
+    // hash agg per round.
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .repartition(col("dst")).cache()
+    def allNodes: DataFrame =
+      if (symmetric) ew.select(col("src").as("id")).distinct()
+      else ew.select(col("src").as("id"))
+        .unionByName(ew.select(col("dst").as("id"))).distinct()
+    // Asymmetric graphs need the exact node table anyway (nodes with no
+    // in-edges keep the base rank via a left join); symmetric ones only
+    // need a node COUNT to pick the plan, and an estimate is plenty for
+    // a broadcast threshold — skip the corpus-sized distinct entirely.
+    val nodes = if (symmetric) None else Some(allNodes.cache())
+    val small = nodes.map(_.count()).getOrElse(
+      ew.agg(approx_count_distinct(col("src")).as("n")).first().getLong(0)
+    ) <= broadcastNodeLimit
+    // Adaptive plan, same idea as the CC edge threshold: the rank table
+    // is node-sized; below the limit broadcast it so the edge table
+    // NEVER shuffles per iteration. Above it, fall back to shuffle joins
+    // — there, co-bucketing edges and ranks by src (io/Bucketing) is the
+    // cluster-scale answer. Checkpointed loop tables lose stats, so AQE
+    // cannot make this call on its own.
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val base = scale - dampingScaled
-    var ranks = nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
-    var it = 0
-    while (it < iterations) {
-      val contribs = e
-        .join(maybeB(ranks.withColumnRenamed("id", "src")), Seq("src"))
-        .join(maybeB(deg.withColumnRenamed("id", "src")), Seq("src"))
-        .select(col("dst").as("id"), expr("rank div deg").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(maybeB(contribs), Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"($dampingScaled * coalesce(s, CAST(0 AS BIGINT))) div $scale"))
-            .as("rank"))
+    def damped(sums: DataFrame): DataFrame = {
+      // symmetric ⇒ every node has an in-edge ⇒ the contribution sums
+      // already cover the whole node set — skip the nodes left-join
+      val withBase = nodes match {
+        case Some(n) => n.join(maybeB(sums), Seq("id"), "left")
+        case None    => sums
+      }
+      // Per-round eager checkpoint: keeps the plan flat (AQE re-plans a
+      // small fresh tree each round instead of a growing nest of
+      // broadcast subqueries — measured faster than lazy chaining) and
+      // releases the previous round's broadcast.
+      withBase.select(col("id"),
+        (lit(base) + expr(s"($dampingScaled * coalesce(s, CAST(0 AS BIGINT))) div $scale"))
+          .as("rank"))
         .localCheckpoint(true)
+    }
+    var ranks =
+      if (iterations <= 0) allNodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+      else damped( // round 1 propagates the constant flat rank — no join
+        ew.select(col("dst").as("id"), expr(s"$scale div deg").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("s")))
+    var it = 1
+    while (it < iterations) {
       it += 1
+      ranks = damped(ew
+        .join(maybeB(ranks.withColumnRenamed("id", "src")), Seq("src"))
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s")))
     }
     // final ranks are checkpointed (no lineage into the caches) — release
     // the working tables so repeated invocations don't leak storage
-    nodes.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
-    e.unpersist(blocking = false)
+    nodes.foreach(_.unpersist(blocking = false))
+    ew.unpersist(blocking = false)
     ranks
   }
 }
