@@ -739,6 +739,13 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Per-doc distinctive terms: TF-IDF with the rational idf N/df (no
+    // transcendental — libm ln differs in the last ulp across engines),
+    // top 5 per document, stable tie-break on token.
+    "q66_tfidf" -> ((s, dir) =>
+      Corpus.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", 5)
+        .orderBy("doc_id", "rnk")),
+
     // Composite quality score (C4/Gopher-style heuristic stack) with the
     // engine-portable punctuation class; all-double arithmetic in a
     // fixed evaluation order so the oracle matches bit-for-bit.
@@ -1510,6 +1517,22 @@ object SparkEntry {
          |$iters
          |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
     },
+
+    "q66_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token <> '' GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT t.doc_id, t.token, t.tf, d.df,
+        |    t.tf * (CAST(n.n_docs AS DOUBLE) / d.df) AS score
+        |  FROM tf t JOIN dfreq d USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, token) AS rnk FROM scored)
+        |SELECT doc_id, rnk, token, tf, df, score FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "q61_quality_score" ->
       """WITH t AS (SELECT doc_id, text,

@@ -29,6 +29,33 @@ object Corpus {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** Per-document distinctive terms: top-`k` tokens per doc scored by
+    * tf × (N / df). The idf factor is the rational N/df rather than
+    * ln(N/df): ranking stays tf-idf-monotone per document for fixed tf,
+    * and the score is pure per-row multiply/divide — bit-identical
+    * across engines, where libm `ln` implementations differ in the last
+    * ulp and would break exact verification. Shape at scale: partial-agg
+    * shuffle for tf (O(doc·distinct-token) rows), token-keyed agg for df
+    * (O(|vocab|)), a token-keyed join back (AQE broadcasts the df side
+    * when the vocabulary is small), one doc-keyed window. Nothing
+    * quadratic, everything map-side combined. */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count_distinct(col(idCol)).as("n_docs"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token")).crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("token"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Deterministic stratified cap: keep at most `cap` rows per stratum,
     * chosen by md5 of the id (a reproducible pseudo-random order, so the
     * kept subset is unbiased but stable across runs/engines/cluster
