@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Aggregations, Corpus, Dedup, Enrichment, LogIndex, Skew}
+import graft.operators.{Aggregations, Corpus, Dedup, Enrichment, Graph, LogIndex, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -90,6 +90,20 @@ object Scale {
     // so N× corpus at ~constant vocab must scale by scan cost only
     time("vocab_1x") { Corpus.vocabulary(docs1, "text", 1000).count() }
     time(s"vocab_${mult}x") { Corpus.vocabulary(docsN, "text", 1000).count() }
+    // pagerank: N× orderkeys share the part-node space, so the amplified
+    // graph has 10× edges AND 10× hotter part-node degrees — exercises
+    // the iteration loop under skew, not just under volume
+    def pagerankShape(li: DataFrame): Long = {
+      val pairs = li.select((col("l_orderkey") * 2).as("o"),
+        (col("l_partkey") * 2 + 1).as("p")).distinct()
+      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
+      Graph.pageRankFixedPoint(edges, iterations = 3, symmetric = true).count()
+    }
+    time("pagerank_1x") { pagerankShape(li1) }
+    time(s"pagerank_${mult}x") { pagerankShape(liN) }
+    time("tfidf_1x") { Corpus.tfIdfTopK(docs1, "doc_id", "text", 5).count() }
+    time(s"tfidf_${mult}x") { Corpus.tfIdfTopK(docsN, "doc_id", "text", 5).count() }
     spark.stop()
   }
 }
