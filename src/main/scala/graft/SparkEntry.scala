@@ -746,6 +746,24 @@ object SparkEntry {
       Corpus.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", 5)
         .orderBy("doc_id", "rnk")),
 
+    // Ranking-family windows: rank/dense_rank/percent_rank/cume_dist
+    // over a TIE-FUL order (second-granularity buckets — tied rows get
+    // equal values, so ties are cross-engine safe), ntile over a total
+    // order (ntile is arbitrary within ties, so it must never see one).
+    // percent_rank/cume_dist are exact integer ratios in doubles.
+    "q67_rank_funcs" -> ((s, dir) => {
+      val wTies = Window.partitionBy("event_type")
+        .orderBy(expr("ts_ns div 1000000000"))
+      val wTotal = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir).select(col("event_id"), col("event_type"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"),
+        percent_rank().over(wTies).as("pct_rank"),
+        cume_dist().over(wTies).as("cdist"),
+        ntile(4).over(wTotal).as("quartile"))
+        .orderBy("event_id")
+    }),
+
     // Composite quality score (C4/Gopher-style heuristic stack) with the
     // engine-portable punctuation class; all-double arithmetic in a
     // fixed evaluation order so the oracle matches bit-for-bit.
@@ -1533,6 +1551,19 @@ object SparkEntry {
         |        ORDER BY score DESC, token) AS rnk FROM scored)
         |SELECT doc_id, rnk, token, tf, df, score FROM r WHERE rnk <= 5
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q67_rank_funcs" ->
+      """SELECT event_id, event_type,
+        | rank() OVER w1 AS rnk,
+        | dense_rank() OVER w1 AS drnk,
+        | percent_rank() OVER w1 AS pct_rank,
+        | cume_dist() OVER w1 AS cdist,
+        | ntile(4) OVER w2 AS quartile
+        |FROM events
+        |WINDOW w1 AS (PARTITION BY event_type
+        |              ORDER BY epoch_ns(ts) // 1000000000),
+        |       w2 AS (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q61_quality_score" ->
       """WITH t AS (SELECT doc_id, text,

@@ -34,6 +34,24 @@ class CorpusSpec extends SparkSpec {
     assert(capped.filter(col("source") === "book").count() == 1)
   }
 
+  test("tfIdfTopK surfaces distinctive tokens over common ones") {
+    val r = Corpus.tfIdfTopK(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rnk")
+      .select("doc_id", "rnk", "token", "tf", "df")
+      .as[(Long, Int, String, Long, Long)].collect()
+    assert(r.length == 10) // 5 docs × top-2
+    // "the" appears in 3 of 5 docs (df=3) — a doc-unique token (df=1)
+    // always outscores it at equal tf, so no doc's top-1 is "the"
+    assert(!r.filter(_._2 == 1).exists(_._3 == "the"))
+    // doc 1: "the" has tf=2, df=3 → score 2·(5/3)=3.33; unique tokens
+    // tf=1, df=1 → 5.0 → a unique token wins rank 1
+    val d1 = r.filter(_._1 == 1L)
+    assert(d1.head._5 == 1L && d1.head._4 == 1L)
+    // deterministic tie-break: rank-1 token is the alphabetically first
+    // of doc 1's df=1 tokens (mat/on/sat → "mat")
+    assert(d1.head._3 == "mat")
+  }
+
   test("topKPerGroup attaches ranks and respects sort order") {
     val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0))
       .toDF("g", "v")
