@@ -601,6 +601,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of FORWARD join: each click joined to the user's next
+    // at-or-after purchase (same one-shuffle window as q49, reverse
+    // time order; DuckDB oracle = native ASOF with <=).
+    "q68_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_ns")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"),
+          col("value").as("next_purchase_value"))
+      AsOfJoin.asofForward(clicks, purchases,
+        keyCols = Seq("user_id"), tsCol = "ts_ns",
+        valueCols = Seq("next_purchase_value"))
+        .select("event_id", "user_id", "next_purchase_value")
+        .orderBy("event_id")
+    }),
+
     // Gap-based sessionization (1h gap): lag boundary + running sum.
     "q50_sessionize" -> ((s, dir) =>
       Sessions.sessionize(
@@ -1391,6 +1408,17 @@ object SparkEntry {
         |SELECT c.event_id, c.user_id, p.last_purchase_value
         |FROM clicks c ASOF LEFT JOIN purchases p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q68_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, value AS next_purchase_value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.next_purchase_value
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
     "q52_cube" ->

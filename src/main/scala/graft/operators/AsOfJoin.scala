@@ -19,10 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Most recent right row with `right.ts <= left.ts` per key. */
   def asofBackward(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCols, tsCol, valueCols, forward = false)
+
+  /** Earliest right row with `right.ts >= left.ts` per key — the "next
+    * scheduled event" lookup. Identical single-shuffle window
+    * realization, traversed in reverse time order. */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCols, tsCol, valueCols, forward = true)
+
+  private def asofImpl(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], forward: Boolean): DataFrame = {
     val lCols = left.columns.toSeq
     require(valueCols.forall(right.columns.contains), "valueCols must be in right")
     require(valueCols.forall(!lCols.contains(_)),
@@ -43,8 +59,12 @@ object AsOfJoin {
       .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val u = l.select((lCols :+ "__rv" :+ "__side").map(col): _*)
       .unionByName(r.select((lCols :+ "__rv" :+ "__side").map(col): _*))
+    // Right rows sort before left rows at equal ts (side 0 < 1), so the
+    // tie is inclusive in both directions; forward just walks time
+    // backwards so "running last right row seen" = "nearest following".
+    val tsOrd = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = u.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
     valueCols.foldLeft(filled.filter(col("__side") === 1))(
