@@ -763,6 +763,26 @@ object SparkEntry {
       Corpus.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", 5)
         .orderBy("doc_id", "rnk")),
 
+    // Deterministic 10% Bernoulli sample by md5(doc_id) — reproducible
+    // across engines/reruns/partitionings, no RNG state to seed.
+    "q69_hash_sample" -> ((s, dir) =>
+      Corpus.hashSample(Tables.documents(s, dir), "doc_id", 0.1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // Per-group argmax as an AGGREGATION (max of a (value, id) struct —
+    // lexicographic ordering gives a deterministic tie-break): O(groups)
+    // shuffle bytes with map-side combine, where the window realization
+    // (q57) pays a full per-group sort. The right shape at 100 TB when
+    // only the top row is needed.
+    "q70_argmax" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(max(struct(col("value"), col("event_id"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("top_event_id"),
+          col("m.value").as("top_value"))
+        .orderBy("user_id")),
+
     // Ranking-family windows: rank/dense_rank/percent_rank/cume_dist
     // over a TIE-FUL order (second-granularity buckets — tied rows get
     // equal values, so ties are cross-engine safe), ntile over a total
@@ -1579,6 +1599,20 @@ object SparkEntry {
         |        ORDER BY score DESC, token) AS rnk FROM scored)
         |SELECT doc_id, rnk, token, tf, df, score FROM r WHERE rnk <= 5
         |ORDER BY doc_id, rnk""".stripMargin,
+
+    "q69_hash_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      < 429496729
+        |ORDER BY doc_id""".stripMargin,
+
+    "q70_argmax" ->
+      """SELECT user_id, event_id AS top_event_id, value AS top_value
+        |FROM (SELECT user_id, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY value DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q67_rank_funcs" ->
       """SELECT event_id, event_type,

@@ -56,6 +56,18 @@ object Corpus {
         col("score"))
   }
 
+  /** Deterministic Bernoulli sample: keep rows whose md5-derived uniform
+    * in [0, 2³²) falls below rate·2³². No RNG state — the kept set is
+    * identical across engines, reruns, partitionings and cluster sizes,
+    * and it composes (rate 0.5 of rate 0.2 = the same rows every time).
+    * The standard reproducible-downsampling step for corpus curation. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    val threshold = (rate * 4294967296.0).toLong
+    df.filter(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+        16, 10).cast("bigint") < threshold)
+  }
+
   /** Deterministic stratified cap: keep at most `cap` rows per stratum,
     * chosen by md5 of the id (a reproducible pseudo-random order, so the
     * kept subset is unbiased but stable across runs/engines/cluster
