@@ -26,6 +26,16 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("driver-state and distributed regimes agree exactly") {
+    val e = Seq.tabulate(300)(i => ((i % 60).toLong, (i * 11 % 60).toLong))
+      .toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val small = Graph.pageRankFixedPoint(e, 4)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val big = Graph.pageRankFixedPoint(e, 4, broadcastNodeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(small == big)
+  }
+
   test("dangling nodes keep the base rank") {
     val e = Seq((1L, 2L)).toDF("src", "dst") // 2 has no out-edges
     val r = Graph.pageRankFixedPoint(e, 2).as[(Long, Long)].collect().toMap
