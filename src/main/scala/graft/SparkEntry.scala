@@ -783,6 +783,139 @@ object SparkEntry {
           col("m.value").as("top_value"))
         .orderBy("user_id")),
 
+    // F8 JSON parse (`bitquery.py:39-46`): semi-structured props column
+    // → typed extraction at the scan, then a plain grouped agg. At scale
+    // the extraction is codegen'd per-row work with no shuffle cost; the
+    // agg shuffles O(groups).
+    "q71_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
+    // Frame-spec windows (rolling 3-row + running sums): one shuffle by
+    // user, one sort per partition serves ALL frames over the same
+    // window — decimal-cast sums keep the frames engine-exact.
+    "q72_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(28,10)")).over(w.rowsBetween(-2, 0))
+            .cast("double").as("roll_sum3"),
+          count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("row_in_user"),
+          sum(col("value").cast("decimal(28,10)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double").as("run_sum"))
+        .orderBy("user_id", "row_in_user")
+    }),
+
+    // lead/lag/first_value over the same per-user order — the offset
+    // family shares the q72 sort too. delta is a two-operand double op
+    // (exactly-rounded IEEE, no summation order), so it's oracle-safe.
+    "q73_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          (col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)))
+            .as("delta"),
+          first(col("event_id"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .as("first_event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Histogram by fixed-width bucket: floor(value/width) is exactly-
+    // rounded in both engines (unlike double→int CASTs, which truncate
+    // in Spark but round in DuckDB). One partial-agg shuffle, O(buckets).
+    "q74_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          Aggregations.exactSum(col("value")).as("sum_value"))
+        .orderBy("bucket")),
+
+    // Gini impurity of each user's event-type mix: all-integer until ONE
+    // final division of exact ints (deterministic in any IEEE engine) —
+    // the portable alternative to entropy, whose ln() differs in the
+    // last ulp across libms.
+    "q75_gini" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c") * col("c")).as("ss"), sum(col("c")).as("n"))
+        .select(col("user_id"),
+          (lit(1.0) - col("ss").cast("double")
+            / (col("n") * col("n")).cast("double")).as("gini"),
+          col("n"))
+        .orderBy("user_id")),
+
+    // Int8 embedding quantization (the storage/serving compression step
+    // of a training pipeline): per-vector absmax scale, symmetric round-
+    // half-up via floor(x+0.5) — float→double casts first so both
+    // engines run identical double arithmetic. Two node-sized shuffles
+    // (per-vector max, per-vector stats); the element table never
+    // materializes wider than (id, pos, x).
+    "q76_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), explode(col("embedding")).as("x"))
+        .select(col("vec_id"), col("x").cast("double").as("xd"))
+      val mx = e.groupBy("vec_id").agg(max(abs(col("xd"))).as("maxabs"))
+        .filter(col("maxabs") > 0)
+      e.join(mx, Seq("vec_id"))
+        .select(col("vec_id"), col("maxabs"),
+          floor(col("xd") * 127.0 / col("maxabs") + 0.5).cast("long").as("q"))
+        .groupBy("vec_id")
+        .agg(sum(col("q")).as("q_sum"), min(col("q")).as("q_min"),
+          max(col("q")).as("q_max"),
+          sum(when(abs(col("q")) === 127, 1L).otherwise(0L)).as("n_sat"),
+          max(col("maxabs")).as("maxabs"))
+        .orderBy("vec_id")
+    }),
+
+    // PII-shaped redaction: scrub digit runs at the scan (codegen'd
+    // regexp, no shuffle), fingerprint the scrubbed text with the
+    // portable md5 so the full output verifies without shipping text.
+    "q77_redact" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        md5(regexp_replace(col("text"), "[0-9]", "#").cast("binary"))
+          .as("redacted_md5"),
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digits"))
+        .orderBy("doc_id")),
+
+    // Salted fact⋈dim join (hot-key mitigation when the dim is too big
+    // to broadcast and AQE's split isn't available): row-id salt on the
+    // fact, buckets-fold replicated dim — result rows identical to the
+    // plain join, verified against the unsalted oracle.
+    "q78_salted_join" -> ((s, dir) =>
+      Skew.saltedJoin(
+        Tables.events(s, dir).select(col("user_id"), col("value")),
+        Tables.customer(s, dir)
+          .select(col("c_custkey").as("user_id"), col("c_nationkey")),
+        keyCols = Seq("user_id"), buckets = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          Aggregations.exactSum(col("value")).as("sum_value"))
+        .orderBy("c_nationkey")),
+
+    // Schema-evolution union: unionByName(allowMissingColumns) aligns
+    // heterogeneous extracts by NAME and null-fills the gaps — the Spark
+    // realization of the reference's folder-of-queries UNION ALL (U1)
+    // when file generations drift.
+    "q79_schema_union" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"), col("lang"))
+        .unionByName(docs.select(col("doc_id"), col("source")),
+          allowMissingColumns = true)
+        .orderBy("doc_id", "lang", "source")
+    }),
+
     // Ranking-family windows: rank/dense_rank/percent_rank/cume_dist
     // over a TIE-FUL order (second-granularity buckets — tied rows get
     // equal values, so ties are cross-engine safe), ntile over a total
@@ -1613,6 +1746,84 @@ object SparkEntry {
         |          ORDER BY value DESC, event_id DESC) AS rn
         |      FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q71_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        | max(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q72_rolling" ->
+      """SELECT user_id, event_id,
+        | CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (w ROWS BETWEEN 2
+        |   PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum3,
+        | count(*) OVER (w ROWS UNBOUNDED PRECEDING) AS row_in_user,
+        | CAST(sum(CAST(value AS DECIMAL(28,10))) OVER (w ROWS UNBOUNDED
+        |   PRECEDING) AS DOUBLE) AS run_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |ORDER BY user_id, row_in_user""".stripMargin,
+
+    "q73_lead_lag" ->
+      """SELECT user_id, event_id,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(event_type, 1) OVER w AS next_type,
+        | value - coalesce(lag(value, 1) OVER w, 0.0) AS delta,
+        | first_value(event_id) OVER (w ROWS UNBOUNDED PRECEDING)
+        |   AS first_event_id
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q74_histogram" ->
+      s"""SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+         | count(*) AS n, ${dSum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q75_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(1 AS DOUBLE) - CAST(sum(c*c) AS DOUBLE)
+        |    / CAST(sum(c)*sum(c) AS DOUBLE) AS gini,
+        |  CAST(sum(c) AS BIGINT) AS n
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q76_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(u.x AS DOUBLE) AS xd
+        |  FROM embeddings, UNNEST(embedding) AS u(x)),
+        |m AS (SELECT vec_id, max(abs(xd)) AS maxabs FROM e
+        |      GROUP BY vec_id HAVING max(abs(xd)) > 0),
+        |q AS (SELECT e.vec_id, m.maxabs,
+        |        CAST(floor(e.xd * 127.0 / m.maxabs + 0.5) AS BIGINT) AS q
+        |      FROM e JOIN m ON e.vec_id = m.vec_id)
+        |SELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum,
+        |  min(q) AS q_min, max(q) AS q_max,
+        |  CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sat,
+        |  max(maxabs) AS maxabs
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q77_redact" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(text, '[0-9]', '#', 'g')) AS redacted_md5,
+        | length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+        |   AS n_digits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q78_salted_join" ->
+      s"""SELECT c.c_nationkey, count(*) AS n, ${dSum("e.value")} AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin,
+
+    "q79_schema_union" ->
+      """SELECT doc_id, lang FROM documents
+        |UNION ALL BY NAME
+        |SELECT doc_id, source FROM documents
+        |ORDER BY doc_id, lang, source""".stripMargin,
 
     "q67_rank_funcs" ->
       """SELECT event_id, event_type,
