@@ -34,6 +34,22 @@ class CorpusSpec extends SparkSpec {
     assert(capped.filter(col("source") === "book").count() == 1)
   }
 
+  test("hashSample is deterministic, nested by rate, and near the target rate") {
+    val ids = Seq.tabulate(2000)(i => i.toLong).toDF("doc_id")
+    val at20 = Corpus.hashSample(ids, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val at10 = Corpus.hashSample(ids, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    // same keep-set every run
+    assert(at20 == Corpus.hashSample(ids, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet)
+    // lower rate is a subset of higher (thresholds nest on the same hash)
+    assert(at10.subsetOf(at20))
+    // md5 uniformity: within a loose band of the target
+    assert(at10.size > 120 && at10.size < 280)
+    assert(at20.size > 280 && at20.size < 520)
+  }
+
   test("tfIdfTopK surfaces distinctive tokens over common ones") {
     val r = Corpus.tfIdfTopK(docs, "doc_id", "text", 2)
       .orderBy("doc_id", "rnk")
