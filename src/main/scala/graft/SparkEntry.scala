@@ -916,6 +916,77 @@ object SparkEntry {
         .orderBy("doc_id", "lang", "source")
     }),
 
+    // Bigram vocabulary: adjacent-token pairs built by an array
+    // transform at the scan (no self-join on position — that would
+    // shuffle the posting table twice), then the same O(|vocab|)
+    // partial-agg shuffle as the unigram vocabulary.
+    "q80_bigrams" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(TextFunctions.tokens(lower(trim(col("text")))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(40)),
+
+    // Date-spine gap fill: sequence(min,max) explodes a calendar from a
+    // 1-row bounds agg (driver-sized), left-joins the daily partials,
+    // zero-fills. The spine side is O(days) — broadcast for free.
+    "q81_date_spine" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.filter(col("event_type") === "purchase" && col("value") > 480)
+        .groupBy(col("ts").cast("date").as("d")).agg(count(lit(1)).as("n"))
+      val spine = ev.agg(min(col("ts").cast("date")).as("lo"),
+        max(col("ts").cast("date")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      spine.join(daily, Seq("d"), "left")
+        .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("d")
+    }),
+
+    // Keep-best dedup policy: per exact-content cluster (md5 of the
+    // normalized text) keep the longest doc, smallest doc_id on ties —
+    // ONE aggregation (min of a (-n_chars, doc_id) struct), O(clusters)
+    // shuffle bytes, where the window realization would sort every
+    // cluster. The canonical "canonical document" selection.
+    "q82_keep_best" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(TextFunctions.md5Fingerprint(col("text")).as("fp"))
+        .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("doc_id")))
+          .as("m"))
+        .select(col("fp"), col("m.doc_id").as("keep_doc_id"),
+          (-col("m.neg")).as("n_chars"))
+        .orderBy("fp")),
+
+    // Contrastive positive-pair generation: within-label self-join
+    // (label blocking keeps it |label-class|² not corpus²), ordered
+    // a<b, thinned by the deterministic md5 pair hash — the
+    // reproducible pair-sampling step of an embedding training prep.
+    "q83_contrastive_pairs" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("label"), col("vec_id"))
+      e.select(col("label"), col("vec_id").as("a"))
+        .join(e.select(col("label"), col("vec_id").as("b")), Seq("label"))
+        .filter(col("a") < col("b"))
+        .filter(conv(substring(md5(concat(col("a").cast("string"), lit("_"),
+          col("b").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("bigint") < 1073741824L)
+        .orderBy("label", "a", "b")
+    }),
+
+    // Multi-aggregate pivot: per source, per-language doc counts AND
+    // char volumes in one pass (Spark names the columns
+    // <pivotValue>_<aggAlias>). sum(lit(1)) not count(): pivot yields
+    // NULL for absent (source,lang) cells and so does a SQL sum with no
+    // matches, keeping both engines aligned.
+    "q84_multi_pivot" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+        .agg(sum(lit(1L)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // Ranking-family windows: rank/dense_rank/percent_rank/cume_dist
     // over a TIE-FUL order (second-granularity buckets — tied rows get
     // equal values, so ties are cross-engine safe), ntile over a total
@@ -1824,6 +1895,62 @@ object SparkEntry {
         |UNION ALL BY NAME
         |SELECT doc_id, source FROM documents
         |ORDER BY doc_id, lang, source""".stripMargin,
+
+    "q80_bigrams" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 40""".stripMargin,
+
+    "q81_date_spine" ->
+      """WITH bounds AS (
+        |  SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS d FROM bounds),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events
+        |  WHERE event_type = 'purchase' AND value > 480 GROUP BY 1)
+        |SELECT spine.d, coalesce(daily.n, 0) AS n
+        |FROM spine LEFT JOIN daily USING (d) ORDER BY d""".stripMargin,
+
+    "q82_keep_best" ->
+      """SELECT fp, doc_id AS keep_doc_id, n_chars
+        |FROM (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |        AS fp, doc_id, n_chars,
+        |        row_number() OVER (
+        |          PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |          ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1 ORDER BY fp""".stripMargin,
+
+    "q83_contrastive_pairs" ->
+      """SELECT a.label, a.vec_id AS a, b.vec_id AS b
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '_' ||
+        |        CAST(b.vec_id AS VARCHAR)), 1, 8))::BIGINT < 1073741824
+        |ORDER BY a.label, a, b""".stripMargin,
+
+    "q84_multi_pivot" ->
+      """SELECT source,
+        | CAST(sum(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en_n,
+        | CAST(sum(CASE WHEN lang = 'en' THEN n_chars END) AS BIGINT) AS en_chars,
+        | CAST(sum(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de_n,
+        | CAST(sum(CASE WHEN lang = 'de' THEN n_chars END) AS BIGINT) AS de_chars,
+        | CAST(sum(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es_n,
+        | CAST(sum(CASE WHEN lang = 'es' THEN n_chars END) AS BIGINT) AS es_chars,
+        | CAST(sum(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr_n,
+        | CAST(sum(CASE WHEN lang = 'fr' THEN n_chars END) AS BIGINT) AS fr_chars,
+        | CAST(sum(CASE WHEN lang = 'zh' THEN 1 END) AS BIGINT) AS zh_n,
+        | CAST(sum(CASE WHEN lang = 'zh' THEN n_chars END) AS BIGINT) AS zh_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q67_rank_funcs" ->
       """SELECT event_id, event_type,
