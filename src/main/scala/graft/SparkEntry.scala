@@ -916,17 +916,17 @@ object SparkEntry {
         .orderBy("doc_id", "lang", "source")
     }),
 
-    // Bigram vocabulary: adjacent-token pairs built by an array
-    // transform at the scan (no self-join on position — that would
-    // shuffle the posting table twice), then the same O(|vocab|)
-    // partial-agg shuffle as the unigram vocabulary.
+    // Bigram vocabulary: adjacent-token pairs built by a codegen'd
+    // expression at the scan (no self-join on position — that would
+    // shuffle the posting table twice; and no HOF transform — lambda
+    // expressions are CodegenFallback and drop the stage to interpreted
+    // eval), then the same O(|vocab|) partial-agg shuffle as the
+    // unigram vocabulary.
     "q80_bigrams" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(TextFunctions.tokens(lower(trim(col("text")))).as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
-          .as("bigram"))
+        .select(graft.expressions.TextHash.adjacentPairs(
+          TextFunctions.tokens(lower(trim(col("text"))))).as("pairs"))
+        .select(explode(col("pairs")).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(40)),

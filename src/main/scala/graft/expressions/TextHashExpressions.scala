@@ -24,6 +24,13 @@ object TextHash {
   def shingleHashes(text: Column, n: Int): Column =
     column(ShingleHashes(expression(text), n))
 
+  /** Space-joined adjacent pairs of a string array (bigram surface
+    * forms). The HOF spelling — transform(sequence(...), i -> concat)
+    * — drops the whole expression tree to interpreted eval (lambda
+    * functions are CodegenFallback); this stays inside codegen. */
+  def adjacentPairs(toks: Column): Column =
+    column(AdjacentPairsExpr(expression(toks)))
+
   /** Jaccard similarity of two sorted long arrays (merge scan). */
   def jaccardSorted(a: Column, b: Column): Column =
     column(JaccardSorted(expression(a), expression(b)))
@@ -68,6 +75,23 @@ object TextHash {
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Adjacent space-joined pairs of a string array, one pass, no boxing
+    * beyond the output UTF8Strings. */
+  def adjacentPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](n - 1)
+    var i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.concat(arr.getUTF8String(i), SPACE,
+        arr.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   def shingles(text: UTF8String, n: Int): ArrayData = {
@@ -259,6 +283,16 @@ object TextHash {
     }
     UTF8String.fromString(new String(out))
   }
+}
+
+case class AdjacentPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    TextHash.adjacentPairs(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextHash$$.MODULE$$.adjacentPairs($a);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {

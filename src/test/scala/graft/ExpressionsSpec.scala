@@ -31,6 +31,21 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-12)
   }
 
+  test("adjacentPairs matches the HOF transform formulation") {
+    val docs = Seq("the cat sat on the mat", "one", "", "a b")
+      .toDF("text")
+      .select(TextFunctions.tokens(lower(trim(col("text")))).as("toks"))
+    val fused = docs.select(
+      graft.expressions.TextHash.adjacentPairs(col("toks")).as("p"))
+      .as[Seq[String]].collect().toSeq
+    val hof = docs.select(when(size(col("toks")) >= 2, expr(
+      "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .otherwise(array()).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(fused == hof)
+    assert(fused.head == Seq("the cat", "cat sat", "sat on", "on the", "the mat"))
+  }
+
   test("hyperplane bucket: deterministic, equal vectors collide, opposite differ") {
     val df = Seq(
       (0L, Array(1.0f, 2.0f, 3.0f)),
