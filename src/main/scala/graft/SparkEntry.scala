@@ -975,6 +975,21 @@ object SparkEntry {
         .orderBy("label", "a", "b")
     }),
 
+    // F8 deep JSON: parse props into a typed MAP and explode it —
+    // schema-free key discovery where q71 extracts a known path. The
+    // per-key agg shuffles O(|keyspace|).
+    "q85_json_map" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType))).as(Seq("k", "v")))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          count_distinct(col("event_type")).as("n_types"))
+        .orderBy("k")),
+
     // Multi-aggregate pivot: per source, per-language doc counts AND
     // char volumes in one pass (Spark names the columns
     // <pivotValue>_<aggAlias>). sum(lit(1)) not count(): pivot yields
@@ -1937,6 +1952,15 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '_' ||
         |        CAST(b.vec_id AS VARCHAR)), 1, 8))::BIGINT < 1073741824
         |ORDER BY a.label, a, b""".stripMargin,
+
+    "q85_json_map" ->
+      """SELECT k, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT)
+        |   AS sum_v,
+        | count(DISTINCT event_type) AS n_types
+        |FROM (SELECT event_type, props, unnest(json_keys(props)) AS k
+        |      FROM events)
+        |GROUP BY k ORDER BY k""".stripMargin,
 
     "q84_multi_pivot" ->
       """SELECT source,
