@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer tier: per-group top-1 windows become partial-aggregable
+    // struct extrema (O(groups) shuffle instead of O(rows) — see
+    // graft.plans.ArgmaxWindowRewrite).
+    ext.injectOptimizerRule(_ => graft.plans.ArgmaxWindowRewrite)
+
     def register(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.expressions", name), builder))

@@ -990,6 +990,23 @@ object SparkEntry {
           count_distinct(col("event_type")).as("n_types"))
         .orderBy("k")),
 
+    // The WINDOW spelling of q70's argmax — included to exercise the
+    // injected ArgmaxWindowRewrite optimizer rule ON the oracle gate:
+    // the Filter(rn=1)-over-row_number plan is rewritten to the
+    // struct-max aggregation (O(groups) shuffle), and the result must
+    // still hash-match the window-semantics oracle.
+    "q86_argmax_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .select("user_id", "event_id", "value")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("top_event_id"),
+          col("value").as("top_value"))
+        .orderBy("user_id")
+    }),
+
     // Multi-aggregate pivot: per source, per-language doc counts AND
     // char volumes in one pass (Spark names the columns
     // <pivotValue>_<aggAlias>). sum(lit(1)) not count(): pivot yields
@@ -1952,6 +1969,14 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR) || '_' ||
         |        CAST(b.vec_id AS VARCHAR)), 1, 8))::BIGINT < 1073741824
         |ORDER BY a.label, a, b""".stripMargin,
+
+    "q86_argmax_window" ->
+      """SELECT user_id, event_id AS top_event_id, value AS top_value
+        |FROM (SELECT user_id, event_id, value,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY value DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     "q85_json_map" ->
       """SELECT k, count(*) AS n,
