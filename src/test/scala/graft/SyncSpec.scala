@@ -101,4 +101,49 @@ class SyncSpec extends SparkSpec {
     val totalN = out.agg(sum("n")).head().getLong(0)
     assert(totalN == ev.count())
   }
+
+  test("structured streaming: dropDuplicatesWithinWatermark suppresses replays") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("ssdd").toString
+    val src = s"$dir/src"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("value")).limit(500)
+    // replayed source: every event written twice (the at-least-once
+    // delivery the reference's lag/dedup machinery tolerates — T5)
+    ev.unionByName(ev).write.parquet(src)
+    val q = spark.readStream.schema(ev.schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_out").count() == ev.count())
+  }
+
+  test("structured streaming: native session windows agree with the batch operator") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("sssw").toString
+    val src = s"$dir/src"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    ev.write.parquet(src)
+    val q = spark.readStream.schema(ev.schema).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_out")
+      .select(col("user_id"), col("session_window.start").as("start"), col("n"))
+    // append mode only emits sessions finalized by the watermark; each
+    // emitted session must match the batch computation exactly
+    val batch = ev.groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.join(batch, Seq("user_id", "start", "n"), "left_anti").isEmpty)
+  }
 }
