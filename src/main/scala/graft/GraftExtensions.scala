@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // struct extrema (O(groups) shuffle instead of O(rows) — see
     // graft.plans.ArgmaxWindowRewrite).
     ext.injectOptimizerRule(_ => graft.plans.ArgmaxWindowRewrite)
+    // Strategy tier: custom whole-operator physical planning (broadcast
+    // as-of join — see graft.plans.BroadcastAsOfJoin).
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
 
     def register(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

@@ -618,6 +618,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of join through the engine's CUSTOM PHYSICAL OPERATOR
+    // (BroadcastAsOfJoin logical node → GraftStrategy → binary-search
+    // probe of a broadcast sorted timeline): the fact side is never
+    // shuffled or sorted — zero exchanges in the whole plan. Two value
+    // columns ride the matched row; oracle = DuckDB native ASOF.
+    "q87_asof_broadcast" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts_ns")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"),
+          col("value").as("last_purchase_value"),
+          col("props").as("last_purchase_props"))
+      AsOfJoin.asofBroadcast(views, purchases,
+        keyCols = Seq("user_id"), tsCol = "ts_ns",
+        valueCols = Seq("last_purchase_value", "last_purchase_props"))
+        .select("event_id", "user_id", "last_purchase_value",
+          "last_purchase_props")
+        .orderBy("event_id")
+    }),
+
     // Gap-based sessionization (1h gap): lag boundary + running sum.
     "q50_sessionize" -> ((s, dir) =>
       Sessions.sessionize(
@@ -930,6 +951,34 @@ object SparkEntry {
         .groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)
         .limit(40)),
+
+    // Gopher-style repetition quality signals, per document: fraction of
+    // bigram occurrences consumed by the single most-repeated bigram, and
+    // fraction of tokens that are repeats. Two-stage hash aggregation —
+    // (doc_id, bigram) counts then per-doc extrema — both partial-agg
+    // map-side, so shuffle bytes are O(distinct per-doc bigrams), never
+    // O(token occurrences); the bigrams come from the same codegen'd
+    // scan-stage expression as q80. Int-valued double division only —
+    // cross-engine exact.
+    "q88_repetition" -> ((s, dir) => {
+      val bi = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(trim(col("text")))).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tok"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          explode(graft.expressions.TextHash.adjacentPairs(col("toks")))
+            .as("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(max("n_tok").as("n_tok"), max("n_distinct").as("n_distinct"),
+          count(lit(1)).as("c"))
+      bi.groupBy("doc_id").agg(
+          (max(col("c")).cast("double") / sum(col("c")).cast("double"))
+            .as("top_bigram_frac"),
+          ((max(col("n_tok")) - max(col("n_distinct"))).cast("double") /
+            max(col("n_tok")).cast("double")).as("rep_token_frac"))
+        .orderBy("doc_id")
+    }),
 
     // Date-spine gap fill: sequence(min,max) explodes a calendar from a
     // 1-row bounds agg (driver-sized), left-joins the daily partials,
@@ -1677,6 +1726,19 @@ object SparkEntry {
         |  ON c.user_id = p.user_id AND c.ts <= p.ts
         |ORDER BY c.event_id""".stripMargin,
 
+    "q87_asof_broadcast" ->
+      """WITH views AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |purchases AS (
+        |  SELECT user_id, ts, value AS last_purchase_value,
+        |         props AS last_purchase_props
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.event_id, v.user_id, p.last_purchase_value,
+        |       p.last_purchase_props
+        |FROM views v ASOF LEFT JOIN purchases p
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+
     "q52_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
@@ -1938,6 +2000,26 @@ object SparkEntry {
         |  WHERE len(toks) >= 2)
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 40""".stripMargin,
+
+    "q88_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tok,
+        |         CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |         toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |c AS (
+        |  SELECT doc_id, bigram, max(n_tok) AS n_tok,
+        |         max(n_distinct) AS n_distinct, count(*) AS c
+        |  FROM b GROUP BY doc_id, bigram)
+        |SELECT doc_id,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac,
+        |  CAST(max(n_tok) - max(n_distinct) AS DOUBLE) / CAST(max(n_tok) AS DOUBLE)
+        |    AS rep_token_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q81_date_spine" ->
       """WITH bounds AS (

@@ -24,11 +24,16 @@ object FileIO {
   case object CsvWithNames extends WireFormat { val name = "csv" }
   case object ParquetFmt extends WireFormat { val name = "parquet" }
   case object JsonEachRow extends WireFormat { val name = "json" }
+  /** Beyond the reference's three wire formats: ORC, the other columnar
+    * format Spark ships natively — same pushdown/pruning properties as
+    * parquet, so warehouse-resident ORC corpora are first-class inputs. */
+  case object OrcFmt extends WireFormat { val name = "orc" }
 
   def fromName(s: String): WireFormat = s.toLowerCase match {
     case "csv" | "csvwithnames"  => CsvWithNames
     case "parquet"               => ParquetFmt
     case "json" | "jsoneachrow"  => JsonEachRow
+    case "orc"                   => OrcFmt
     case other => throw new IllegalArgumentException(
       s"unsupported file format: $other") // connector.py:168-171 analog
   }
@@ -40,6 +45,7 @@ object FileIO {
       case CsvWithNames => w.option("header", "true").csv(path)
       case ParquetFmt   => w.parquet(path)
       case JsonEachRow  => w.json(path)
+      case OrcFmt       => w.orc(path)
     }
   }
 
@@ -52,5 +58,6 @@ object FileIO {
     case JsonEachRow =>
       val r = spark.read
       schema.map(r.schema).getOrElse(r).json(path)
+    case OrcFmt => spark.read.orc(path)
   }
 }

@@ -35,6 +35,45 @@ object AsOfJoin {
       valueCols: Seq[String]): DataFrame =
     asofImpl(left, right, keyCols, tsCol, valueCols, forward = true)
 
+  /** Broadcast realization: the right side (a small dimension timeline —
+    * the reference's per-symbol price history) is collected, sorted per
+    * key, broadcast, and probed with binary search; the left side keeps
+    * its partitioning and ordering — NO exchange anywhere. Planned
+    * through the custom `graft.plans.BroadcastAsOfJoin` logical node and
+    * `GraftStrategy` (requires `GraftExtensions` on the session). `tsCol`
+    * must be integral (cast first if needed); semantics match
+    * `asofBackward`/`asofForward` and DuckDB ASOF LEFT JOIN.
+    */
+  def asofBroadcast(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], forward: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graft.Bridge
+    val lCols = left.columns.toSeq
+    require(valueCols.forall(right.columns.contains), "valueCols must be in right")
+    require(valueCols.forall(!lCols.contains(_)),
+      "valueCols must not collide with left columns")
+    val lPlan = Bridge.analyzed(left)
+    // Fresh exprIds on the build side so self-joins (same source both
+    // sides) never alias attributes across children.
+    val rNarrow = Bridge.analyzed(
+      right.select((keyCols :+ tsCol).distinct.map(col) ++
+        valueCols.filterNot(c => keyCols.contains(c) || c == tsCol).map(col): _*))
+    val rPlan = Project(rNarrow.output.map(a => Alias(a, a.name)()), rNarrow)
+    val rOut = rPlan.projectList.map(_.toAttribute)
+    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      sys.error(s"column $n not found on left"))
+    def rAttr(n: String) = rOut.find(_.name == n).getOrElse(
+      sys.error(s"column $n not found on right"))
+    Bridge.ofRows(left.sparkSession, graft.plans.BroadcastAsOfJoin(
+      lPlan, rPlan,
+      keyCols.map(lAttr), lAttr(tsCol),
+      keyCols.map(rAttr), rAttr(tsCol),
+      valueCols.map(rAttr), forward))
+  }
+
   private def asofImpl(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,

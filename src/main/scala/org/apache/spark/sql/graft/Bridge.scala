@@ -1,14 +1,23 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column ⇄ Expression bridge. Spark 4 made the direct constructors
-  * `private[sql]`; the supported extension-library technique is a shim in
-  * the `org.apache.spark.sql` namespace (same approach as most OSS Spark
-  * connector/UDF libraries). */
+/** Column ⇄ Expression and LogicalPlan ⇄ DataFrame bridge. Spark 4 made
+  * the direct constructors `private[sql]`; the supported
+  * extension-library technique is a shim in the `org.apache.spark.sql`
+  * namespace (same approach as most OSS Spark connector/UDF libraries). */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame (runs the analyzer). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 }

@@ -57,4 +57,70 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 1)
     assert(out.head().getDouble(3) == 7.0)
   }
+
+  // --- broadcast (custom strategy) realization ---
+
+  test("broadcast as-of agrees with the window realization, both directions") {
+    val ev = sources.Tables.events(spark, sfDir)
+    val left = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts_ns")
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("value").as("pv"),
+        col("props").as("pp"))
+    for (fwd <- Seq(false, true)) {
+      val windowed =
+        (if (fwd) AsOfJoin.asofForward(left, right, Seq("user_id"), "ts_ns", Seq("pv", "pp"))
+         else AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts_ns", Seq("pv", "pp")))
+          .orderBy("event_id").collect()
+      val bcast = AsOfJoin.asofBroadcast(left, right, Seq("user_id"), "ts_ns",
+        Seq("pv", "pp"), forward = fwd).orderBy("event_id").collect()
+      assert(windowed.toSeq == bcast.toSeq, s"forward=$fwd")
+    }
+  }
+
+  test("broadcast as-of plans with zero exchanges (probe side never moves)") {
+    val left = Seq((1L, "k", 100L)).toDF("id", "key", "ts")
+    val right = Seq(("k", 50L, 7.0)).toDF("key", "ts", "v")
+    val out = AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", Seq("v"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("broadcast as-of: NULL key / NULL ts / empty timeline probe to NULL") {
+    val left = Seq(
+      (1L, Option("k"), Option(100L)),
+      (2L, None, Option(100L)),          // NULL key never matches
+      (3L, Option("k"), None),           // NULL ts never matches
+      (4L, Option("z"), Option(100L)))   // key with no timeline
+      .toDF("id", "key", "ts")
+    val right = Seq(("k", 50L, 7.0)).toDF("key", "ts", "v")
+    val got = AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", Seq("v"))
+      .orderBy("id").select("v").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(Some(7.0), None, None, None))
+  }
+
+  test("broadcast as-of self-join shape (duplicate exprIds) resolves") {
+    val df = Seq(("k", 1L, 1.0), ("k", 2L, 2.0)).toDF("key", "ts", "v")
+    val out = AsOfJoin.asofBroadcast(
+      df.select("key", "ts"),
+      df.select(col("key"), col("ts"), col("v").as("pv")),
+      Seq("key"), "ts", Seq("pv"))
+    assert(out.orderBy("ts").select("pv").as[Double].collect().toSeq
+      == Seq(1.0, 2.0))
+  }
+
+  test("binary search: bounds and duplicate-ts ties") {
+    import graft.plans.BroadcastAsOfJoinExec.search
+    val ts = Array(10L, 20L, 20L, 30L)
+    assert(search(ts, 5L, forward = false) == -1)
+    assert(search(ts, 10L, forward = false) == 0)
+    assert(search(ts, 25L, forward = false) == 2)  // last duplicate wins
+    assert(search(ts, 99L, forward = false) == 3)
+    assert(search(ts, 99L, forward = true) == -1)
+    assert(search(ts, 15L, forward = true) == 1)   // first duplicate wins
+    assert(search(ts, 30L, forward = true) == 3)
+    assert(search(Array.empty[Long], 1L, forward = false) == -1)
+  }
 }

@@ -12,7 +12,8 @@ class FileIOSpec extends SparkSpec {
   test("CSVWithNames / JSONEachRow / Parquet round-trip preserves data") {
     val dir = Files.createTempDirectory("fio").toString
     val src = Tables.nation(spark, sfDir)
-    for (fmt <- Seq(FileIO.CsvWithNames, FileIO.ParquetFmt, FileIO.JsonEachRow)) {
+    for (fmt <- Seq(FileIO.CsvWithNames, FileIO.ParquetFmt, FileIO.JsonEachRow,
+                    FileIO.OrcFmt)) {
       val p = s"$dir/${fmt.name}"
       FileIO.write(src, p, fmt)
       val back = FileIO.read(spark, p, fmt, Some(src.schema))
@@ -26,7 +27,8 @@ class FileIOSpec extends SparkSpec {
   test("format dispatch accepts reference names and rejects unknown (S5)") {
     assert(FileIO.fromName("CSVWithNames") == FileIO.CsvWithNames)
     assert(FileIO.fromName("JSONEachRow") == FileIO.JsonEachRow)
-    intercept[IllegalArgumentException](FileIO.fromName("orc"))
+    assert(FileIO.fromName("orc") == FileIO.OrcFmt)
+    intercept[IllegalArgumentException](FileIO.fromName("avro"))
   }
 
   test("multi-statement SQL executor runs each ;-separated statement (S11)") {
