@@ -791,6 +791,18 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
 
+    // Deterministic mixture sampling: per-source Bernoulli rates hit a
+    // target corpus mixture (full src0, half src1, quarter src2, eighth
+    // everything else) with the same portable md5 uniform as q69 —
+    // thresholds are exact driver-side longs, the filter is scan-stage,
+    // and the kept set nests monotonically as weights are re-tuned.
+    "q89_mixture_sample" -> ((s, dir) =>
+      Corpus.mixtureSample(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.125)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+        .orderBy("source")),
+
     // Per-group argmax as an AGGREGATION (max of a (value, id) struct —
     // lexicographic ordering gives a deterministic tie-break): O(groups)
     // shuffle bytes with map-side combine, where the window realization
@@ -1903,6 +1915,15 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
         |      < 429496729
         |ORDER BY doc_id""".stripMargin,
+
+    "q89_mixture_sample" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      < CASE source WHEN 'src0' THEN 4294967296
+        |                    WHEN 'src1' THEN 2147483648
+        |                    WHEN 'src2' THEN 1073741824
+        |                    ELSE 536870912 END
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q70_argmax" ->
       """SELECT user_id, event_id AS top_event_id, value AS top_value

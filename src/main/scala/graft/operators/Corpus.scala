@@ -80,6 +80,27 @@ object Corpus {
         16, 10).cast("bigint") < threshold)
   }
 
+  /** Deterministic mixture sampling: per-group Bernoulli rates (the
+    * "hit a target source mixture" curation step — web at 100%, forums
+    * at 25%, …). Same md5 uniform as [[hashSample]], with the threshold
+    * chosen per row by `groupCol`; thresholds are computed driver-side
+    * as exact longs (never a runtime double→int cast, which truncates in
+    * Spark but rounds in other engines). Composes with [[hashSample]]:
+    * the kept set is identical across engines, reruns and partitionings,
+    * and a row kept at rate r is kept at every rate ≥ r — so mixture
+    * weights can be re-tuned and old samples remain subsets. Pure
+    * scan-stage filter: no shuffle, no join, pushdown-friendly. */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    def thr(r: Double): Long = (r * 4294967296.0).toLong
+    val threshold = rates.foldLeft(lit(thr(defaultRate))) {
+      case (acc, (g, r)) => when(col(groupCol) === g, lit(thr(r))).otherwise(acc)
+    }
+    df.filter(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+        16, 10).cast("bigint") < threshold)
+  }
+
   /** Deterministic stratified cap: keep at most `cap` rows per stratum,
     * chosen by md5 of the id (a reproducible pseudo-random order, so the
     * kept subset is unbiased but stable across runs/engines/cluster

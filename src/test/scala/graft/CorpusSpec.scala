@@ -118,4 +118,30 @@ class CorpusSpec extends SparkSpec {
     assert(ge.map(p => (p._1, p._2)) == Set((1L, 2L)))
     assert(math.abs(ge.head._3 - 5.0 / 7.0) < 1e-12)
   }
+
+  test("mixture sample: per-group rates, nesting, partition-independence") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val kept = Corpus.mixtureSample(docs, "doc_id", "source",
+      Map("src0" -> 1.0, "src1" -> 0.25), defaultRate = 0.0)
+    val bySource = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource("src0") == totals("src0"))       // rate 1.0 keeps all
+    assert(bySource.getOrElse("src1", 0L) < totals("src1"))
+    assert(bySource.keySet.subsetOf(Set("src0", "src1"))) // default 0 drops rest
+
+    // rate-r kept set nests inside rate-2r (monotone thresholds)
+    val at25 = Corpus.mixtureSample(docs, "doc_id", "source",
+      Map.empty, defaultRate = 0.25).select("doc_id").as[Long].collect().toSet
+    val at50 = Corpus.mixtureSample(docs, "doc_id", "source",
+      Map.empty, defaultRate = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(at25.subsetOf(at50))
+    assert(at25.nonEmpty && at25.size < at50.size)
+
+    // same rows regardless of physical partitioning
+    val rep = Corpus.mixtureSample(docs.repartition(13), "doc_id", "source",
+      Map.empty, defaultRate = 0.25).select("doc_id").as[Long].collect().toSet
+    assert(rep == at25)
+  }
 }
