@@ -66,5 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }))
     register("rademacher_buckets", args =>
       RademacherBuckets(args(0), intArg(args(1), "nBits"), intArg(args(2), "nTables")))
+    register("topk_pairs", args =>
+      TopKPairsAgg(args(0), args(1), intArg(args(2), "k"))
+        .toAggregateExpression(isDistinct = false))
   }
 }

@@ -803,6 +803,21 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n"))
         .orderBy("source")),
 
+    // Per-group top-k as a BOUNDED-HEAP AGGREGATE (TopKPairsAgg, the
+    // per-group TakeOrderedAndProject Spark lacks): map-side buffers
+    // never exceed k pairs, merges are O(k), shuffle bytes O(groups·k) —
+    // where the window spelling (the oracle) shuffles and sorts every
+    // row, and collect_list would buffer whole hot groups.
+    "q90_topk_agg" -> ((s, dir) =>
+      Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(graft.expressions.TopKHeap.topKPairs(
+          col("value"), col("event_id"), 3).as("top"))
+        .select(col("user_id"), posexplode(col("top")).as(Seq("r0", "p")))
+        .select(col("user_id"), (col("r0") + 1).cast("int").as("rank"),
+          col("p.id").as("event_id"), col("p.score").as("value"))
+        .orderBy("user_id", "rank")),
+
     // Per-group argmax as an AGGREGATION (max of a (value, id) struct —
     // lexicographic ordering gives a deterministic tie-break): O(groups)
     // shuffle bytes with map-side combine, where the window realization
@@ -1924,6 +1939,15 @@ object SparkEntry {
         |                    WHEN 'src2' THEN 1073741824
         |                    ELSE 536870912 END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q90_topk_agg" ->
+      """SELECT user_id, CAST(rn AS INT) AS rank, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase') t
+        |WHERE rn <= 3
+        |ORDER BY user_id, rank""".stripMargin,
 
     "q70_argmax" ->
       """SELECT user_id, event_id AS top_event_id, value AS top_value

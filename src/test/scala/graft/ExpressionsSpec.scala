@@ -86,4 +86,45 @@ class ExpressionsSpec extends SparkSpec {
     (3L, "en", "a completely different sentence about engines"),
     (4L, "de", "der schnelle braune fuchs springt"),
     (5L, "de", "der schnelle braune fuchs rennt")).toDF("doc_id", "lang", "text")
+
+  test("topKPairs agrees with the window spelling and bounds ties") {
+    val ev = sources.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "value")
+    val viaHeap = ev.groupBy("user_id")
+      .agg(graft.expressions.TopKHeap.topKPairs(col("value"), col("event_id"), 3)
+        .as("top"))
+      .select(col("user_id"), explode(col("top")).as("p"))
+      .select(col("user_id"), col("p.id").as("event_id"))
+      .as[(Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("value").desc, col("event_id").desc)
+    val viaWindow = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("user_id", "event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(viaHeap == viaWindow)
+  }
+
+  test("topKPairs is partition-independent and emits a sorted array") {
+    val df = Seq((1L, 5.0, 10L), (1L, 5.0, 11L), (1L, 7.0, 9L), (1L, 1.0, 99L),
+      (2L, 3.0, 1L)).toDF("g", "score", "id")
+    def run(d: org.apache.spark.sql.DataFrame) = d.groupBy("g")
+      .agg(graft.expressions.TopKHeap.topKPairs(col("score"), col("id"), 2).as("t"))
+      .select(col("g"), col("t").cast("string").as("t"))
+      .as[(Long, String)].collect().toMap
+    val a = run(df)
+    // score desc, tie → larger id first; only k kept
+    assert(a(1L) == "[{7.0, 9}, {5.0, 11}]")
+    assert(a(2L) == "[{3.0, 1}]")
+    assert(run(df.repartition(7)) == a)
+  }
+
+  test("topk_pairs is callable from SQL via GraftExtensions") {
+    Seq((1L, 2.0, 5L), (1L, 9.0, 6L)).toDF("g", "s", "i")
+      .createOrReplaceTempView("tkp")
+    val out = spark.sql(
+      "SELECT g, topk_pairs(s, i, 1) AS t FROM tkp GROUP BY g")
+      .select(col("t").cast("string")).as[String].collect()
+    assert(out.toSeq == Seq("[{9.0, 6}]"))
+  }
 }
