@@ -104,6 +104,27 @@ object Scale {
     time(s"pagerank_${mult}x") { pagerankShape(liN) }
     time("tfidf_1x") { Corpus.tfIdfTopK(docs1, "doc_id", "text", 5).count() }
     time(s"tfidf_${mult}x") { Corpus.tfIdfTopK(docsN, "doc_id", "text", 5).count() }
+    // broadcast as-of: the probe side is amplified N×, the broadcast
+    // timeline stays fixed — runtime must scale by probe scan cost only
+    // (no exchange, no sort; the window realization would re-sort N×)
+    def asofShape(ev: DataFrame): Long = {
+      val probes = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts_ns")
+      val timeline = ev1.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), col("value").as("pv"))
+      operators.AsOfJoin.asofBroadcast(probes, timeline,
+        Seq("user_id"), "ts_ns", Seq("pv")).count()
+    }
+    time("asof_bcast_1x") { asofShape(ev1) }
+    time(s"asof_bcast_${mult}x") { asofShape(evN.withColumn("user_id",
+      col("user_id") % lit(100000000L))) } // keep probe keys in the timeline key space
+    // bounded-heap top-k: group count scales N×, per-group state stays k
+    def topkShape(ev: DataFrame): Long =
+      ev.filter(col("event_type") === "purchase").groupBy("user_id")
+        .agg(expressions.TopKHeap.topKPairs(col("value"), col("event_id"), 3)
+          .as("top")).count()
+    time("topk_agg_1x") { topkShape(ev1) }
+    time(s"topk_agg_${mult}x") { topkShape(evN) }
     spark.stop()
   }
 }
