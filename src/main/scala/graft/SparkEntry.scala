@@ -803,6 +803,26 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n"))
         .orderBy("source")),
 
+    // Broadcast RANGE JOIN (point-in-interval lookup): events assigned
+    // to id-range batches (the reference's sync-batch shape) through the
+    // custom as-of exec + coverage check — O(|left|·log|dim|), zero
+    // exchanges on the probe side, where the naive spelling is a
+    // BETWEEN cross join. The batch dim is derived from a 1-row bounds
+    // agg exploded into a sequence (same device as the q81 date spine);
+    // oracle = DuckDB BETWEEN join.
+    "q91_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "value")
+      val batches = ev.agg(expr("max(event_id) div 1000").as("mx"))
+        .select(explode(sequence(lit(0L), col("mx"))).as("batch_id"))
+        .select(col("batch_id"), (col("batch_id") * 1000).as("lo"),
+          (col("batch_id") * 1000 + 999).as("hi"))
+      RangeJoin.broadcastRangeLookup(ev, batches, "event_id", "lo", "hi",
+        Seq("batch_id"))
+        .filter(col("batch_id").isNotNull)
+        .groupBy("batch_id").agg(count(lit(1)).as("n"))
+        .orderBy("batch_id")
+    }),
+
     // Per-group top-k as a BOUNDED-HEAP AGGREGATE (TopKPairsAgg, the
     // per-group TakeOrderedAndProject Spark lacks): map-side buffers
     // never exceed k pairs, merges are O(k), shuffle bytes O(groups·k) —
@@ -1939,6 +1959,14 @@ object SparkEntry {
         |                    WHEN 'src2' THEN 1073741824
         |                    ELSE 536870912 END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q91_range_join" ->
+      """WITH mx AS (SELECT max(event_id) // 1000 AS m FROM events),
+        |batches AS (SELECT unnest(generate_series(0, m)) AS batch_id FROM mx)
+        |SELECT b.batch_id, count(*) AS n
+        |FROM events e JOIN batches b
+        |  ON e.event_id BETWEEN b.batch_id * 1000 AND b.batch_id * 1000 + 999
+        |GROUP BY b.batch_id ORDER BY b.batch_id""".stripMargin,
 
     "q90_topk_agg" ->
       """SELECT user_id, CAST(rn AS INT) AS rank, event_id, value FROM (
