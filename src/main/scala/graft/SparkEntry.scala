@@ -803,6 +803,30 @@ object SparkEntry {
         .groupBy("source").agg(count(lit(1)).as("n"))
         .orderBy("source")),
 
+    // Corpus snapshot diff (CDC): yesterday's crawl vs today's, compared
+    // by 128-bit content hash after a full outer join on doc_id →
+    // added / removed / changed / unchanged counts. One shuffle on the
+    // narrow (id, md5) projection — text never crosses the wire; at
+    // 100 TB both sides prune to two columns at the scan and the diff is
+    // O(|ids|) exchange bytes. Snapshots derived deterministically from
+    // the documents table (id-ranges membership + a simulated edit).
+    "q92_snapshot_diff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val old = d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h_old"))
+      val nw = d.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).cast("binary")).as("h_new"))
+      old.join(nw, Seq("doc_id"), "full_outer")
+        .select(when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     // Broadcast RANGE JOIN (point-in-interval lookup): events assigned
     // to id-range batches (the reference's sync-batch shape) through the
     // custom as-of exec + coverage check — O(|left|·log|dim|), zero
@@ -1959,6 +1983,21 @@ object SparkEntry {
         |                    WHEN 'src2' THEN 1073741824
         |                    ELSE 536870912 END
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q92_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 10 <> 0),
+        |nw AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+        |           AS h_new
+        |  FROM documents WHERE doc_id % 10 <> 9)
+        |SELECT CASE WHEN h_old IS NULL THEN 'added'
+        |            WHEN h_new IS NULL THEN 'removed'
+        |            WHEN h_old <> h_new THEN 'changed'
+        |            ELSE 'unchanged' END AS status, count(*) AS n
+        |FROM old FULL OUTER JOIN nw USING (doc_id)
+        |GROUP BY status ORDER BY status""".stripMargin,
 
     "q91_range_join" ->
       """WITH mx AS (SELECT max(event_id) // 1000 AS m FROM events),
