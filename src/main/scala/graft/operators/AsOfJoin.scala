@@ -74,6 +74,27 @@ object AsOfJoin {
       valueCols.map(rAttr), forward))
   }
 
+  /** Cost-based dispatch: broadcast realization when the right side's
+    * Catalyst size estimate fits the session's
+    * `spark.sql.autoBroadcastJoinThreshold` (the same statistic Spark's
+    * own planner uses to pick BroadcastHashJoin), window realization
+    * otherwise. `thresholdBytes` overrides for testing/tuning; -1
+    * disables broadcasting entirely. */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      valueCols: Seq[String], forward: Boolean = false,
+      thresholdBytes: Option[Long] = None): DataFrame = {
+    val thr = thresholdBytes.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        left.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")))
+    val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (thr >= 0 && rightBytes <= thr)
+      asofBroadcast(left, right, keyCols, tsCol, valueCols, forward)
+    else if (forward) asofForward(left, right, keyCols, tsCol, valueCols)
+    else asofBackward(left, right, keyCols, tsCol, valueCols)
+  }
+
   private def asofImpl(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], tsCol: String,

@@ -111,6 +111,25 @@ class AsOfJoinSpec extends SparkSpec {
       == Seq(1.0, 2.0))
   }
 
+  test("broadcast as-of: empty timeline side yields all-null values") {
+    val left = Seq((1L, "k", 100L)).toDF("id", "key", "ts")
+    val right = Seq.empty[(String, Long, Double)].toDF("key", "ts", "v")
+    val out = AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", Seq("v"))
+    assert(out.count() == 1)
+    assert(out.head().isNullAt(out.columns.indexOf("v")))
+  }
+
+  test("cost-based dispatch: small dim broadcasts, large threshold-0 windows") {
+    val left = Seq((1L, "k", 100L)).toDF("id", "key", "ts")
+    val right = Seq(("k", 50L, 7.0)).toDF("key", "ts", "v")
+    val small = AsOfJoin.asof(left, right, Seq("key"), "ts", Seq("v"))
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+    val forced = AsOfJoin.asof(left, right, Seq("key"), "ts", Seq("v"),
+      thresholdBytes = Some(-1L))
+    assert(!forced.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+    assert(small.collect().toSeq == forced.collect().toSeq)
+  }
+
   test("binary search: bounds and duplicate-ts ties") {
     import graft.plans.BroadcastAsOfJoinExec.search
     val ts = Array(10L, 20L, 20L, 30L)

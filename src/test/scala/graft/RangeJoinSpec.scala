@@ -27,6 +27,13 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(100L), None, None))
   }
 
+  test("empty interval dim yields all-null values") {
+    val probes = Seq(5L).toDF("v")
+    val dim = Seq.empty[(Long, Long, String)].toDF("lo", "hi", "tag")
+    val out = RangeJoin.broadcastRangeLookup(probes, dim, "v", "lo", "hi", Seq("tag"))
+    assert(out.count() == 1 && out.head().isNullAt(1))
+  }
+
   test("agrees with the BETWEEN-join spelling on events batches") {
     val ev = sources.Tables.events(spark, sfDir).select("event_id")
     val batches = ev.agg(expr("max(event_id) div 100").as("mx"))
