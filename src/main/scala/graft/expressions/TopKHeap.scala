@@ -27,9 +27,15 @@ import org.apache.spark.sql.types._
 case class TopKPairsAgg(
     score: Expression, id: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
+
+  // analysis-time coercion/rejection instead of an executor-side
+  // ClassCastException on wrong-typed SQL inputs (return type inferred —
+  // AbstractDataType itself is private[sql])
+  override def inputTypes = Seq(DoubleType, LongType)
 
   private def cmp = TopKPairsAgg.cmp
 
@@ -58,10 +64,12 @@ case class TopKPairsAgg(
     a
   }
 
+  // NON-destructive: running window frames re-eval the same buffer after
+  // each row (as Spark's own TypedImperativeAggregates document), so the
+  // heap must survive eval — copy out and sort instead of polling.
   override def eval(buf: java.util.PriorityQueue[(Double, Long)]): Any = {
-    val arr = new Array[(Double, Long)](buf.size())
-    var i = arr.length - 1
-    while (i >= 0) { arr(i) = buf.poll(); i -= 1 }  // drain weakest-first
+    val arr = buf.toArray(new Array[(Double, Long)](buf.size()))
+    java.util.Arrays.sort(arr, TopKPairsAgg.cmp.reversed())
     new GenericArrayData(arr.map { case (s, id) =>
       InternalRow(s, id): Any
     })

@@ -55,6 +55,18 @@ object AsOfJoin {
     require(valueCols.forall(right.columns.contains), "valueCols must be in right")
     require(valueCols.forall(!lCols.contains(_)),
       "valueCols must not collide with left columns")
+    // The exec probes a hash map of UnsafeRow keys and reads ts as Long:
+    // a key dtype mismatch would silently never match (different physical
+    // layouts), and a non-Long ts would ClassCastException mid-job —
+    // reject both at plan time instead. Callers cast first.
+    require(left.schema(tsCol).dataType == org.apache.spark.sql.types.LongType &&
+      right.schema(tsCol).dataType == org.apache.spark.sql.types.LongType,
+      s"tsCol $tsCol must be LongType on both sides (cast first)")
+    keyCols.foreach { k =>
+      require(left.schema(k).dataType == right.schema(k).dataType,
+        s"key $k dtype mismatch: ${left.schema(k).dataType} vs " +
+          s"${right.schema(k).dataType} (cast to a common type first)")
+    }
     val lPlan = Bridge.analyzed(left)
     // Fresh exprIds on the build side so self-joins (same source both
     // sides) never alias attributes across children.
@@ -85,9 +97,16 @@ object AsOfJoin {
       keyCols: Seq[String], tsCol: String,
       valueCols: Seq[String], forward: Boolean = false,
       thresholdBytes: Option[Long] = None): DataFrame = {
-    val thr = thresholdBytes.getOrElse(
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
-        left.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")))
+    // conf accepts "-1" (broadcast disabled) and negative numbers, which
+    // JavaUtils.byteStringAsBytes rejects — mirror Spark's own
+    // ConfigHelpers.byteFromString minus-sign handling
+    val thr = thresholdBytes.getOrElse {
+      val s = left.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold").trim
+      if (s.startsWith("-"))
+        -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s.substring(1))
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s)
+    }
     val rightBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
     if (thr >= 0 && rightBytes <= thr)
       asofBroadcast(left, right, keyCols, tsCol, valueCols, forward)

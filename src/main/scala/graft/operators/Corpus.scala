@@ -73,12 +73,19 @@ object Corpus {
     * identical across engines, reruns, partitionings and cluster sizes,
     * and it composes (rate 0.5 of rate 0.2 = the same rows every time).
     * The standard reproducible-downsampling step for corpus curation. */
-  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame = {
-    val threshold = (rate * 4294967296.0).toLong
-    df.filter(
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
-        16, 10).cast("bigint") < threshold)
-  }
+  def hashSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.filter(md5Uniform(idCol) < rateThreshold(rate))
+
+  /** The portable md5 uniform in [0, 2³²) and its exact-long rate
+    * threshold — the cross-engine determinism contract shared by every
+    * sampling operator (DuckDB spelling:
+    * `('0x'||substr(md5(CAST(id AS VARCHAR)),1,8))::BIGINT`). One
+    * definition on purpose: a drift between copies would silently break
+    * the documented nesting/composition guarantees. */
+  private def md5Uniform(idCol: String): Column =
+    conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("bigint")
+  private def rateThreshold(rate: Double): Long = (rate * 4294967296.0).toLong
 
   /** Deterministic mixture sampling: per-group Bernoulli rates (the
     * "hit a target source mixture" curation step — web at 100%, forums
@@ -92,13 +99,11 @@ object Corpus {
     * scan-stage filter: no shuffle, no join, pushdown-friendly. */
   def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
-    def thr(r: Double): Long = (r * 4294967296.0).toLong
-    val threshold = rates.foldLeft(lit(thr(defaultRate))) {
-      case (acc, (g, r)) => when(col(groupCol) === g, lit(thr(r))).otherwise(acc)
+    val threshold = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (g, r)) =>
+        when(col(groupCol) === g, lit(rateThreshold(r))).otherwise(acc)
     }
-    df.filter(
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
-        16, 10).cast("bigint") < threshold)
+    df.filter(md5Uniform(idCol) < threshold)
   }
 
   /** Deterministic stratified cap: keep at most `cap` rows per stratum,

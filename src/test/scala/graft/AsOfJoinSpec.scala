@@ -130,6 +130,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(small.collect().toSeq == forced.collect().toSeq)
   }
 
+  test("dispatch honors autoBroadcastJoinThreshold=-1 (broadcast disabled)") {
+    val left = Seq((1L, "k", 100L)).toDF("id", "key", "ts")
+    val right = Seq(("k", 50L, 7.0)).toDF("key", "ts", "v")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = AsOfJoin.asof(left, right, Seq("key"), "ts", Seq("v"))
+      assert(!out.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+      assert(out.head().getDouble(3) == 7.0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("broadcast as-of rejects key dtype mismatch and non-Long ts at plan time") {
+    val left = Seq((1, 100L)).toDF("key", "ts")         // key: int
+    val right = Seq((1L, 50L, 7.0)).toDF("key", "ts", "v") // key: long
+    intercept[IllegalArgumentException](
+      AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", Seq("v")))
+    val leftIntTs = Seq((1L, 100)).toDF("key", "ts")    // ts: int
+    val rightL = Seq((1L, 50L, 7.0)).toDF("key", "ts", "v")
+    intercept[IllegalArgumentException](
+      AsOfJoin.asofBroadcast(leftIntTs, rightL, Seq("key"), "ts", Seq("v")))
+  }
+
   test("binary search: bounds and duplicate-ts ties") {
     import graft.plans.BroadcastAsOfJoinExec.search
     val ts = Array(10L, 20L, 20L, 30L)

@@ -119,6 +119,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(run(df.repartition(7)) == a)
   }
 
+  test("topk_pairs over a running window frame (non-destructive eval)") {
+    Seq((1L, 1.0), (2L, 3.0), (3L, 2.0)).toDF("i", "s")
+      .createOrReplaceTempView("tkw")
+    val out = spark.sql(
+      """SELECT i, CAST(topk_pairs(s, i, 2) OVER
+        |  (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS STRING) AS t FROM tkw ORDER BY i""".stripMargin)
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "[{1.0, 1}]"),
+      (2L, "[{3.0, 2}, {1.0, 1}]"),
+      (3L, "[{3.0, 2}, {2.0, 3}]")))
+  }
+
+  test("topk_pairs coerces numeric inputs at analysis time") {
+    Seq((1, 5), (2, 9)).toDF("i", "s").createOrReplaceTempView("tkc")
+    val out = spark.sql(
+      "SELECT CAST(topk_pairs(s, i, 1) AS STRING) FROM tkc")
+      .as[String].collect()
+    assert(out.toSeq == Seq("[{9.0, 2}]"))
+  }
+
   test("topk_pairs is callable from SQL via GraftExtensions") {
     Seq((1L, 2.0, 5L), (1L, 9.0, 6L)).toDF("g", "s", "i")
       .createOrReplaceTempView("tkp")
