@@ -749,6 +749,30 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // Exact-substring duplication signal (the distributed shape of
+    // suffix-array train-data dedup): per document, the fraction of its
+    // distinct 8-token windows that also occur in ANOTHER document.
+    // Two partial-agg shuffles over primitive (gram, doc) longs + one
+    // semi join — the gram table is O(corpus tokens) but 16 bytes/row,
+    // and nothing ever carries text. Same portable 31-bit md5 gram
+    // family as q63, so the whole pipeline is oracle-exact.
+    "q93_dup_ngram_coverage" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("doc_id"),
+        explode(graft.expressions.TextHash.shingleHashes31(col("text"), 8))
+          .as("g"))
+      // shingleHashes31 is per-doc distinct, so count(*) counts docs
+      val dup = sh.groupBy("g").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("g")
+      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val cov = sh.join(dup, Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      tot.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams").cast("int").as("n_grams"),
+          (coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_grams").cast("double")).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Tumbling event-time windows (1h) per event type — the batch
     // equivalent of the watermarked streaming aggregation (SyncSpec runs
     // the Structured Streaming realization); integer nanos bucketing.
@@ -1904,6 +1928,26 @@ object SparkEntry {
         |SELECT doc_id, split, n_tok,
         |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q93_dup_ngram_coverage" -> {
+      val cat = (0 until 8).map(k => if (k == 0) "t0[i]" else s"t0[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id,
+         |  string_split_regex(lower(trim(text)), '\\s+') AS t0 FROM documents),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(generate_series(1, len(t0) - 7),
+         |    i -> ('0x' || substr(md5($cat), 1, 8))::BIGINT % 2147483647))) AS g
+         | FROM tk),
+         |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id),
+         |cov AS (SELECT doc_id, count(*) AS n_dup FROM sh
+         |        WHERE g IN (SELECT g FROM dup) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(t.n_grams AS INT) AS n_grams,
+         |  CAST(coalesce(c.n_dup, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+         |    AS dup_frac
+         |FROM tot t LEFT JOIN cov c USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     "q63_contamination" -> {
       val cat = (0 until 8).map(k => if (k == 0) "t0[i]" else s"t0[i+$k]")
