@@ -749,6 +749,22 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // Token-balanced shard assignment over the GLOBAL doc order: each
+    // document's shard = its starting token offset div 20k. Computed by
+    // the distributed prefix sum (range partition → per-partition totals
+    // → broadcast offsets → carry pass), NEVER the single-partition
+    // window Spark would plan for an unpartitioned running sum — the
+    // oracle IS that window spelling, so the gate proves the distributed
+    // plan reproduces it exactly.
+    "q94_shard_assign" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tok"))
+      PrefixSum.globalRunningSum(d, "doc_id", "n_tok", "cum")
+        .select(col("doc_id"), col("n_tok").cast("int").as("n_tok"),
+          expr("(cum - n_tok) div 20000").as("shard"))
+        .orderBy("doc_id")
+    }),
+
     // Exact-substring duplication signal (the distributed shape of
     // suffix-array train-data dedup): per document, the fraction of its
     // distinct 8-token windows that also occur in ANOTHER document.
@@ -1928,6 +1944,16 @@ object SparkEntry {
         |SELECT doc_id, split, n_tok,
         |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q94_shard_assign" ->
+      """SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+        |       CAST((cum - n_tok) // 20000 AS BIGINT) AS shard
+        |FROM (SELECT doc_id, n_tok,
+        |        sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM (SELECT doc_id,
+        |              len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "q93_dup_ngram_coverage" -> {
       val cat = (0 until 8).map(k => if (k == 0) "t0[i]" else s"t0[i+$k]")
