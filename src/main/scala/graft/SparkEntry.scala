@@ -749,6 +749,25 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // Overlapping-window document chunking (embedding / RAG prep): each
+    // doc explodes into 64-token chunks at stride 48. All row-local —
+    // the explode happens in the scan stage, no shuffle until the final
+    // determinism sort; chunk counts are ceil((n-64)/48)+1 via the
+    // sequence of start offsets. Emits (doc_id, chunk_id, n_tokens).
+    "q95_chunking" -> ((s, dir) => {
+      val win = 64; val stride = 48
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(trim(col("text")))).as("n"))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("n"),
+          posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+            .as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+          least(lit(win), col("n") - col("start")).cast("int").as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Token-balanced shard assignment over the GLOBAL doc order: each
     // document's shard = its starting token offset div 20k. Computed by
     // the distributed prefix sum (range partition → per-partition totals
@@ -1944,6 +1963,19 @@ object SparkEntry {
         |SELECT doc_id, split, n_tok,
         |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q95_chunking" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, n,
+        |         unnest(generate_series(0, n - 1, 48)) AS start
+        |  FROM d)
+        |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+        |       CAST(least(64, n - start) AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q94_shard_assign" ->
       """SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
