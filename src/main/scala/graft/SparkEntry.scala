@@ -749,6 +749,28 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // Group-wise feature normalization (per-lang z-score of doc length —
+    // the ML-prep standardization step). Cross-engine float discipline
+    // (the q75 Gini pattern): everything stays exact 64-bit integer
+    // arithmetic — z = (x·n − Σx) / √(n·Σx² − (Σx)²) — until ONE double
+    // division and ONE correctly-rounded sqrt, so even the float scores
+    // hash-match. Never var_pop/stddev: engines disagree in ulps
+    // (Welford vs naive). Stats side is O(groups) → broadcast join.
+    "q96_zscore" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("x"))
+      val stats = d.groupBy("lang").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      d.join(broadcast(stats), Seq("lang"))
+        .withColumn("varnum", col("ss") * col("n") - col("s") * col("s"))
+        .filter(col("varnum") > 0)
+        .select(col("doc_id"), col("lang"),
+          ((col("x") * col("n") - col("s")).cast("double") /
+            sqrt(col("varnum").cast("double"))).as("z"))
+        .orderBy("doc_id")
+    }),
+
     // Overlapping-window document chunking (embedding / RAG prep): each
     // doc explodes into 64-token chunks at stride 48. All row-local —
     // the explode happens in the scan stage, no shuffle until the final
@@ -1963,6 +1985,18 @@ object SparkEntry {
         |SELECT doc_id, split, n_tok,
         |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q96_zscore" ->
+      """WITH stats AS (
+        |  SELECT lang, count(*) AS n, sum(n_chars) AS s,
+        |         sum(n_chars * n_chars) AS ss
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(d.n_chars * t.n - t.s AS DOUBLE)
+        |    / sqrt(CAST(t.ss * t.n - t.s * t.s AS DOUBLE)) AS z
+        |FROM documents d JOIN stats t USING (lang)
+        |WHERE t.ss * t.n - t.s * t.s > 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q95_chunking" ->
       """WITH d AS (
