@@ -32,10 +32,15 @@ object Bench {
     // read a cache built above — even when the target SF IS sf0.001.
     // (Janino's generated-code cache is JVM-level and survives this.)
     spark.catalog.clearCache()
+    // Per-query time = min over reps: one-off JIT/GC hiccups otherwise
+    // masquerade as plan regressions between rounds.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -125,6 +125,14 @@ object Scale {
           .as("top")).count()
     time("topk_agg_1x") { topkShape(ev1) }
     time(s"topk_agg_${mult}x") { topkShape(evN) }
+    // distributed prefix sum: N× rows through the carry pass — must be
+    // scan-bound (the offsets stage is P longs regardless of N)
+    def prefixShape(ev: DataFrame): Long =
+      operators.PrefixSum.globalRunningSum(
+        ev.select(col("event_id"), col("value").cast("long").as("v")),
+        "event_id", "v", "cum").count()
+    time("prefixsum_1x") { prefixShape(ev1) }
+    time(s"prefixsum_${mult}x") { prefixShape(evN) }
     spark.stop()
   }
 }
