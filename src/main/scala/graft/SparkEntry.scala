@@ -749,6 +749,23 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // Cross-source contamination matrix: for every source pair, how many
+    // distinct 8-grams they share — the curation diagnostic that tells
+    // you which corpora overlap before you budget dedup between them.
+    // The gram table is distinct (source, gram) pairs (primitive longs);
+    // the self-join shuffles on the gram key, counts partial-agg. Same
+    // portable gram family as q63/q93 → hash-exact oracle.
+    "q97_source_overlap" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("source"),
+        explode(graft.expressions.TextHash.shingleHashes31(col("text"), 8))
+          .as("g")).distinct()
+      sh.as("a").join(sh.as("b"), Seq("g"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // Group-wise feature normalization (per-lang z-score of doc length —
     // the ML-prep standardization step). Cross-engine float discipline
     // (the q75 Gini pattern): everything stays exact 64-bit integer
@@ -1985,6 +2002,21 @@ object SparkEntry {
         |SELECT doc_id, split, n_tok,
         |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q97_source_overlap" -> {
+      val cat = (0 until 8).map(k => if (k == 0) "t0[i]" else s"t0[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT source,
+         |  string_split_regex(lower(trim(text)), '\\s+') AS t0 FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |  unnest(list_distinct(list_transform(generate_series(1, len(t0) - 7),
+         |    i -> ('0x' || substr(md5($cat), 1, 8))::BIGINT % 2147483647))) AS g
+         | FROM tk)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       count(*) AS n_shared
+         |FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q96_zscore" ->
       """WITH stats AS (
