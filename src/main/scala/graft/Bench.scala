@@ -34,7 +34,7 @@ object Bench {
     spark.catalog.clearCache()
     // Per-query time = min over reps: one-off JIT/GC hiccups otherwise
     // masquerade as plan regressions between rounds.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val results = selected.map { case (name, fn) =>
       name -> (0 until reps).map { _ =>
         val t0 = System.nanoTime()

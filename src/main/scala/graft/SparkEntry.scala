@@ -774,10 +774,15 @@ object SparkEntry {
     // hash-match. Never var_pop/stddev: engines disagree in ulps
     // (Welford vs naive). Stats side is O(groups) → broadcast join.
     "q96_zscore" -> ((s, dir) => {
+      // moments in DECIMAL(38,0): Spark's long would wrap ss·n − s² past
+      // 2⁶³ (~3M same-lang docs of 1k chars) while DuckDB's HUGEINT stays
+      // exact — decimal keeps both sides exact to 38 digits, cast to
+      // double only at the end
       val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("x"))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("decimal(38,0)").as("x"))
       val stats = d.groupBy("lang").agg(
-        count(lit(1)).as("n"), sum(col("x")).as("s"),
+        count(lit(1)).cast("decimal(38,0)").as("n"), sum(col("x")).as("s"),
         sum(col("x") * col("x")).as("ss"))
       d.join(broadcast(stats), Seq("lang"))
         .withColumn("varnum", col("ss") * col("n") - col("s") * col("s"))
@@ -795,12 +800,18 @@ object SparkEntry {
     // sequence of start offsets. Emits (doc_id, chunk_id, n_tokens).
     "q95_chunking" -> ((s, dir) => {
       val win = 64; val stride = 48
+      // last start is the largest stride multiple ≤ n-(win-stride)-1 (or
+      // 0): any later start would yield a tail chunk fully contained in
+      // the previous window — redundant downstream. Empty/whitespace
+      // texts are excluded on the text itself (a tokenizer on "" yields
+      // [""], n=1 — not a real token).
       Tables.documents(s, dir)
+        .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           size(TextFunctions.tokens(trim(col("text")))).as("n"))
-        .filter(col("n") > 0)
         .select(col("doc_id"), col("n"),
-          posexplode(sequence(lit(0), col("n") - 1, lit(stride)))
+          posexplode(sequence(lit(0),
+            greatest(col("n") - lit(win - stride + 1), lit(0)), lit(stride)))
             .as(Seq("chunk_id", "start")))
         .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
           least(lit(win), col("n") - col("start")).cast("int").as("n_tokens"))
@@ -2037,7 +2048,7 @@ object SparkEntry {
         |  FROM documents WHERE length(trim(text)) > 0),
         |c AS (
         |  SELECT doc_id, n,
-        |         unnest(generate_series(0, n - 1, 48)) AS start
+        |         unnest(generate_series(0, greatest(n - 17, 0), 48)) AS start
         |  FROM d)
         |SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
         |       CAST(least(64, n - start) AS INT) AS n_tokens

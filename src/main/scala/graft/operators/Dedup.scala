@@ -43,9 +43,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
-  /** D1 as a filter: keep one representative row per distinct text. */
-  def dropTextDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+  /** D1 as a filter: keep one representative row per distinct text
+    * (lowest id wins). `key` overrides the dedup key — e.g.
+    * `md5(col("text").cast("binary"))` for the 128-bit raw-content key
+    * the curation pipeline uses (collision odds n²/2¹²⁹ at corpus
+    * scale, where a 64-bit key expects collisions past ~1e9 rows). */
+  def dropTextDuplicates(df: DataFrame, idCol: String, textCol: String,
+      key: Option[Column] = None): DataFrame = {
+    val w = Window.partitionBy(key.getOrElse(fingerprint(col(textCol))))
+      .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 

@@ -50,6 +50,14 @@ object PrefixSum {
         Row.fromSeq(r.toSeq :+ run)
       }
     }
-    spark.createDataFrame(outRdd, sorted.schema.add(outCol, LongType))
+    // Materialize the carry pass eagerly (it reads the cached sort, so
+    // this is one map-only job), then release the working cache — the
+    // checkpointed result's blocks are reclaimed by the ContextCleaner
+    // once unreferenced, where a .cache() would pin the sorted input for
+    // the session lifetime across repeated invocations.
+    val out = spark.createDataFrame(outRdd, sorted.schema.add(outCol, LongType))
+      .localCheckpoint(true)
+    sorted.unpersist(blocking = false)
+    out
   }
 }

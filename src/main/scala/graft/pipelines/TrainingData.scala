@@ -53,16 +53,20 @@ object TrainingData {
     val nIn = docs.count()
 
     // 1. exact dedup, keep min doc_id per 128-bit content hash
-    val w = Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")
-    val exact = docs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val exact = Dedup.dropTextDuplicates(docs, "doc_id", "text",
+      key = Some(md5(col("text").cast("binary"))))
     val nExact = exact.count()
 
-    // 2. row-local quality gate before any pairwise stage
+    // 2. row-local quality gate before any pairwise stage. Cached: the
+    // gated table feeds the near-dedup pair join, the cluster semi-join
+    // and the survivor count — without persistence the dedup window and
+    // gate would recompute for each (same for `near`/`clean` below,
+    // whose shingling passes are the expensive stages).
     val gated = exact
       .withColumn("__ntok", TextFunctions.tokenCount(col("text")))
       .filter(col("__ntok") >= cfg.minTokens &&
         TextFunctions.stopwordRatio(col("text"), cfg.stopwords) >= cfg.minStopRatio)
+      .cache()
     val nQual = gated.count()
 
     // 3. near-dedup: LSH pairs → connected components → keep cluster min
@@ -73,7 +77,7 @@ object TrainingData {
     val clusters = Dedup.duplicateClusters(gated, "doc_id", pairs)
     val near = gated.join(
       clusters.filter(col("cluster_id") === col("doc_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+      Seq("doc_id"), "left_semi").cache()
     val nNear = near.count()
 
     // 4. decontamination vs heldout n-grams (hashes only cross the wire)
@@ -84,7 +88,7 @@ object TrainingData {
       near.select(col("doc_id"), explode(graft.expressions.TextHash
         .shingleHashes31(col("text"), cfg.heldoutNgram)).as("g"))
         .join(heldGrams, Seq("g"), "left_semi").select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti")
+      Seq("doc_id"), "left_anti").cache()
     val nClean = clean.count()
 
     // 5-6. mixture sampling + deterministic split
@@ -102,6 +106,11 @@ object TrainingData {
       .drop("__cum", "__ntok")
     val nShards = sharded.agg(countDistinct("shard")).head().getLong(0)
 
+    // PrefixSum materialized `sharded` from its own cache, so the
+    // working tables can be released now
+    gated.unpersist(blocking = false)
+    near.unpersist(blocking = false)
+    clean.unpersist(blocking = false)
     (sharded, Report(nIn, nExact, nQual, nNear, nClean, nMix, nShards))
   }
 
@@ -111,7 +120,10 @@ object TrainingData {
   def writeShards(curated: DataFrame, basePath: String): Unit =
     curated.select("split").distinct().collect().map(_.getString(0))
       .foreach { sp =>
-        val part = curated.filter(col("split") === sp)
+        // the split lives in the directory name (Hive-style partition);
+        // keeping the column in the files too would make a partition-
+        // discovering read of basePath fail on the duplicate column
+        val part = curated.filter(col("split") === sp).drop("split")
         val nFiles = math.max(1,
           part.agg(countDistinct("shard")).head().getLong(0).toInt / 4)
         Layout.clusteredWrite(part, s"$basePath/split=$sp",
