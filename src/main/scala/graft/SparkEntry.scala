@@ -749,6 +749,53 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // Label-centroid cosine similarity matrix (embedding-space class
+    // analytics). Float-sum order-dependence would break the oracle, so
+    // components are quantized to exact 1e-4 integer units at the scan;
+    // centroid cosines reduce to integer sum-vector cosines (the counts
+    // cancel), exact 64-bit until the final division and two
+    // correctly-rounded sqrts. Shuffle keys are (label, pos) — O(labels
+    // × dims) — and the pairwise stage is label-count-sized.
+    "q98_centroid_sim" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos"),
+          floor(col("x").cast("double") * 10000.0 + 0.5).cast("long").as("qx"))
+      val sums = q.groupBy("label", "pos").agg(sum(col("qx")).as("sv"))
+      val norms = sums.groupBy("label").agg(sum(col("sv") * col("sv")).as("nrm"))
+      sums.as("a").join(sums.as("b"), Seq("pos"))
+        .filter(col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg(sum(col("a.sv") * col("b.sv")).as("dot"))
+        .join(norms.select(col("label").as("label_a"), col("nrm").as("na")),
+          Seq("label_a"))
+        .join(norms.select(col("label").as("label_b"), col("nrm").as("nb")),
+          Seq("label_b"))
+        .select(col("label_a"), col("label_b"),
+          (col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cos_sim"))
+        .orderBy("label_a", "label_b")
+    }),
+
+    // Blocked fuzzy string matching (entity resolution): part names
+    // within edit distance 12, candidates generated by a (brand, size)
+    // equi-join — the quadratic runs only inside blocks, and the
+    // levenshtein evaluates only on candidates. Both engines implement
+    // the same integer edit distance → exact oracle.
+    "q99_fuzzy_match" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .select("p_partkey", "p_brand", "p_size", "p_name")
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+            col("a.p_size") === col("b.p_size") &&
+            col("a.p_partkey") < col("b.p_partkey"))
+        .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+          levenshtein(col("a.p_name"), col("b.p_name")).as("dist"))
+        .filter(col("dist") <= 12)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Cross-source contamination matrix: for every source pair, how many
     // distinct 8-grams they share — the curation diagnostic that tells
     // you which corpora overlap before you budget dedup between them.
@@ -2013,6 +2060,37 @@ object SparkEntry {
         |SELECT doc_id, split, n_tok,
         |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q98_centroid_sim" ->
+      """WITH q AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+        |           AS BIGINT) AS qx
+        |  FROM embeddings),
+        |s AS (SELECT label, pos, CAST(sum(qx) AS BIGINT) AS sv
+        |      FROM q GROUP BY 1, 2),
+        |n AS (SELECT label, CAST(sum(sv * sv) AS BIGINT) AS nrm
+        |      FROM s GROUP BY 1),
+        |d AS (SELECT a.label AS label_a, b.label AS label_b,
+        |             CAST(sum(a.sv * b.sv) AS BIGINT) AS dot
+        |      FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT d.label_a, d.label_b,
+        |  CAST(dot AS DOUBLE)
+        |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE)))
+        |    AS cos_sim
+        |FROM d JOIN n na ON d.label_a = na.label
+        |       JOIN n nb ON d.label_b = nb.label
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q99_fuzzy_match" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q97_source_overlap" -> {
       val cat = (0 until 8).map(k => if (k == 0) "t0[i]" else s"t0[i+$k]")
