@@ -749,6 +749,30 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // Sessionized conversion funnel (view → click → purchase, strictly
+    // ordered within a 1h-gap session): staged conditional-min
+    // aggregations — each stage is a partial-agg groupBy on the session
+    // key joined to the previous stage's timestamps, never a per-session
+    // sort or collect. The funnel emits one row of stage survivor
+    // counts.
+    "q100_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts_ns", "event_type")
+      val sess = Sessions.sessionize(ev, "user_id", "ts_ns",
+        gapNanos = 3600L * 1000000000L)
+      val v = sess.groupBy("user_id", "session_id")
+        .agg(min(when(col("event_type") === "view", col("ts_ns"))).as("t_view"))
+        .filter(col("t_view").isNotNull)
+      val c = sess.join(v, Seq("user_id", "session_id"))
+        .filter(col("event_type") === "click" && col("ts_ns") > col("t_view"))
+        .groupBy("user_id", "session_id").agg(min("ts_ns").as("t_click"))
+      val p = sess.join(c, Seq("user_id", "session_id"))
+        .filter(col("event_type") === "purchase" && col("ts_ns") > col("t_click"))
+        .groupBy("user_id", "session_id").agg(min("ts_ns").as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+    }),
+
     // Label-centroid cosine similarity matrix (embedding-space class
     // analytics). Float-sum order-dependence would break the oracle, so
     // components are quantized to exact 1e-4 integer units at the scan;
@@ -2060,6 +2084,39 @@ object SparkEntry {
         |SELECT doc_id, split, n_tok,
         |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q100_funnel" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(CASE WHEN pts IS NOT NULL AND ts - pts > INTERVAL 1 HOUR
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+        |      AS session_id
+        |  FROM x),
+        |v AS (
+        |  SELECT user_id, session_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM sess GROUP BY 1, 2 HAVING t_view IS NOT NULL),
+        |c AS (
+        |  SELECT s.user_id, s.session_id, min(s.ts) AS t_click
+        |  FROM sess s JOIN v ON s.user_id = v.user_id
+        |                    AND s.session_id = v.session_id
+        |  WHERE s.event_type = 'click' AND s.ts > v.t_view
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT s.user_id, s.session_id, min(s.ts) AS t_purchase
+        |  FROM sess s JOIN c ON s.user_id = c.user_id
+        |                    AND s.session_id = c.session_id
+        |  WHERE s.event_type = 'purchase' AND s.ts > c.t_click
+        |  GROUP BY 1, 2)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
 
     "q98_centroid_sim" ->
       """WITH q AS (
