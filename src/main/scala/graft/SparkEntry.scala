@@ -749,6 +749,37 @@ object SparkEntry {
         .select("doc_id").distinct().orderBy("doc_id")
     }),
 
+    // Count-min sketch over corpus tokens (portable md5 hash rows, d=4 ×
+    // w=1024 counters): frequency estimation in FIXED memory — the
+    // sketch is O(d·w) counters regardless of vocabulary size, the
+    // at-scale alternative to a full frequency table, mergeable across
+    // partitions by counter addition (partial-agg for free). Emits the
+    // 20 most frequent tokens' true counts beside their sketch estimates
+    // (estimate ≥ truth by construction; hash-exact in both engines).
+    "q101_cms_sketch" -> ((s, dir) => {
+      val w = 1024L; val d = 4
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(lower(trim(col("text"))))).as("tok"))
+        .filter(col("tok") =!= "")
+      def bucket(tok: Column, r: Column): Column =
+        pmod(conv(substring(md5(concat(tok, lit("#"), r.cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("bigint"), lit(w))
+      val rowIds = array((0 until d).map(lit(_)): _*)
+      val counters = toks
+        .select(col("tok"), explode(rowIds).as("r"))
+        .select(col("r"), bucket(col("tok"), col("r")).as("bucket"))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+      val top20 = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc).limit(20)
+      top20.select(col("tok"), col("n"), explode(rowIds).as("r"))
+        .select(col("tok"), col("n"), col("r"),
+          bucket(col("tok"), col("r")).as("bucket"))
+        .join(counters, Seq("r", "bucket"))
+        .groupBy("tok", "n").agg(min(col("c")).as("cms_estimate"))
+        .select(col("tok"), col("n").as("true_count"), col("cms_estimate"))
+        .orderBy(col("true_count").desc, col("tok").asc)
+    }),
+
     // Sessionized conversion funnel (view → click → purchase, strictly
     // ordered within a 1h-gap session): staged conditional-min
     // aggregations — each stage is a partial-agg groupBy on the session
@@ -2084,6 +2115,26 @@ object SparkEntry {
         |SELECT doc_id, split, n_tok,
         |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q101_cms_sketch" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |t AS (SELECT tok FROM toks WHERE tok <> ''),
+        |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |counters AS (
+        |  SELECT r, ('0x' || substr(md5(tok || '#' || r), 1, 8))::BIGINT % 1024
+        |           AS bucket, count(*) AS c
+        |  FROM t, rows_ GROUP BY 1, 2),
+        |top20 AS (SELECT tok, count(*) AS n FROM t GROUP BY tok
+        |          ORDER BY n DESC, tok LIMIT 20)
+        |SELECT p.tok, CAST(p.n AS BIGINT) AS true_count,
+        |       CAST(min(c.c) AS BIGINT) AS cms_estimate
+        |FROM top20 p JOIN rows_ r ON TRUE
+        |JOIN counters c ON c.r = r.r AND c.bucket =
+        |  ('0x' || substr(md5(p.tok || '#' || r.r), 1, 8))::BIGINT % 1024
+        |GROUP BY 1, 2
+        |ORDER BY true_count DESC, tok""".stripMargin,
 
     "q100_funnel" ->
       """WITH x AS (
