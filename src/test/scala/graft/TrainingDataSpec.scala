@@ -54,5 +54,10 @@ class TrainingDataSpec extends SparkSpec {
     val back = spark.read.parquet(s"$out/split=train")
     assert(back.count() > 0)
     assert(back.columns.contains("shard"))
+    // the whole tree reads as one Hive-partitioned dataset (no duplicate
+    // split column in the files)
+    val whole = spark.read.parquet(out)
+    assert(whole.columns.count(_ == "split") == 1)
+    assert(whole.count() == curated.count())
   }
 }
