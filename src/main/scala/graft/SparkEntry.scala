@@ -758,19 +758,26 @@ object SparkEntry {
     // (estimate ≥ truth by construction; hash-exact in both engines).
     "q101_cms_sketch" -> ((s, dir) => {
       val w = 1024L; val d = 4
-      val toks = Tables.documents(s, dir)
+      // Single corpus scan: the exploded tokens are reduced to a distinct
+      // per-token frequency table first (one tokenize pass, one partial-agg
+      // shuffle on tok), and BOTH the CMS counter table and the top-20
+      // truth table derive from that small table — the counters by summing
+      // frequencies into (row, bucket) cells, the top-20 by ordering it.
+      // At corpus scale this replaces a second full tokenize scan with a
+      // distinct-vocabulary-sized aggregation.
+      val freq = Tables.documents(s, dir)
         .select(explode(TextFunctions.tokens(lower(trim(col("text"))))).as("tok"))
         .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
       def bucket(tok: Column, r: Column): Column =
         pmod(conv(substring(md5(concat(tok, lit("#"), r.cast("string"))
           .cast("binary")), 1, 8), 16, 10).cast("bigint"), lit(w))
       val rowIds = array((0 until d).map(lit(_)): _*)
-      val counters = toks
-        .select(col("tok"), explode(rowIds).as("r"))
-        .select(col("r"), bucket(col("tok"), col("r")).as("bucket"))
-        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
-      val top20 = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("tok").asc).limit(20)
+      val counters = freq
+        .select(col("tok"), col("n"), explode(rowIds).as("r"))
+        .select(col("r"), bucket(col("tok"), col("r")).as("bucket"), col("n"))
+        .groupBy("r", "bucket").agg(sum(col("n")).as("c"))
+      val top20 = freq.orderBy(col("n").desc, col("tok").asc).limit(20)
       top20.select(col("tok"), col("n"), explode(rowIds).as("r"))
         .select(col("tok"), col("n"), col("r"),
           bucket(col("tok"), col("r")).as("bucket"))
@@ -2113,7 +2120,8 @@ object SparkEntry {
         |  sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
         |SELECT doc_id, split, n_tok,
-        |  (cum - n_tok) // 2048 AS start_win, (cum - 1) // 2048 AS end_win
+        |  CAST((cum - n_tok) // 2048 AS BIGINT) AS start_win,
+        |  CAST((cum - 1) // 2048 AS BIGINT) AS end_win
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "q101_cms_sketch" ->
