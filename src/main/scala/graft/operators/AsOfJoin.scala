@@ -66,6 +66,25 @@ object AsOfJoin {
       require(left.schema(k).dataType == right.schema(k).dataType,
         s"key $k dtype mismatch: ${left.schema(k).dataType} vs " +
           s"${right.schema(k).dataType} (cast to a common type first)")
+      // The exec matches keys by raw UnsafeRow byte equality. For float
+      // types -0.0 vs 0.0 (and differing NaN bit patterns) are unequal
+      // bytes though SQL join equality matches them; Spark's own joins
+      // normalize via NormalizeFloatingNumbers, which does not fire on
+      // custom nodes — so reject float-typed keys at plan time.
+      def hasFloat(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType => true
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasFloat(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hasFloat(a.elementType)
+        case m: org.apache.spark.sql.types.MapType =>
+          hasFloat(m.keyType) || hasFloat(m.valueType)
+        case _ => false
+      }
+      require(!hasFloat(left.schema(k).dataType),
+        s"key $k is (or contains) FloatType/DoubleType, which byte-equality " +
+          "matching cannot compare like SQL = (-0.0/NaN); cast to a " +
+          "non-float type first")
     }
     val lPlan = Bridge.analyzed(left)
     // Fresh exprIds on the build side so self-joins (same source both

@@ -28,6 +28,14 @@ object RangeJoin {
       loCol: String, hiCol: String, valueCols: Seq[String],
       keyCols: Seq[String] = Nil): DataFrame = {
     require(!left.columns.contains("__hi"), "left must not contain __hi")
+    // The dim projection below aliases hiCol to __hi and loCol to the
+    // probe name: a keyCol/valueCol named __hi, or a valueCol that is
+    // also loCol/hiCol, would produce duplicate/ambiguous columns and a
+    // confusing analysis error (or a silently wrong coverage check).
+    require(!keyCols.contains("__hi") && !valueCols.contains("__hi"),
+      "keyCols/valueCols must not contain __hi")
+    require(valueCols.forall(v => v != loCol && v != hiCol),
+      "valueCols must be disjoint from loCol/hiCol")
     val dim = intervals.select(
       (keyCols.map(col) :+ col(loCol).as(probeCol) :+ col(hiCol).as("__hi")) ++
         valueCols.map(col): _*)

@@ -29,8 +29,10 @@ import org.apache.spark.sql.types.LongType
   * backward = latest right row with `right.ts <= left.ts` per key,
   * forward = earliest with `right.ts >= left.ts`; ties inclusive; no
   * match / NULL key / NULL ts → NULL values (SQL join semantics: NULL
-  * keys never match). Deterministic when (key, ts) is unique on the
-  * right; among duplicate right ts the highest-sorted row wins.
+  * keys never match). Duplicate (key, ts) build rows are ordered by a
+  * byte-lexicographic secondary sort on the value row, so the winner is
+  * deterministic across cluster sizes and partition layouts (backward
+  * picks the byte-greatest duplicate, forward the byte-least).
   */
 case class BroadcastAsOfJoin(
     left: LogicalPlan,
@@ -93,19 +95,32 @@ case class BroadcastAsOfJoinExec(
   /** Per-key timeline: ts ascending, values[i] aligned with ts[i]. */
   private type Timeline = (Array[Long], Array[UnsafeRow])
 
-  protected override def doExecute(): RDD[InternalRow] = {
+  /** Build once per plan instance: repeated actions over the same plan
+    * (bench reps, count-then-collect) reuse ONE broadcast rather than
+    * re-collecting the build side and leaking a fresh broadcast block
+    * per action. Guarded by `spark.sql.graft.asofBroadcastMaxRows`
+    * (default 10M) so a misjudged "dimension" fails fast instead of
+    * OOMing the driver mid-build. */
+  private lazy val buildBroadcast
+      : org.apache.spark.broadcast.Broadcast[java.util.HashMap[UnsafeRow, Timeline]] = {
     val buildRowsMetric = longMetric("buildRows")
-    val numOutputRows = longMetric("numOutputRows")
-
+    val maxRows = conf.getConfString(
+      "spark.sql.graft.asofBroadcastMaxRows", "10000000").toLong
     // --- driver-side build: key -> ts-sorted timeline ---
     val keyProj = UnsafeProjection.create(rightKeys, right.output)
     val valProj = UnsafeProjection.create(rightValues, right.output)
     val tsBound = BindReferences.bindReference(rightTs, right.output)
     val grouped = new java.util.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Long, UnsafeRow)]]()
+    var nBuild = 0L
     right.executeCollect().foreach { row =>
       val ts = tsBound.eval(row)
       val k = keyProj(row)
       if (ts != null && !k.anyNull) {     // SQL semantics: NULLs never match
+        nBuild += 1
+        if (nBuild > maxRows) throw new IllegalStateException(
+          s"as-of build side exceeds $maxRows rows " +
+            "(spark.sql.graft.asofBroadcastMaxRows); use the window " +
+            "realization (AsOfJoin.asofBackward/asofForward) instead")
         var buf = grouped.get(k)
         if (buf == null) {
           buf = new scala.collection.mutable.ArrayBuffer[(Long, UnsafeRow)]()
@@ -117,10 +132,27 @@ case class BroadcastAsOfJoinExec(
     }
     val built = new java.util.HashMap[UnsafeRow, Timeline](grouped.size())
     grouped.forEach { (k, buf) =>
-      val sorted = buf.sortBy(_._1)
+      // Secondary sort on value-row bytes: with duplicate (key, ts) rows
+      // the winning duplicate no longer depends on executeCollect order
+      // (physical partition layout) — identical results on any cluster.
+      val sorted = buf.sortWith { case ((t1, v1), (t2, v2)) =>
+        t1 < t2 || (t1 == t2 &&
+          BroadcastAsOfJoinExec.compareBytes(v1.getBytes, v2.getBytes) < 0)
+      }
       built.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
     }
-    val bcast = sparkContext.broadcast(built)
+    // Driver-side metric increments are invisible to the SQL UI unless
+    // posted explicitly.
+    val executionId = sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY)
+    SQLMetrics.postDriverMetricUpdates(
+      sparkContext, executionId, Seq(buildRowsMetric))
+    sparkContext.broadcast(built)
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val bcast = buildBroadcast
     val isForward = forward
     val (lKeys, lTs, lOut, vAttrs, out) = (leftKeys, leftTs, left.output, valueAttrs, output)
 
@@ -154,6 +186,19 @@ case class BroadcastAsOfJoinExec(
 }
 
 object BroadcastAsOfJoinExec {
+  /** Unsigned lexicographic byte comparison — the deterministic
+    * tie-break for duplicate (key, ts) timeline rows. */
+  def compareBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Backward: greatest i with ts(i) <= t. Forward: least i with
     * ts(i) >= t. Returns -1 when no such element. Among duplicate ts,
     * backward returns the last duplicate, forward the first — both are

@@ -153,6 +153,47 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.asofBroadcast(leftIntTs, rightL, Seq("key"), "ts", Seq("v")))
   }
 
+  test("broadcast as-of rejects float-typed keys at plan time") {
+    // UnsafeRow byte equality can't match -0.0/0.0 or NaN bit patterns
+    // the way SQL = does; the guard rejects rather than silently missing.
+    val left = Seq((1.0d, 100L)).toDF("key", "ts")
+    val right = Seq((1.0d, 50L, 7.0)).toDF("key", "ts", "v")
+    intercept[IllegalArgumentException](
+      AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", Seq("v")))
+  }
+
+  test("duplicate (key, ts) build rows pick a layout-independent winner") {
+    val left = Seq(("k", 100L)).toDF("key", "ts")
+    val dups = Seq(("k", 50L, "aaa"), ("k", 50L, "zzz"), ("k", 50L, "mmm"))
+    def run(layout: org.apache.spark.sql.DataFrame) =
+      AsOfJoin.asofBroadcast(left, layout, Seq("key"), "ts", Seq("v"))
+        .select("v").as[String].head()
+    val r1 = run(dups.toDF("key", "ts", "v").repartition(5))
+    val r2 = run(dups.reverse.toDF("key", "ts", "v").coalesce(1))
+    assert(r1 == r2)  // byte-order tie-break, not executeCollect order
+    val fwd = AsOfJoin.asofBroadcast(left.withColumn("ts", lit(10L)),
+      dups.toDF("key", "ts", "v").repartition(3), Seq("key"), "ts",
+      Seq("v"), forward = true).select("v").as[String].head()
+    assert(fwd == "aaa" && r1 == "zzz")  // forward byte-least, backward byte-greatest
+  }
+
+  test("build-side row cap fails fast instead of OOMing the driver") {
+    val left = Seq(("k", 100L)).toDF("key", "ts")
+    val right = (1L to 10L).map(i => ("k", i, i.toDouble)).toDF("key", "ts", "v")
+    val saved = spark.conf.getOption("spark.sql.graft.asofBroadcastMaxRows")
+    try {
+      spark.conf.set("spark.sql.graft.asofBroadcastMaxRows", "5")
+      val ex = intercept[Exception](
+        AsOfJoin.asofBroadcast(left, right, Seq("key"), "ts", Seq("v")).collect())
+      assert(ex.getMessage.contains("asofBroadcastMaxRows"), ex.getMessage)
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.graft.asofBroadcastMaxRows", v)
+        case None => spark.conf.unset("spark.sql.graft.asofBroadcastMaxRows")
+      }
+    }
+  }
+
   test("binary search: bounds and duplicate-ts ties") {
     import graft.plans.BroadcastAsOfJoinExec.search
     val ts = Array(10L, 20L, 20L, 30L)

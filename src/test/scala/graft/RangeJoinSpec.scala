@@ -27,6 +27,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(100L), None, None))
   }
 
+  test("rejects __hi collisions and valueCols overlapping loCol/hiCol") {
+    val probes = Seq(5L).toDF("v")
+    val dim = Seq((0L, 9L, "a")).toDF("lo", "hi", "tag")
+    intercept[IllegalArgumentException](RangeJoin.broadcastRangeLookup(
+      probes, dim.withColumnRenamed("tag", "__hi"), "v", "lo", "hi", Seq("__hi")))
+    intercept[IllegalArgumentException](RangeJoin.broadcastRangeLookup(
+      probes, dim, "v", "lo", "hi", Seq("hi")))
+    intercept[IllegalArgumentException](RangeJoin.broadcastRangeLookup(
+      probes, dim, "v", "lo", "hi", Seq("lo")))
+  }
+
   test("empty interval dim yields all-null values") {
     val probes = Seq(5L).toDF("v")
     val dim = Seq.empty[(Long, Long, String)].toDF("lo", "hi", "tag")
