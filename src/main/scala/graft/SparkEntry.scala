@@ -385,6 +385,16 @@ object SparkEntry {
         Dedup.simHashHex(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    // SimHash hamming-radius retrieval: pigeonhole banding (4 bands of
+    // 16 bits > radius 3 ⇒ recall 1.0) generates candidates, exact
+    // xor-popcount verifies — the radius-k retrieval SimHash exists for,
+    // not just exact-band collisions. Portable md5 signatures.
+    "q102_simhash_radius" -> ((s, dir) =>
+      Dedup.simHashNearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3, bands = 4, maxBucketSize = 1 << 16,
+        portableHash = true)
+        .orderBy("id_a", "id_b")),
+
     // n-gram (2-gram shingle) Jaccard similarity self-join, blocked on
     // (lang, source): low thresholds defeat prefix filtering, so the
     // economical exact plan is tight blocking + per-block quadratic —
@@ -1725,6 +1735,51 @@ object SparkEntry {
         |      1 + b[8*k+1] + 2*b[8*k+2] + 4*b[8*k+3] + 8*b[8*k+4], 1)), '')
         |  AS simhash
         |FROM bits ORDER BY doc_id""".stripMargin,
+
+    // q29's signature CTEs + pigeonhole bands (4 hex chars = 16 bits),
+    // candidate pairs share a band, exact hamming via half-word
+    // xor/bit_count (64-bit hex exceeds signed BIGINT; 32-bit halves
+    // don't). CAST: bit_count yields TINYINT, Spark emits BIGINT.
+    "q102_simhash_radius" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+        |    tkn -> md5(tkn)) AS hs
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, list_transform(range(64), j ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |      CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(h, 2*(j//8) + CASE WHEN j%8 < 4 THEN 2 ELSE 1 END, 1)) - 1)
+        |          >> (CASE WHEN j%8 < 4 THEN j%8 ELSE j%8 - 4 END)) & 1 = 1
+        |      THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END) AS b
+        |  FROM d),
+        |sigs AS (
+        |  SELECT doc_id AS id, array_to_string(list_transform(range(8), k ->
+        |      substr('0123456789abcdef',
+        |        1 + b[8*k+5] + 2*b[8*k+6] + 4*b[8*k+7] + 8*b[8*k+8], 1) ||
+        |      substr('0123456789abcdef',
+        |        1 + b[8*k+1] + 2*b[8*k+2] + 4*b[8*k+3] + 8*b[8*k+4], 1)), '')
+        |    AS sig
+        |  FROM bits),
+        |bnd AS (
+        |  SELECT id, bb.band, substr(sig, 4*bb.band + 1, 4) AS bucket
+        |  FROM sigs, (SELECT unnest([0,1,2,3]) AS band) bb),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, c.id AS id_b
+        |  FROM bnd a JOIN bnd c
+        |    ON a.band = c.band AND a.bucket = c.bucket AND a.id < c.id),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(bit_count(xor(('0x'||substr(sa.sig,1,8))::BIGINT,
+        |                       ('0x'||substr(sb.sig,1,8))::BIGINT)) +
+        |         bit_count(xor(('0x'||substr(sa.sig,9,8))::BIGINT,
+        |                       ('0x'||substr(sb.sig,9,8))::BIGINT)) AS BIGINT)
+        |      AS hamming
+        |  FROM cand c JOIN sigs sa ON sa.id = c.id_a
+        |              JOIN sigs sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Exact mirror of the portable Rademacher-LSH ANN: sign components
     // from md5('hp{t}_{bit}_{d}'), 16 tables × 6 bits, candidates =

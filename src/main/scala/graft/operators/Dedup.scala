@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   *    from banding never survive. Signature width and band count are the
   *    standard precision/recall dials (r rows × b bands, s-curve
   *    threshold ≈ (1/b)^(1/r)).
-  *  - SimHash = 64-bit per-row signature; near-dups = signatures equal on
-  *    all-but-k rotated bands; here exact-band match (hamming radius via
-  *    multi-probe is a follow-up).
+  *  - SimHash = 64-bit per-row signature; near-dups within hamming radius
+  *    k via pigeonhole banding ([[simHashNearDuplicates]]): with
+  *    bands > k, a pair differing in ≤ k bits must agree exactly on at
+  *    least bands − k bands, so generating candidates from every band
+  *    gives recall 1.0 at radius k — strictly stronger than
+  *    perturbation-style multi-probe, with the same bucketed cost shape
+  *    as MinHash-LSH (Manku et al., WWW'07).
   */
 object Dedup {
 
@@ -131,15 +135,7 @@ object Dedup {
     // capped collect stops buffering at maxBucketSize+1 elements, so a
     // degenerate bucket costs O(cap) memory, not O(bucket) — the guard
     // cannot OOM on the very skew it guards against.
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(graft.expressions.CollectCapped
-        .collectLongsCapped(col("id"), maxBucketSize).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-    val cand = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = bucketPairs(banded, maxBucketSize)
     if (exactVerify)
       cand
         .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -175,6 +171,91 @@ object Dedup {
     }
     bits.foldLeft(lit(0L))((acc, b) => shiftleft(acc, 1) + b)
   }
+
+  /** SimHash near-duplicate pairs within hamming radius `maxHamming`.
+    *
+    * Candidate generation is pigeonhole banding over the 64-bit
+    * signature: the signature splits into `bands` equal slices, and a
+    * pair with ≤ `maxHamming` differing bits can dirty at most
+    * `maxHamming` slices, so it matches exactly on at least
+    * `bands − maxHamming` of them. With `bands > maxHamming`, EVERY
+    * within-radius pair shares at least one band bucket → recall 1.0,
+    * no probing heuristics. Precision comes from the verification step:
+    * candidates are deduplicated, then exact hamming distance
+    * (popcount of xor) filters to the radius.
+    *
+    * Scale shape mirrors [[minHashNearDuplicates]]: the banded shuffle
+    * carries (band, slice, id) only; hot buckets (a non-discriminative
+    * slice — e.g. a boilerplate-heavy corpus where one 16-bit slice is
+    * constant) are capped by `maxBucketSize` with O(cap) memory; the
+    * signature table is cached once and is ~100× narrower than the
+    * corpus. Growing `bands` trades larger candidate volume for a wider
+    * guaranteed radius (bands = k+1 is the minimum for radius k).
+    *
+    * `portableHash` switches to the md5 bit-vote signature
+    * ([[simHashHex]]) with hex-substring band keys and half-word xor
+    * popcounts — reproducible in any engine for oracle checking.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming
+    */
+  def simHashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4, maxBucketSize: Int = 64,
+      portableHash: Boolean = false): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands > maxHamming ($bands <= $maxHamming)")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bitsPerBand = 64 / bands
+    if (portableHash) {
+      require(bitsPerBand % 4 == 0,
+        s"portable banding needs hex-aligned bands (64/$bands bits)")
+      val hexPerBand = bitsPerBand / 4
+      val sigs = df.select(col(idCol).as("id"),
+        simHashHex(col(textCol)).as("sig")).cache()
+      val banded = sigs.select(col("id"), posexplode(array((0 until bands).map(b =>
+          substring(col("sig"), b * hexPerBand + 1, hexPerBand)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      // 64-bit hex doesn't fit a signed BIGINT conv; xor/popcount the two
+      // 32-bit halves instead — same arithmetic in DuckDB.
+      def half(sig: Column, off: Int): Column =
+        conv(substring(sig, off, 8), 16, 10).cast("long")
+      def hamming(a: Column, b: Column): Column =
+        (bit_count(half(a, 1).bitwiseXOR(half(b, 1))) +
+          bit_count(half(a, 9).bitwiseXOR(half(b, 9)))).cast("long")
+      bucketPairs(banded, maxBucketSize)
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          hamming(col("sig_a"), col("sig_b")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    } else {
+      val mask = (1L << bitsPerBand) - 1
+      val sigs = df.select(col(idCol).as("id"),
+        simHash(col(textCol)).as("sig")).cache()
+      val banded = sigs.select(col("id"), posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      bucketPairs(banded, maxBucketSize)
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    }
+  }
+
+  /** Shared LSH bucket→pair kernel: one shuffle groups (band, bucket),
+    * caps hot buckets at O(cap) memory via the early-stopping collect,
+    * explodes member pairs map-side, and deduplicates candidates. */
+  private def bucketPairs(banded: DataFrame, maxBucketSize: Int): DataFrame =
+    banded.groupBy("band", "bucket")
+      .agg(graft.expressions.CollectCapped
+        .collectLongsCapped(col("id"), maxBucketSize).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
   /** Exact n-gram-Jaccard similarity join via prefix filtering
     * (AllPairs/PPJoin family): tokens are globally ordered by document

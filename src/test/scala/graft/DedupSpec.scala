@@ -54,6 +54,44 @@ class DedupSpec extends SparkSpec {
     assert(hamming13 <= 16)
   }
 
+  test("simHashNearDuplicates equals brute-force hamming at the radius (both paths)") {
+    // Pigeonhole banding promises recall 1.0 within maxHamming; after
+    // exact verification, output must EQUAL all-pairs brute force.
+    val corpus = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).unionByName(docs)
+    for (portable <- Seq(false, true); k <- Seq(0, 3)) {
+      val got = Dedup.simHashNearDuplicates(corpus, "doc_id", "text",
+        maxHamming = k, bands = 4, maxBucketSize = 1 << 16,
+        portableHash = portable)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      val sigCol = if (portable)
+        shiftleft(conv(substring(Dedup.simHashHex(col("text")), 1, 8), 16, 10)
+          .cast("long"), 32).bitwiseOR(
+          conv(substring(Dedup.simHashHex(col("text")), 9, 8), 16, 10).cast("long"))
+      else Dedup.simHash(col("text"))
+      val sigs = corpus.select(col("doc_id"), sigCol.as("s"))
+        .as[(Long, Long)].collect()
+      val want = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= k
+      } yield (ia, ib, h.toLong)).toSet
+      assert(got == want, s"portable=$portable k=$k got=${got.size} want=${want.size}")
+    }
+  }
+
+  test("simHashNearDuplicates caps hot buckets and validates parameters") {
+    intercept[IllegalArgumentException](
+      Dedup.simHashNearDuplicates(docs, "doc_id", "text", maxHamming = 4, bands = 4))
+    intercept[IllegalArgumentException](
+      Dedup.simHashNearDuplicates(docs, "doc_id", "text", maxHamming = 2, bands = 5))
+    // 1+2 are exact dups: with a bucket cap of 1 every bucket with both
+    // members overflows and is dropped — no pairs survive.
+    val capped = Dedup.simHashNearDuplicates(docs, "doc_id", "text",
+      maxHamming = 0, bands = 4, maxBucketSize = 1)
+    assert(capped.count() == 0)
+  }
+
   test("duplicateClusters: chains collapse into one component, singletons stay") {
     val ids = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
     // chain 1-2, 2-3 → {1,2,3}; pair 4-5 → {4,5}; 6 singleton
