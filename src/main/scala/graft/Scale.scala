@@ -1,8 +1,8 @@
 package graft
 
-import graft.operators.{Aggregations, Corpus, Dedup, Enrichment, Graph, LogIndex, Skew}
+import graft.operators.{Aggregations, Corpus, Dedup, Enrichment, Graph, LogIndex, Sessions, Skew}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-up evidence harness: runs the heavy operator shapes on 1× and
@@ -102,6 +102,86 @@ object Scale {
     }
     time("pagerank_1x") { pagerankShape(li1) }
     time(s"pagerank_${mult}x") { pagerankShape(liN) }
+    // co-bucketed big-graph regime: the edge table shuffles ONCE at
+    // layout; each round is a bucketed join (zero Exchange) + one
+    // narrow (dst, c) agg — growth must track the layout write, with
+    // the per-round cost rank-table-bound
+    def pagerankBucketShape(li: DataFrame, tag: String): Long = {
+      val pairs = li.select((col("l_orderkey") * 2).as("o"),
+        (col("l_partkey") * 2 + 1).as("p")).distinct()
+      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
+      Graph.pageRankCoBucketed(edges, iterations = 3, numBuckets = 32,
+        tablePrefix = s"graft_scale_pr_$tag").count()
+    }
+    time("pagerank_cobucket_1x") { pagerankBucketShape(li1, "a") }
+    time(s"pagerank_cobucket_${mult}x") { pagerankBucketShape(liN, "b") }
+    // cross-source overlap (q97 shape): the self-join runs on distinct
+    // (source, gram) pairs — N× corpus with a ~fixed source set must be
+    // tokenize/distinct-bound, not join-bound
+    def overlapShape(docs: DataFrame): Long = {
+      val sh = docs.select(col("source"),
+        explode(graft.expressions.TextHash.shingleHashes31(col("text"), 8))
+          .as("g")).distinct()
+      sh.as("a").join(sh.as("b"), Seq("g"))
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared")).count()
+    }
+    time("srcoverlap_1x") { overlapShape(docs1) }
+    time(s"srcoverlap_${mult}x") { overlapShape(docsN) }
+    // staged funnel (q100 shape): chained conditional-min partial aggs
+    // on the session key — no per-session sort/collect anywhere, so N×
+    // events must stay agg-bound
+    def funnelShape(ev: DataFrame): Long = {
+      val sess = Sessions.sessionize(ev.select("user_id", "ts_ns", "event_type"),
+        "user_id", "ts_ns", gapNanos = 3600L * 1000000000L)
+      val v = sess.groupBy("user_id", "session_id")
+        .agg(min(when(col("event_type") === "view", col("ts_ns"))).as("t_view"))
+        .filter(col("t_view").isNotNull)
+      val c = sess.join(v, Seq("user_id", "session_id"))
+        .filter(col("event_type") === "click" && col("ts_ns") > col("t_view"))
+        .groupBy("user_id", "session_id").agg(min("ts_ns").as("t_click"))
+      val p = sess.join(c, Seq("user_id", "session_id"))
+        .filter(col("event_type") === "purchase" && col("ts_ns") > col("t_click"))
+        .groupBy("user_id", "session_id").agg(min("ts_ns").as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_full_funnel"))).count()
+    }
+    time("funnel_1x") { funnelShape(ev1) }
+    time(s"funnel_${mult}x") { funnelShape(evN) }
+    // CMS sketch (q101 shape, post-single-scan fix): one tokenize pass
+    // into a distinct-token frequency table; counters and top-20 both
+    // derive from it — growth must track the tokenize scan
+    def cmsShape(docs: DataFrame): Long = {
+      val freq = docs.select(explode(graft.functions.TextFunctions
+          .tokens(lower(trim(col("text"))))).as("tok"))
+        .filter(col("tok") =!= "").groupBy("tok").agg(count(lit(1)).as("n"))
+      def bucket(tok: Column, r: Column): Column =
+        pmod(conv(substring(md5(concat(tok, lit("#"), r.cast("string"))
+          .cast("binary")), 1, 8), 16, 10).cast("bigint"), lit(1024L))
+      val rowIds = array((0 until 4).map(lit(_)): _*)
+      val counters = freq.select(col("tok"), col("n"), explode(rowIds).as("r"))
+        .select(col("r"), bucket(col("tok"), col("r")).as("bucket"), col("n"))
+        .groupBy("r", "bucket").agg(sum(col("n")).as("c"))
+      freq.orderBy(col("n").desc, col("tok").asc).limit(20)
+        .select(col("tok"), col("n"), explode(rowIds).as("r"))
+        .select(col("tok"), col("n"), col("r"),
+          bucket(col("tok"), col("r")).as("bucket"))
+        .join(counters, Seq("r", "bucket"))
+        .groupBy("tok", "n").agg(min(col("c")).as("cms_estimate")).count()
+    }
+    time("cms_1x") { cmsShape(docs1) }
+    time(s"cms_${mult}x") { cmsShape(docsN) }
+    // simhash radius (q102 shape): banded candidates with the hot-bucket
+    // cap active — N× templated corpus makes buckets hotter, the cap
+    // keeps candidate volume bounded
+    def simhashShape(docs: DataFrame): Long =
+      Dedup.simHashNearDuplicates(docs, "doc_id", "text",
+        maxHamming = 3, bands = 4, maxBucketSize = 256).count()
+    time("simhash_radius_1x") { simhashShape(docs1) }
+    time(s"simhash_radius_${mult}x") { simhashShape(docsN) }
     time("tfidf_1x") { Corpus.tfIdfTopK(docs1, "doc_id", "text", 5).count() }
     time(s"tfidf_${mult}x") { Corpus.tfIdfTopK(docsN, "doc_id", "text", 5).count() }
     // broadcast as-of: the probe side is amplified N×, the broadcast

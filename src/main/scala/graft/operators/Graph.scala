@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph algorithms over plain (src, dst) edge DataFrames —
@@ -119,4 +119,72 @@ object Graph {
     ew.unpersist(blocking = false)
     ranks
   }
+
+  /** Big-graph regime — the cluster answer above `broadcastNodeLimit`
+    * that the adaptive path's scaladoc promises: edges live as a table
+    * bucketed by src (degree attached at layout time), and each round's
+    * rank table is written bucketed by the SAME key and bucket count, so
+    * the per-round edges⋈ranks join plans bucket-to-bucket with ZERO
+    * Exchange on either side — the 100-TB edge table is shuffled exactly
+    * once (at layout) and never again. The only per-round exchange is
+    * the narrow (dst, contribution) aggregation, and because the
+    * aggregation's output partitioning (hash by dst) is the bucket
+    * partitioning of the next rank table, the bucketed write emits
+    * straight from the agg tasks. Per-round Exchange count: 1 (vs 3+
+    * for the naive shuffle-join loop) — asserted in GraphSpec.
+    *
+    * Contract: symmetric edge set (u→v ⇒ v→u), same as
+    * `pageRankFixedPoint(symmetric = true)`; results are bit-identical
+    * to it (same integer fixed-point math). Tables are created under
+    * `tablePrefix` and dropped before returning; the returned frame is
+    * materialized first.
+    */
+  def pageRankCoBucketed(edges: DataFrame, iterations: Int,
+      numBuckets: Int = 32, scale: Long = 1000000L,
+      dampingScaled: Long = 850000L,
+      tablePrefix: String = "graft_pr"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1, "co-bucketed loop needs >= 1 iteration")
+    val spark = edges.sparkSession
+    val edgesTbl = s"${tablePrefix}_edges"
+    def rankTbl(i: Int) = s"${tablePrefix}_ranks_$i"
+    // Layout: ONE shuffle on src fuses the degree window and the bucket
+    // placement; every later round reads this table in place.
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+    graft.io.Bucketing.writeBucketed(ew, edgesTbl, Seq("src"), numBuckets)
+    val base = scale - dampingScaled
+    // Round 1 propagates the constant flat rank — no join needed.
+    graft.io.Bucketing.writeBucketed(
+      spark.table(edgesTbl)
+        .select(col("dst"), expr(s"$scale div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("src"),
+          (lit(base) + expr(s"($dampingScaled * s) div $scale")).as("rank")),
+      rankTbl(1), Seq("src"), numBuckets)
+    var it = 1
+    while (it < iterations) {
+      it += 1
+      graft.io.Bucketing.writeBucketed(
+        coBucketedRound(spark, edgesTbl, rankTbl(it - 1), scale, dampingScaled),
+        rankTbl(it), Seq("src"), numBuckets)
+    }
+    val out = spark.table(rankTbl(it))
+      .select(col("src").as("id"), col("rank")).localCheckpoint(true)
+    (1 to it).foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${rankTbl(i)}"))
+    spark.sql(s"DROP TABLE IF EXISTS $edgesTbl")
+    out
+  }
+
+  /** One co-bucketed propagation round (exposed for plan inspection):
+    * the bucketed-table join carries no Exchange; the (dst, c) agg is
+    * the round's single shuffle. */
+  def coBucketedRound(spark: SparkSession, edgesTable: String,
+      ranksTable: String, scale: Long, dampingScaled: Long): DataFrame =
+    spark.table(edgesTable).join(spark.table(ranksTable), Seq("src"))
+      .select(col("dst"), expr("rank div deg").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("s"))
+      .select(col("dst").as("src"),
+        (lit(scale - dampingScaled) + expr(s"($dampingScaled * s) div $scale"))
+          .as("rank"))
 }

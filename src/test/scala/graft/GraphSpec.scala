@@ -36,6 +36,54 @@ class GraphSpec extends SparkSpec {
     assert(small == big)
   }
 
+  test("co-bucketed regime matches the broadcast regime bit-for-bit") {
+    // symmetric graph (the regime's contract), mixed hub + ring
+    val pairs = (Seq.tabulate(40)(i => (100L, i.toLong + 1)) ++
+      Seq.tabulate(60)(i => (i.toLong + 1, (i + 1).toLong % 60 + 1)))
+      .filter { case (a, b) => a != b }.distinct
+    val e = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val want = Graph.pageRankFixedPoint(e, iterations = 3, symmetric = true)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val got = Graph.pageRankCoBucketed(e, iterations = 3, numBuckets = 4,
+      tablePrefix = "graftspec_pr")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    // work tables are dropped on exit
+    assert(!spark.catalog.tableExists("graftspec_pr_edges"))
+    assert(!spark.catalog.tableExists("graftspec_pr_ranks_1"))
+  }
+
+  test("co-bucketed round plans exactly one Exchange (the dst agg), none for the join") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the bucketed SortMergeJoin (a broadcast join would also be
+      // exchange-free but wouldn't demonstrate the bucket co-location)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      io.Bucketing.writeBucketed(
+        e.withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src"))),
+        "graftspec_rb_edges", Seq("src"), 4)
+      io.Bucketing.writeBucketed(
+        e.select(col("src")).distinct().withColumn("rank", lit(1000000L)),
+        "graftspec_rb_ranks", Seq("src"), 4)
+      val round = Graph.coBucketedRound(spark, "graftspec_rb_edges",
+        "graftspec_rb_ranks", 1000000L, 850000L)
+      val plan = round.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).length == 1, plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // and the answer is right: flat ranks in, one propagation out
+      val got = round.orderBy("src").as[(Long, Long)].collect().toSeq
+      val want = Graph.pageRankFixedPoint(e, iterations = 1, symmetric = true)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graftspec_rb_edges")
+      spark.sql("DROP TABLE IF EXISTS graftspec_rb_ranks")
+    }
+  }
+
   test("dangling nodes keep the base rank") {
     val e = Seq((1L, 2L)).toDF("src", "dst") // 2 has no out-edges
     val r = Graph.pageRankFixedPoint(e, 2).as[(Long, Long)].collect().toMap
