@@ -70,9 +70,38 @@ object Multimodal {
     }
   }
 
+  /** Real file ingestion: a directory tree read through Spark's
+    * `binaryFile` source into the media schema (+ a trailing `path`
+    * column for provenance). Media kind/format derive from the file
+    * extension; `media_id` is a 64-bit hash of the path (stable across
+    * runs and clusters). `pathGlobFilter` pushes the glob into file
+    * listing — never reads non-matching payloads — and payloads stay in
+    * the scan stage exactly like the synthesized path. */
+  def fromBinaryFiles(spark: SparkSession, dir: String,
+      glob: Option[String] = None, recursive: Boolean = true): DataFrame = {
+    val reader = glob.foldLeft(spark.read.format("binaryFile"))(
+      (r, g) => r.option("pathGlobFilter", g))
+      .option("recursiveFileLookup", recursive.toString)
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    val kind = when(ext.isin("png", "jpg", "jpeg", "gif", "bmp", "webp"), "image")
+      .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+      .when(ext.isin("mp4", "avi", "mkv", "webm", "mov"), "video")
+      .otherwise("binary")
+    reader.load(dir).select(
+      xxhash64(col("path")).as("media_id"),
+      col("content").as("payload"),
+      struct(
+        kind.as("kind"),
+        ext.as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        col("length").as("n_bytes")).as("meta"),
+      col("path"))
+  }
+
   /** Wrap a source table into the media schema (payload synthesized from
-    * a string column here; in production this is `spark.read.format
-    * ("binaryFile")` or parquet with a binary column). */
+    * a string column here; [[fromBinaryFiles]] is the real-file path). */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
@@ -86,11 +115,38 @@ object Multimodal {
         length(col("text")).cast("long").as("n_bytes")).as("meta"))
 
   /** Partition by cumulative payload bytes — the decode stage's unit of
-    * work — instead of row count. */
+    * work — instead of row count. Byte-balanced bin packing: a global
+    * running sum of payload bytes (distributed prefix sum, never the
+    * single-partition window) assigns each row the bin of its last
+    * byte, so every decode task sees ~`targetBytesPerPartition` even
+    * when one partition's files are 1000× another's. A file bigger than
+    * the target gets a bin to itself (a payload can't split). Plain
+    * `repartition(n)` round-robins by ROW and leaves byte-skew intact —
+    * exactly what kills decode stages on mixed thumbnail/4K corpora. */
   def repartitionForDecode(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val totalBytes = media.agg(sum(col("meta.n_bytes"))).head().getLong(0)
-    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
-    media.repartition(parts)
+    val totalRow = media.agg(sum(col("meta.n_bytes"))).head()
+    if (totalRow.isNullAt(0)) return media  // empty input
+    val parts = math.max(1,
+      math.ceil(totalRow.getLong(0).toDouble / targetBytesPerPartition).toInt)
+    val cum = graft.operators.PrefixSum.globalRunningSum(
+      media.withColumn("__nb", coalesce(col("meta.n_bytes"), lit(0L))),
+      "media_id", "__nb", "__cum")
+    val binned = cum.withColumn("__bin",
+      expr(s"(__cum - 1) div ${targetBytesPerPartition}L"))
+    // Exact bin → partition identity: range partitioning SAMPLES its
+    // boundaries and can merge two bins into one task; a hash would
+    // collide them. This is the same deliberate RDD hop as the prefix
+    // sum's carry pass — the payload shuffle happens either way.
+    val schema = binned.schema
+    val binIdx = schema.fieldIndex("__bin")
+    val placed = binned.rdd.map(r => (r.getLong(binIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = parts
+        override def getPartition(key: Any): Int =
+          math.min(key.asInstanceOf[Long], (parts - 1).toLong).toInt
+      }).values
+    media.sparkSession.createDataFrame(placed, schema)
+      .drop("__nb", "__cum", "__bin")
   }
 
   /** Decode → feature-extract as a per-partition batch map. Output:

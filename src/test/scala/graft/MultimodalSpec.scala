@@ -50,4 +50,89 @@ class MultimodalSpec extends SparkSpec {
     val total = media.agg(sum("meta.n_bytes")).head().getLong(0)
     assert(m.rdd.getNumPartitions == math.ceil(total / 10000.0).toInt)
   }
+
+  // --- real-file ingestion (spark.read.format("binaryFile")) ---
+
+  /** Mixed-size file tree: a handful of "4K videos" 100× the size of a
+    * crowd of thumbnails, nested one directory deep. */
+  private def writeTree(root: java.nio.file.Path): Map[String, Array[Byte]] = {
+    val sub = root.resolve("nested")
+    java.nio.file.Files.createDirectories(sub)
+    def put(p: java.nio.file.Path, seed: Int, n: Int): (String, Array[Byte]) = {
+      val bytes = Array.tabulate[Byte](n)(i => ((i * seed + seed) % 251).toByte)
+      java.nio.file.Files.write(p, bytes)
+      // keyed by file NAME: Spark renders the path as a Hadoop URI whose
+      // slash count differs from java.nio's
+      (p.getFileName.toString, bytes)
+    }
+    (Seq.tabulate(40)(i => put(root.resolve(f"thumb_$i%02d.png"), i + 1, 1000 + i)) ++
+      Seq.tabulate(3)(i => put(sub.resolve(s"clip_$i.mp4"), 100 + i, 120000 + i)) ++
+      Seq(put(root.resolve("track.wav"), 7, 5000),
+          put(root.resolve("notes.txt"), 9, 800))).toMap
+  }
+
+  test("fromBinaryFiles reads a real file tree into the media schema") {
+    val root = java.nio.file.Files.createTempDirectory("graft_media")
+    try {
+      val files = writeTree(root)
+      val m = Multimodal.fromBinaryFiles(spark, root.toString)
+      // schema = mediaSchema + provenance path (nullability aside — file
+      // metadata columns arrive non-nullable-agnostic from the source)
+      assert(m.schema.fields.take(3).map(f => (f.name, f.dataType.catalogString)).toSeq
+        == Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq)
+      val rows = m.select("path", "payload", "meta.kind", "meta.format",
+        "meta.n_bytes").collect()
+      assert(rows.length == files.size) // recursive lookup found the nested clips
+      rows.foreach { r =>
+        val want = files(r.getString(0).split('/').last)
+        assert(r.getAs[Array[Byte]](1).toSeq == want.toSeq, r.getString(0))
+        assert(r.getLong(4) == want.length.toLong)
+      }
+      val kinds = rows.map(r => (r.getString(3), r.getString(2))).toMap
+      assert(kinds("png") == "image" && kinds("mp4") == "video" &&
+        kinds("wav") == "audio" && kinds("txt") == "binary")
+      // media_id is a stable path hash → unique here
+      assert(m.select("media_id").distinct().count() == files.size)
+      // glob pushdown: only matching payloads are read
+      val pngs = Multimodal.fromBinaryFiles(spark, root.toString,
+        glob = Some("*.png"))
+      assert(pngs.count() == 40)
+      assert(pngs.select("meta.format").distinct().head().getString(0) == "png")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("repartitionForDecode byte-balances a genuinely skewed file tree") {
+    val root = java.nio.file.Files.createTempDirectory("graft_media_skew")
+    try {
+      writeTree(root)
+      val m = Multimodal.fromBinaryFiles(spark, root.toString)
+      val target = 60000L
+      val maxFile = m.agg(max("meta.n_bytes")).head().getLong(0)
+      val binned = Multimodal.repartitionForDecode(m, target)
+      val perPart = binned.rdd.mapPartitions { it =>
+        Iterator.single(it.map(r =>
+          Option(r.getAs[Array[Byte]]("payload")).map(_.length.toLong)
+            .getOrElse(0L)).sum)
+      }.collect()
+      // every row survives, and no decode task sees more than one bin's
+      // worth of bytes plus a single over-boundary file
+      assert(binned.count() == m.count())
+      assert(perPart.max <= target + maxFile,
+        s"max partition ${perPart.max} vs bound ${target + maxFile}")
+      // the 3 big clips (2x the target each) cannot share one task
+      val clipsPerPart = binned.rdd.mapPartitions { it =>
+        Iterator.single(it.count(r =>
+          Option(r.getAs[Array[Byte]]("payload")).exists(_.length >= 120000)))
+      }.collect()
+      assert(clipsPerPart.max <= 1, clipsPerPart.toSeq.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
