@@ -1402,7 +1402,64 @@ object SparkEntry {
             least(stopR * lit(5.0), lit(1.0)) * lit(0.3),
           lit(0.0)), lit(1.0)).as("quality"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Bloom-filter join pruning: dim keys → portable md5 bitset
+    // (driver collect bounded by mBits, NOT build cardinality) →
+    // zero-shuffle scan-stage probe of the fact side. n_bloom ≥ n_exact
+    // per group shows the false-positive envelope the filter trades for
+    // never shuffling non-candidate rows. The explicit form of Spark's
+    // own runtime bloom_filter_agg rewrite — reproducible cross-engine.
+    "q103_bloom_prune" -> ((s, dir) => {
+      val m = 4096
+      val dim = Tables.part(s, dir).filter(col("p_size") <= 5).select("p_partkey")
+      val bits = Bloom.buildBits(dim, "p_partkey", m)
+      val li = Tables.lineitem(s, dir)
+      val bloomCnt = li.filter(Bloom.mightContain(bits, col("l_partkey"), m))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_bloom"))
+      val exactCnt = li.join(dim, li("l_partkey") === dim("p_partkey"), "left_semi")
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n_exact"))
+      bloomCnt.join(exactCnt, Seq("l_returnflag")).orderBy("l_returnflag")
+    }),
+
+    // KMV (bottom-k) distinct-count sketch vs exact ndv, per group: the
+    // mergeable cardinality estimator whose estimate is itself exact
+    // integer arithmetic over the portable md5 uniform — so even the
+    // APPROXIMATION hash-matches the oracle (same property as q101's
+    // CMS). Bounded-heap agg: map-side buffers ≤ k, shuffle O(groups·k).
+    "q104_kmv_distinct" -> ((s, dir) =>
+      Sketch.kmvDistinct(Tables.lineitem(s, dir), "l_partkey",
+        Seq("l_returnflag"), k = 256)
+        .orderBy("l_returnflag")),
+
+    // Dataset profiling: per-column row/null/distinct counts + string-
+    // form min/max in ONE aggregation pass (Expand × |cols|, single
+    // 1-row shuffle). Timestamp pre-cast to DATE — the cross-engine-
+    // stable string form (doubles excluded for the same reason).
+    "q105_profile" -> ((s, dir) =>
+      Profile.profile(
+        Tables.lineitem(s, dir).withColumn("l_shipdate",
+          col("l_shipdate").cast("date")),
+        Seq("l_returnflag", "l_linestatus", "l_orderkey", "l_partkey",
+          "l_suppkey", "l_linenumber", "l_shipdate"))
+        .orderBy("column")),
+
+    // Collocation extraction (lift ≥ liftNum/liftDen, exact integer
+    // cross-multiplication — the no-log PMI): bigram + unigram partial
+    // aggs, vocab-sized broadcasts, corpus never re-shuffles.
+    "q106_collocations" -> ((s, dir) =>
+      Corpus.collocations(Tables.documents(s, dir), "text",
+        minPairCount = 3L, liftNum = 13L, liftDen = 10L)
+        .orderBy("w1", "w2")),
+
+    // CCNet-style span-level dedup: consecutive 8-token spans, global
+    // first-occurrence survivorship, per-doc duplicated-span fraction.
+    // Spans shuffle as 16-byte hashes, never text; window groups are
+    // duplicate-cluster-sized.
+    "q107_span_dedup" -> ((s, dir) =>
+      Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text",
+        spanTokens = 8)
+        .orderBy("doc_id"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2661,6 +2718,118 @@ object SparkEntry {
         |       * sqrt(list_sum(list_transform(b.embedding,
         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b FROM p WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin
+        |SELECT id_a, id_b FROM p WHERE sim >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q103_bloom_prune" ->
+      """WITH keys AS (SELECT p_partkey FROM part WHERE p_size <= 5),
+        |pos AS (
+        |  SELECT ('0x'||substr(md5(CAST(p_partkey AS VARCHAR)),1,8))::BIGINT % 4096 AS p
+        |  FROM keys
+        |  UNION
+        |  SELECT ('0x'||substr(md5(CAST(p_partkey AS VARCHAR)),9,8))::BIGINT % 4096
+        |  FROM keys),
+        |b AS (
+        |  SELECT l_returnflag, count(*) AS n_bloom FROM lineitem
+        |  WHERE ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8))::BIGINT % 4096
+        |          IN (SELECT p FROM pos)
+        |    AND ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),9,8))::BIGINT % 4096
+        |          IN (SELECT p FROM pos)
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT l_returnflag, count(*) AS n_exact FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM keys) GROUP BY 1)
+        |SELECT l_returnflag, n_bloom, n_exact FROM b JOIN e USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q104_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h),
+        |g AS (
+        |  SELECT l_returnflag, count(*) AS ndv,
+        |    max(CASE WHEN rn = 256 THEN h END) AS h_k
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CAST(CASE WHEN ndv < 256 THEN ndv
+        |       ELSE (255 * 4294967296) // h_k END AS BIGINT) AS est_ndv,
+        |  ndv AS exact_ndv
+        |FROM g ORDER BY l_returnflag""".stripMargin,
+
+    "q105_profile" ->
+      """SELECT 'l_returnflag' AS "column", count(*) AS n_rows,
+        |  count(l_returnflag) AS n_nonnull, count(DISTINCT l_returnflag) AS n_distinct,
+        |  min(CAST(l_returnflag AS VARCHAR)) AS min_s,
+        |  max(CAST(l_returnflag AS VARCHAR)) AS max_s FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', count(*), count(l_linestatus),
+        |  count(DISTINCT l_linestatus), min(CAST(l_linestatus AS VARCHAR)),
+        |  max(CAST(l_linestatus AS VARCHAR)) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_orderkey', count(*), count(l_orderkey),
+        |  count(DISTINCT l_orderkey), min(CAST(l_orderkey AS VARCHAR)),
+        |  max(CAST(l_orderkey AS VARCHAR)) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', count(*), count(l_partkey),
+        |  count(DISTINCT l_partkey), min(CAST(l_partkey AS VARCHAR)),
+        |  max(CAST(l_partkey AS VARCHAR)) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', count(*), count(l_suppkey),
+        |  count(DISTINCT l_suppkey), min(CAST(l_suppkey AS VARCHAR)),
+        |  max(CAST(l_suppkey AS VARCHAR)) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', count(*), count(l_linenumber),
+        |  count(DISTINCT l_linenumber), min(CAST(l_linenumber AS VARCHAR)),
+        |  max(CAST(l_linenumber AS VARCHAR)) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', count(*), count(l_shipdate),
+        |  count(DISTINCT CAST(l_shipdate AS DATE)),
+        |  min(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)),
+        |  max(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) FROM lineitem
+        |ORDER BY "column"""".stripMargin,
+
+    "q106_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |uni AS (
+        |  SELECT u.w FROM t, UNNEST(toks) AS u(w) WHERE u.w <> ''),
+        |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |n AS (SELECT count(*) AS n_uni FROM uni),
+        |bi AS (
+        |  SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c_xy
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3)
+        |SELECT w1, w2, c_xy, x.c AS c_x, y.c AS c_y, n_uni
+        |FROM bi JOIN uc x ON bi.w1 = x.w JOIN uc y ON bi.w2 = y.w, n
+        |WHERE c_xy * n_uni * 10 >= 13 * x.c * y.c
+        |ORDER BY w1, w2""".stripMargin,
+
+    "q107_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\s+')) > 0),
+        |s AS (
+        |  SELECT doc_id, i AS span_idx,
+        |    md5(array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')) AS h
+        |  FROM t, UNNEST(generate_series(0, (len(toks) + 7) // 8 - 1)) AS u(i)),
+        |r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+        |  FROM s),
+        |g AS (
+        |  SELECT doc_id, count(*) AS n_spans,
+        |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+        |  FROM r GROUP BY doc_id)
+        |SELECT doc_id, n_spans, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(n_spans - n_kept AS DOUBLE) / CAST(n_spans AS DOUBLE)
+        |    AS dup_span_frac
+        |FROM g ORDER BY doc_id""".stripMargin
   )
 }

@@ -125,4 +125,42 @@ object Corpus {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** Collocation extraction: adjacent token pairs whose observed count
+    * beats independence by at least `liftNum/liftDen` — the corpus step
+    * that surfaces multi-word terms ("new york") before tokenizer
+    * training. Scoring is LIFT, the exp of PMI under the unigram-space
+    * convention: lift(x,y) = c_xy·N / (c_x·c_y) with N = total token
+    * occurrences. The threshold is applied by exact integer
+    * cross-multiplication (c_xy·N·liftDen ≥ liftNum·c_x·c_y) — no
+    * log(), no float division, so the selected pair set is bit-identical
+    * in any engine (the same reason tfIdfTopK uses rational idf).
+    *
+    * Scale shape: two partial-agg shuffles (bigram counts O(|bigram
+    * vocab|), unigram counts O(|vocab|)); the unigram table and the
+    * 1-row total are broadcast into the bigram stream, which never
+    * re-shuffles. Products stay < 2⁶³ while c_xy·N·liftDen < 9·10¹⁸ —
+    * at larger corpora scale the counts down or move to DECIMAL.
+    *
+    * Output: w1, w2, c_xy, c_x, c_y, n_uni (counts kept so downstream
+    * can re-rank with any PMI variant without rescanning the corpus). */
+  def collocations(df: DataFrame, textCol: String, minPairCount: Long,
+      liftNum: Long, liftDen: Long = 1L): DataFrame = {
+    val toks = df.select(TextFunctions.tokens(lower(trim(col(textCol)))).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w")).filter(col("w") =!= "")
+    val uniCnt = uni.groupBy("w").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(count(lit(1)).as("n_uni"))
+    val bi = toks
+      .select(explode(graft.expressions.TextHash.adjacentPairs(col("toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minPairCount)
+      .select(split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"), col("c_xy"))
+    bi.join(broadcast(uniCnt.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
+      .join(broadcast(uniCnt.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
+      .crossJoin(broadcast(nUni))
+      .filter(col("c_xy") * col("n_uni") * lit(liftDen) >=
+        lit(liftNum) * col("c_x") * col("c_y"))
+      .select("w1", "w2", "c_xy", "c_x", "c_y", "n_uni")
+  }
 }

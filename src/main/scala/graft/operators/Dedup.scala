@@ -59,6 +59,42 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Sub-document (span-level) dedup, CCNet/RefinedWeb line-dedup shape:
+    * each document splits into consecutive `spanTokens`-token spans; a
+    * span survives only at its globally FIRST occurrence (min (id,
+    * span_idx) across the corpus — within-document repeats deduplicate
+    * too). Returns per-document span counts + the duplicated-span
+    * fraction, the signal used to drop boilerplate-heavy documents.
+    *
+    * Scale shape: spans never shuffle as text — each span md5-hashes at
+    * the scan stage and the exchange carries (16-byte hash, id,
+    * span_idx). The first-occurrence window partitions by span hash, so
+    * sort groups are duplicate-cluster-sized (bounded by a span's
+    * corpus-wide multiplicity), not document- or partition-sized.
+    * Integer-ratio double for the fraction — cross-engine exact. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    val spans = df
+      .select(col(idCol).as("__id"),
+        tokens(lower(trim(col(textCol)))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("__id"), posexplode(expr(
+        s"""transform(sequence(0, (size(toks) + ${spanTokens - 1}) div $spanTokens - 1),
+           |          i -> array_join(slice(toks, i * $spanTokens + 1, $spanTokens), ' '))"""
+          .stripMargin)))
+      .select(col("__id"), col("pos").as("span_idx"),
+        md5(col("col").cast("binary")).as("__h"))
+    val w = Window.partitionBy("__h").orderBy("__id", "span_idx")
+    spans.withColumn("__rn", row_number().over(w))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("dup_span_frac",
+        (col("n_spans") - col("n_kept")).cast("double")
+          / col("n_spans").cast("double"))
+  }
+
   /** MinHash signature: for each of `numHashes` hash functions, the min
     * over the document's shingle set of an independent 64-bit hash.
     * Single fused codegen'd pass (graft.expressions.MinHashSig). */

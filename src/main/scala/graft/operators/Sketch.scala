@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.expressions.TopKHeap
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketching: the K-Minimum-Values (KMV / bottom-k)
+  * distinct-count estimator (Bar-Yossef et al. 2002 — the order-statistics
+  * family HyperLogLog also belongs to).
+  *
+  * Estimate: hash every key to a uniform 32-bit value, keep the k
+  * smallest DISTINCT hashes; if the k-th smallest is h₍ₖ₎, the keys are
+  * roughly evenly spaced every h₍ₖ₎/(k−1) of the hash space, so
+  * ndv ≈ (k−1)·2³² / h₍ₖ₎ (relative error ~1/√k). Groups with fewer
+  * than k distinct hashes report their exact count.
+  *
+  * Why not `approx_count_distinct`: Spark's HLL++ is neither cross-
+  * engine reproducible nor an inspectable artifact. KMV over the
+  * portable md5 uniform (CLAUDE.md hash-family invariants) is exact
+  * integer arithmetic end-to-end — the estimate itself hash-matches a
+  * DuckDB oracle — and the bottom-k set is a mergeable sketch: the
+  * union's bottom-k is the bottom-k of the per-part unions, so
+  * per-partition/per-day sketches compose without rescanning.
+  *
+  * Scale shape: one distinct-agg shuffle of (group, hash) — O(ndv)
+  * narrow rows — then a bounded-heap aggregate ([[TopKHeap]]) whose
+  * map-side buffers never exceed k entries and whose final shuffle is
+  * O(groups·k). No window sort over whole groups, no hot-key buffering.
+  */
+object Sketch {
+
+  /** The portable 32-bit uniform hash (same family as Corpus.hashSample;
+    * DuckDB: `('0x'||substr(md5(CAST(x AS VARCHAR)),1,8))::BIGINT`). */
+  def md5Uniform32(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("bigint")
+
+  /** Per-group KMV ndv estimate next to the exact count.
+    *
+    * Output: groupCols*, est_ndv, exact_ndv — exact_ndv is the audit
+    * column (at 100 TB you would drop it; here it doubles as the
+    * accuracy demonstration the oracle verifies).
+    *
+    * The k smallest distinct hashes per group are kept by feeding the
+    * NEGATED hash as the heap score ([[TopKHeap]] keeps k largest), so
+    * the emitted array is hash-ascending and element k is h₍ₖ₎.
+    * Hashes are < 2³² — exact in the heap's Double score. */
+  def kmvDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val g = groupCols.map(col)
+    val hashes = df
+      .select(g :+ md5Uniform32(col(keyCol)).as("__h"): _*)
+      .distinct()
+    val sketch = hashes
+      .groupBy(g: _*)
+      .agg(TopKHeap.topKPairs(-col("__h").cast("double"), col("__h"), k).as("__mins"),
+        count(lit(1)).as("__ndv"))
+    // __ndv (distinct hashes) is exact here because the distinct() above
+    // already reduced to one row per (group, hash); at true sketch scale
+    // you would keep only __mins and estimate from it alone.
+    sketch.select(g ++ Seq(
+      when(col("__ndv") < k, col("__ndv"))
+        .otherwise(expr(s"(${k - 1}L * 4294967296L) div element_at(__mins, $k).id"))
+        .as("est_ndv"),
+      col("__ndv").as("exact_ndv")): _*)
+  }
+}

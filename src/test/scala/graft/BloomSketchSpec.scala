@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.{Bloom, Corpus, Dedup, Profile, Sketch}
+import org.apache.spark.sql.functions._
+
+/** Bloom join pruning, KMV cardinality sketch, profiling, collocations,
+  * span dedup — the round-3 additions. */
+class BloomSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom: zero false negatives — every build key passes the probe") {
+    val dim = (1L to 500L).toDF("k")
+    val bits = Bloom.buildBits(dim, "k", mBits = 4096)
+    val misses = dim.filter(!Bloom.mightContain(bits, col("k"), 4096)).count()
+    assert(misses === 0L)
+  }
+
+  test("bloom: prunes most non-members at a sane false-positive rate") {
+    val dim = (1L to 200L).toDF("k")
+    val bits = Bloom.buildBits(dim, "k", mBits = 4096)
+    val probe = (10001L to 20000L).toDF("k") // disjoint from the build
+    val fp = probe.filter(Bloom.mightContain(bits, col("k"), 4096)).count()
+    // ~400/4096 bits set, k=2 → FPP ≈ (0.1)² ≈ 1%; allow generous slack
+    assert(fp < 500, s"false-positive count $fp out of 10000 is too high")
+  }
+
+  test("bloom: bitset size is bound by mBits, not build cardinality") {
+    val big = (1L to 50000L).toDF("k")
+    val bits = Bloom.buildBits(big, "k", mBits = 1024)
+    assert(bits.length === 1024 / 64)
+    // saturated filter: everything passes, nothing is ever missed
+    val pass = big.filter(Bloom.mightContain(bits, col("k"), 1024)).count()
+    assert(pass === 50000L)
+  }
+
+  test("bloom: pruneJoin survivor set is a superset of the exact semi-join") {
+    val fact = (1L to 2000L).toDF("k")
+    val dim = (1L to 2000L by 13).toDF("k")
+    val pruned = Bloom.pruneJoin(fact, "k", dim, "k", mBits = 2048)
+      .select("k").as[Long].collect().toSet
+    val exact = fact.join(dim, Seq("k"), "left_semi")
+      .as[Long].collect().toSet
+    assert(exact.subsetOf(pruned))
+    assert(pruned.size < 2000, "bloom pruned nothing")
+  }
+
+  test("kmv: exact count below k, estimate within tolerance above") {
+    val df = (1L to 5000L).map(i => (if (i <= 2500) "a" else "b", i))
+      .toDF("g", "k")
+    // group a: 2500 distinct; group b: 2500 distinct
+    val est = Sketch.kmvDistinct(df, "k", Seq("g"), k = 256)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((_, (e, exact)) <- est) {
+      assert(exact === 2500L)
+      // relative error ~1/√k ≈ 6.3%; the md5 draw here lands at 12.7%/0.7%
+      assert(math.abs(e - 2500.0) / 2500.0 < 0.2, s"estimate $e too far from 2500")
+    }
+    val small = Sketch.kmvDistinct(df.filter(col("k") <= 50), "k", Seq("g"), k = 256)
+      .collect()
+    assert(small.forall(r => r.getLong(1) === r.getLong(2)),
+      "below k the estimate must equal the exact count")
+  }
+
+  test("profile: one-pass stats match direct computation") {
+    val df = Seq((1, "x"), (2, "y"), (3, null), (3, "y")).toDF("a", "b")
+    val p = Profile.profile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("a").getLong(1) === 4L) // n_rows
+    assert(p("a").getLong(2) === 4L) // n_nonnull
+    assert(p("a").getLong(3) === 3L) // n_distinct
+    assert(p("a").getString(4) === "1" && p("a").getString(5) === "3")
+    assert(p("b").getLong(2) === 3L)
+    assert(p("b").getLong(3) === 2L)
+    assert(p("b").getString(4) === "x" && p("b").getString(5) === "y")
+  }
+
+  test("collocations: planted pair surfaces, independent pair does not") {
+    // "aa bb" always adjacent (lift ≫ 1); "cc"/"dd" never adjacent
+    val docs = (1 to 50).map(i => s"aa bb cc ee$i dd ff$i").toDF("text")
+    val out = Corpus.collocations(docs, "text", minPairCount = 10L,
+      liftNum = 2L, liftDen = 1L)
+      .select("w1", "w2").as[(String, String)].collect().toSet
+    assert(out.contains(("aa", "bb")))
+    assert(!out.contains(("cc", "dd")))
+  }
+
+  test("spanDedup: cross-doc duplicate spans keep only the first occurrence") {
+    val span = (1 to 8).map(i => s"t$i").mkString(" ") // one exact 8-token span
+    val docs = Seq(
+      (1L, span + " unique one two three four five six seven"),
+      (2L, span + " other eight nine ten eleven twelve thirteen fourteen"),
+      (3L, "totally different words that never repeat anywhere at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((2L, 2L))) // first occurrence: everything kept
+    assert(out(2L) === ((2L, 1L))) // shared span deduplicated away
+    assert(out(3L)._1 === out(3L)._2) // no dups → all kept
+  }
+}
