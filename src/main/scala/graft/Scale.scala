@@ -213,6 +213,41 @@ object Scale {
         "event_id", "v", "cum").count()
     time("prefixsum_1x") { prefixShape(ev1) }
     time(s"prefixsum_${mult}x") { prefixShape(evN) }
+    // bloom prune (q103 shape): probe side scales N×, the filter build
+    // stays dim-bound and the probe is a zero-shuffle scan predicate —
+    // runtime must track the fact scan
+    def bloomShape(li: DataFrame): Long = {
+      val dim = Tables.part(spark, dir).filter(col("p_size") <= 5)
+        .select("p_partkey")
+      operators.Bloom.pruneJoin(li, "l_partkey", dim, "p_partkey",
+        mBits = 1 << 16).count()
+    }
+    time("bloom_prune_1x") { bloomShape(li1) }
+    time(s"bloom_prune_${mult}x") { bloomShape(liN) }
+    // kmv sketch (q104 shape) keyed on the AMPLIFIED key: the distinct
+    // shuffle carries O(ndv) rows (ndv grows N×), the heap agg stays
+    // O(groups·k) — growth must be distinct-bound, never sort-bound
+    def kmvShape(li: DataFrame): Long =
+      operators.Sketch.kmvDistinct(li, "l_orderkey", Seq("l_returnflag"),
+        k = 256).count()
+    time("kmv_1x") { kmvShape(li1) }
+    time(s"kmv_${mult}x") { kmvShape(liN) }
+    // span dedup (q107 shape): the N× corpus repeats every span body N
+    // times (copies differ only at the tail), so hash-window duplicate
+    // clusters grow to ~N members — the worst case for the
+    // first-occurrence window, which must stay cluster-sized
+    def spanShape(docs: DataFrame): Long =
+      Dedup.spanDedup(docs, "doc_id", "text", spanTokens = 8).count()
+    time("spandedup_1x") { spanShape(docs1) }
+    time(s"spandedup_${mult}x") { spanShape(docsN) }
+    // collocations (q106 shape): bigram/unigram aggs are vocab-bound —
+    // N× corpus at ~fixed vocab must be scan/agg-bound with tiny
+    // broadcasts either way
+    def collocShape(docs: DataFrame): Long =
+      Corpus.collocations(docs, "text", minPairCount = 3L,
+        liftNum = 13L, liftDen = 10L).count()
+    time("colloc_1x") { collocShape(docs1) }
+    time(s"colloc_${mult}x") { collocShape(docsN) }
     spark.stop()
   }
 }

@@ -1459,7 +1459,39 @@ object SparkEntry {
     "q107_span_dedup" -> ((s, dir) =>
       Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text",
         spanTokens = 8)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // SemDeDup (semantic dedup): cluster-assign each embedding to its
+    // nearest of 8 deterministic seed centroids (broadcast — assignment
+    // is a scan-stage argmax), then near-dup ONLY within clusters
+    // (greedy keep-min over cosine ≥ 0.3 pairs). The cluster blocking is
+    // what keeps the quadratic survivable at corpus scale — pairs never
+    // cross clusters, mirroring q30's (lang, source) blocking in
+    // embedding space. Cosine parity with DuckDB is the q40-proven
+    // in-order float→double summation.
+    "q108_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val seeds = e.orderBy("vec_id").limit(8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("sv"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("seed_id").asc)
+      val assign = e.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("seed_id"),
+          graft.expressions.VectorExpressions.cosineF(col("embedding"), col("sv"))
+            .as("sim"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("seed_id").as("cluster"))
+      val v = e.join(assign, Seq("vec_id"))
+      val dropped = v.as("a").join(v.as("b"),
+          col("a.cluster") === col("b.cluster") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .filter(graft.expressions.VectorExpressions.cosineF(
+          col("a.embedding"), col("b.embedding")) >= 0.3)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      v.join(dropped.withColumn("__d", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"), col("__d").isNull.as("kept"))
+        .orderBy("vec_id")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2810,6 +2842,41 @@ object SparkEntry {
         |FROM bi JOIN uc x ON bi.w1 = x.w JOIN uc y ON bi.w2 = y.w, n
         |WHERE c_xy * n_uni * 10 >= 13 * x.c * y.c
         |ORDER BY w1, w2""".stripMargin,
+
+    "q108_semantic_dedup" ->
+      """WITH seeds AS (
+        |  SELECT vec_id AS seed_id, embedding AS sv
+        |  FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sims AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |    list_sum(list_transform(list_zip(e.embedding, s.sv),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(s.sv,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assign AS (
+        |  SELECT vec_id, seed_id AS cluster FROM (
+        |    SELECT vec_id, seed_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |                         ORDER BY sim DESC, seed_id) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |v AS (
+        |  SELECT e.vec_id, e.embedding, a.cluster
+        |  FROM embeddings e JOIN assign a USING (vec_id)),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM v a JOIN v b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3)
+        |SELECT v.vec_id, v.cluster, d.vec_id IS NULL AS kept
+        |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
+        |ORDER BY v.vec_id""".stripMargin,
 
     "q107_span_dedup" ->
       """WITH t AS (

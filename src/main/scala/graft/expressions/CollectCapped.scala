@@ -80,10 +80,94 @@ case class CollectLongsCapped(
     copy(inputAggBufferOffset = o)
 }
 
+/** [[CollectLongsCapped]] for (long, long) pairs — the same bounded
+  * buffer discipline carrying a per-member payload (e.g. an LSH member
+  * id WITH its packed signature), so bucket verification can run
+  * map-side at pair-explosion time instead of joining signatures back
+  * over the full candidate stream. */
+case class CollectLongPairsCapped(
+    a: Expression, b: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.ArrayList[Long]] {
+
+  private val limit = 2 * (cap + 1)
+
+  override def createAggregationBuffer(): java.util.ArrayList[Long] =
+    new java.util.ArrayList[Long](8)
+
+  override def update(buf: java.util.ArrayList[Long], input: InternalRow)
+      : java.util.ArrayList[Long] = {
+    if (buf.size() < limit) {
+      val va = a.eval(input); val vb = b.eval(input)
+      if (va != null && vb != null) {
+        buf.add(va.asInstanceOf[Long]); buf.add(vb.asInstanceOf[Long])
+      }
+    }
+    buf
+  }
+
+  override def merge(x: java.util.ArrayList[Long], y: java.util.ArrayList[Long])
+      : java.util.ArrayList[Long] = {
+    var i = 0
+    while (x.size() < limit && i < y.size()) {
+      x.add(y.get(i)); x.add(y.get(i + 1)); i += 2
+    }
+    x
+  }
+
+  override def eval(buf: java.util.ArrayList[Long]): Any = {
+    val n = buf.size() / 2
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      out(i) = InternalRow(buf.get(2 * i), buf.get(2 * i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.ArrayList[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    var i = 0
+    while (i < buf.size()) { bb.putLong(buf.get(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.ArrayList[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.ArrayList[Long](math.max(8, n))
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(a, b)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(a = c(0), b = c(1))
+  override def withNewMutableAggBufferOffset(o: Int): CollectLongPairsCapped =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectLongPairsCapped =
+    copy(inputAggBufferOffset = o)
+}
+
 object CollectCapped {
   /** Column API: capped long collect (order within the list is partition-
     * dependent, as with collect_list — callers must not rely on it). */
   def collectLongsCapped(c: Column, cap: Int): Column =
     Bridge.column(CollectLongsCapped(Bridge.expression(c), cap)
+      .toAggregateExpression(isDistinct = false))
+
+  /** Column API: capped (id, payload) collect → array<struct<a,b>>. */
+  def collectLongPairsCapped(a: Column, b: Column, cap: Int): Column =
+    Bridge.column(CollectLongPairsCapped(Bridge.expression(a),
+      Bridge.expression(b), cap)
       .toAggregateExpression(isDistinct = false))
 }

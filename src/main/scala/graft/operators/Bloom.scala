@@ -54,7 +54,10 @@ object Bloom {
     * into little-endian 64-bit words. */
   def buildBits(build: DataFrame, keyCol: String, mBits: Int, k: Int = 2): Array[Long] = {
     val words = new Array[Long]((mBits + 63) / 64)
-    build.select(explode(array(positions(col(keyCol), mBits, k): _*)).as("pos"))
+    // null keys never equal anything in SQL join semantics — skip them
+    // (a null would also turn every position null and NPE the pack loop)
+    build.filter(col(keyCol).isNotNull)
+      .select(explode(array(positions(col(keyCol), mBits, k): _*)).as("pos"))
       .distinct().collect()
       .foreach { r =>
         val p = r.getLong(0).toInt

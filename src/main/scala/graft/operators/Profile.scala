@@ -4,18 +4,24 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling: per-column row/null/distinct counts and string-form
-  * min/max in one aggregation pass — the "what did we just ingest" QA
-  * step every training-data pipeline runs before and after each
-  * transform (the reference's V1/V2 cross-system checks are the same
-  * idea pointed at a single table: `validations/utils.py`).
+  * min/max — the "what did we just ingest" QA step every training-data
+  * pipeline runs before and after each transform (the reference's V1/V2
+  * cross-system checks are the same idea pointed at a single table:
+  * `validations/utils.py`).
   *
-  * Shape: ONE Aggregate over the input (no per-column scans). The
-  * multi-`count(DISTINCT …)` makes Catalyst plan an Expand — input rows
-  * are replicated once per profiled column before the partial agg — so
-  * the pass costs O(rows·|cols|) compute but still only shuffles the
-  * aggregated row. Profile the columns you care about, not `df.columns`
-  * wholesale, when the input is 100 TB. The aggregated single row is
-  * then exploded into the long (column, stats) form — driver-free.
+  * Shape: unpivot to (column, value-string) at the scan stage, then TWO
+  * cascaded hash aggregations — (column, value) partial+final counts
+  * (shuffle O(Σ ndv(c)) narrow rows), then the per-column rollup
+  * (O(|cols|) rows). Everything else (n_nonnull, min, max) folds into
+  * the same two passes, and the total row count joins in as a
+  * broadcast 1-row frame.
+  *
+  * Why not one Aggregate with multi-`count(DISTINCT …)`: Catalyst plans
+  * that as an Expand — every input row replicated once per profiled
+  * column WITH all the string-cast columns aboard — and it measured 6×
+  * slower at sf0.1 (17 s vs 3 s for 7 columns × 600k rows) under a
+  * full-plan (noop write) action. The unpivot ships each value exactly
+  * once and map-side combines immediately.
   *
   * min/max are computed on the STRING form (cast before comparison):
   * one uniform output schema for heterogeneous columns, and the
@@ -29,18 +35,16 @@ object Profile {
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c).cast("string")).as(s"__mn_$c"),
-        max(col(c).cast("string")).as(s"__mx_$c"))
-    }
-    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val rows = array(cols.map { c =>
-      struct(lit(c).as("column"), col("__n").as("n_rows"),
-        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"),
-        col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
-    }: _*)
-    one.select(explode(rows).as("p")).select("p.*")
+    val long = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select("p.column", "p.v")
+    val perValue = long.groupBy("column", "v").agg(count(lit(1)).as("cnt"))
+    val nRows = df.select(count(lit(1)).as("n_rows"))
+    perValue.groupBy("column").agg(
+        sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min("v").as("min_s"), max("v").as("max_s"))
+      .crossJoin(broadcast(nRows))
+      .select("column", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
   }
 }

@@ -49,7 +49,10 @@ object Sketch {
       k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val g = groupCols.map(col)
+    // null keys are excluded, matching count(DISTINCT …) SQL semantics
+    // (and sidestepping engine-specific null ordering in the bottom-k)
     val hashes = df
+      .filter(col(keyCol).isNotNull)
       .select(g :+ md5Uniform32(col(keyCol)).as("__h"): _*)
       .distinct()
     val sketch = hashes

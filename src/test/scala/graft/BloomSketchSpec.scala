@@ -61,6 +61,30 @@ class BloomSketchSpec extends SparkSpec {
       "below k the estimate must equal the exact count")
   }
 
+  test("bloom/kmv: null keys are skipped, matching SQL join/ndv semantics") {
+    val dim = Seq(Some(1L), Some(2L), None).toDF("k")
+    val bits = Bloom.buildBits(dim, "k", mBits = 1024) // must not NPE
+    val probe = Seq(Some(1L), None).toDF("k")
+    // null probe key: mightContain is null → filter drops it, like a join
+    assert(probe.filter(Bloom.mightContain(bits, col("k"), 1024)).count() === 1L)
+    val kmv = Sketch.kmvDistinct(
+      Seq(Some(1L), Some(2L), None).toDF("k").withColumn("g", lit("x")),
+      "k", Seq("g"), k = 8).collect()
+    assert(kmv.head.getLong(2) === 2L) // exact_ndv ignores the null
+  }
+
+  test("kmv: bottom-k sketches merge — union's bottom-k = bottom-k of merged parts") {
+    val a = (1L to 1000L).toDF("k")
+    val b = (800L to 1800L).toDF("k") // overlapping ranges
+    def bottomK(df: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+      df.select(Sketch.md5Uniform32(col("k")).as("h")).distinct()
+        .orderBy("h").limit(k).as[Long].collect().toSeq
+    val k = 64
+    val merged = (bottomK(a, k) ++ bottomK(b, k)).distinct.sorted.take(k)
+    val direct = bottomK(a.unionByName(b), k)
+    assert(merged === direct)
+  }
+
   test("profile: one-pass stats match direct computation") {
     val df = Seq((1, "x"), (2, "y"), (3, null), (3, "y")).toDF("a", "b")
     val p = Profile.profile(df, Seq("a", "b")).collect()
