@@ -1414,12 +1414,18 @@ object SparkEntry {
       val m = 4096
       val dim = Tables.part(s, dir).filter(col("p_size") <= 5).select("p_partkey")
       val bits = Bloom.buildBits(dim, "p_partkey", m)
-      val li = Tables.lineitem(s, dir)
-      val bloomCnt = li.filter(Bloom.mightContain(bits, col("l_partkey"), m))
-        .groupBy("l_returnflag").agg(count(lit(1)).as("n_bloom"))
-      val exactCnt = li.join(dim, li("l_partkey") === dim("p_partkey"), "left_semi")
-        .groupBy("l_returnflag").agg(count(lit(1)).as("n_exact"))
-      bloomCnt.join(exactCnt, Seq("l_returnflag")).orderBy("l_returnflag")
+      // ONE fact scan carries both counts: the bloom probe is a
+      // scan-stage predicate, the exact branch a broadcast left join
+      // against the (unique-key) dim — vs the two-scan two-agg-join
+      // spelling, which re-read lineitem for each count.
+      Tables.lineitem(s, dir)
+        .join(broadcast(dim.withColumn("__m", lit(1))),
+          col("l_partkey") === col("p_partkey"), "left")
+        .groupBy("l_returnflag").agg(
+          count(when(Bloom.mightContain(bits, col("l_partkey"), m), lit(1)))
+            .as("n_bloom"),
+          count(when(col("__m").isNotNull, lit(1))).as("n_exact"))
+        .orderBy("l_returnflag")
     }),
 
     // KMV (bottom-k) distinct-count sketch vs exact ndv, per group: the
@@ -2759,18 +2765,17 @@ object SparkEntry {
         |  FROM keys
         |  UNION
         |  SELECT ('0x'||substr(md5(CAST(p_partkey AS VARCHAR)),9,8))::BIGINT % 4096
-        |  FROM keys),
-        |b AS (
-        |  SELECT l_returnflag, count(*) AS n_bloom FROM lineitem
-        |  WHERE ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8))::BIGINT % 4096
-        |          IN (SELECT p FROM pos)
-        |    AND ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),9,8))::BIGINT % 4096
-        |          IN (SELECT p FROM pos)
-        |  GROUP BY 1),
-        |e AS (
-        |  SELECT l_returnflag, count(*) AS n_exact FROM lineitem
-        |  WHERE l_partkey IN (SELECT p_partkey FROM keys) GROUP BY 1)
-        |SELECT l_returnflag, n_bloom, n_exact FROM b JOIN e USING (l_returnflag)
+        |  FROM keys)
+        |SELECT l_returnflag,
+        |  count(CASE WHEN
+        |      ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,8))::BIGINT % 4096
+        |        IN (SELECT p FROM pos)
+        |      AND ('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),9,8))::BIGINT % 4096
+        |        IN (SELECT p FROM pos)
+        |    THEN 1 END) AS n_bloom,
+        |  count(CASE WHEN l_partkey IN (SELECT p_partkey FROM keys)
+        |    THEN 1 END) AS n_exact
+        |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
     "q104_kmv_distinct" ->

@@ -70,6 +70,12 @@ object TextHash {
   def simHash64Hex(text: Column): Column =
     column(SimHash64HexExpr(expression(text)))
 
+  /** Fast (non-portable) SimHash: one fused codegen pass, xxhash64 token
+    * family — the throughput path when no cross-engine oracle is
+    * needed. */
+  def simHash64Fast(text: Column): Column =
+    column(SimHash64FastExpr(expression(text)))
+
   @inline private def mix(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -249,6 +255,35 @@ object TextHash {
 
   private val HEX = "0123456789abcdef".toCharArray
 
+  /** Fast SimHash: bit j of the signature = sign of the ±1 vote sum,
+    * over distinct lowercase tokens, of bit j of XXH64(tokenBytes, 42) —
+    * the xxhash64 analogue of [[simhash64Hex]] in one fused pass (the
+    * per-bit HOF `aggregate()` spelling it replaces planned 64
+    * interpreted array traversals per row and measured ~30× slower). */
+  def simhash64Fast(text: UTF8String): Long = {
+    val s = text.toLowerCase.toString.trim
+    val toks = s.split("\\s+")
+    val set = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) { set.add(toks(i)); i += 1 }
+    val acc = new Array[Int](64)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val bytes = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) >= 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
   /** SimHash over distinct whitespace tokens of the lowercase text; bit j
     * of token = bit (j mod 8) of md5 byte ⌊j/8⌋; output bit j = 1 iff the
     * ±1 vote sum is ≥ 0; bytes rendered high-nibble-first as lowercase
@@ -356,6 +391,16 @@ case class MinHash31Expr(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.expressions.TextHash$$.MODULE$$.minhash31From($a, $k);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class SimHash64FastExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    TextHash.simhash64Fast(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextHash$$.MODULE$$.simhash64Fast($a);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

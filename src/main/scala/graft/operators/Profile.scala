@@ -40,11 +40,18 @@ object Profile {
       .select("p.column", "p.v")
     val perValue = long.groupBy("column", "v").agg(count(lit(1)).as("cnt"))
     val nRows = df.select(count(lit(1)).as("n_rows"))
-    perValue.groupBy("column").agg(
-        sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
-        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
-        min("v").as("min_s"), max("v").as("max_s"))
-      .crossJoin(broadcast(nRows))
-      .select("column", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
+    val rollup = perValue.groupBy("column").agg(
+      sum(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("n_nonnull"),
+      count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+      min("v").as("min_s"), max("v").as("max_s"))
+    // column spine off the (always 1-row) count frame: an EMPTY input
+    // still reports every requested column with zero counts — the
+    // contract an ingest-QA caller expects.
+    nRows.select(col("n_rows"), explode(array(cols.map(lit): _*)).as("column"))
+      .join(rollup, Seq("column"), "left")
+      .select(col("column"), col("n_rows"),
+        coalesce(col("n_nonnull"), lit(0L)).as("n_nonnull"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_s"), col("max_s"))
   }
 }

@@ -98,6 +98,16 @@ class BloomSketchSpec extends SparkSpec {
     assert(p("b").getString(4) === "x" && p("b").getString(5) === "y")
   }
 
+  test("profile: empty input still reports every column with zero counts") {
+    val empty = Seq((1, "x")).toDF("a", "b").filter(lit(false))
+    val p = Profile.profile(empty, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("a", "b"))
+    assert(p("a").getLong(1) === 0L && p("a").getLong(2) === 0L
+      && p("a").getLong(3) === 0L)
+    assert(p("b").isNullAt(4) && p("b").isNullAt(5))
+  }
+
   test("collocations: planted pair surfaces, independent pair does not") {
     // "aa bb" always adjacent (lift ≫ 1); "cc"/"dd" never adjacent
     val docs = (1 to 50).map(i => s"aa bb cc ee$i dd ff$i").toDF("text")
