@@ -1497,7 +1497,44 @@ object SparkEntry {
       v.join(dropped.withColumn("__d", lit(1)), Seq("vec_id"), "left")
         .select(col("vec_id"), col("cluster"), col("__d").isNull.as("kept"))
         .orderBy("vec_id")
-    })
+    }),
+
+    // Corpus-frequency fluency proxy (the no-LM perplexity stand-in a
+    // curation pipeline uses before an LM is available): per document,
+    // the mean corpus frequency of its bigram occurrences. Two
+    // partial-agg shuffles (global bigram counts, per-doc sums) + a
+    // bigram-keyed join (vocab-sized → broadcast); integer sums with
+    // ONE final int-ratio division, so the doubles verify exactly.
+    "q109_bigram_fluency" -> ((s, dir) => {
+      val bi = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.expressions.TextHash.adjacentPairs(
+            TextFunctions.tokens(lower(trim(col("text")))))).as("bigram"))
+      val freq = bi.groupBy("bigram").agg(count(lit(1)).as("c"))
+      bi.join(broadcast(freq), Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bi"), sum(col("c")).as("freq_sum"))
+        .select(col("doc_id"), col("n_bi"), col("freq_sum"),
+          (col("freq_sum").cast("double") / col("n_bi").cast("double"))
+            .as("fluency"))
+        .orderBy("doc_id")
+    }),
+
+    // First BPE merge-step candidates: within-token adjacent CHARACTER
+    // pair counts over the corpus (space never pairs across tokens —
+    // the word-boundary discipline of BPE). Scan-stage double explode,
+    // one partial-agg shuffle of O(|char-pair vocab|) rows, global
+    // top-40 via TakeOrdered.
+    "q110_bpe_pairs" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(lower(trim(col("text"))))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(40))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2882,6 +2919,34 @@ object SparkEntry {
         |SELECT v.vec_id, v.cluster, d.vec_id IS NULL AS kept
         |FROM v LEFT JOIN dropped d ON v.vec_id = d.vec_id
         |ORDER BY v.vec_id""".stripMargin,
+
+    "q109_bigram_fluency" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |f AS (SELECT bigram, count(*) AS c FROM b GROUP BY bigram)
+        |SELECT doc_id, count(*) AS n_bi,
+        |  CAST(sum(c) AS BIGINT) AS freq_sum,
+        |  CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS fluency
+        |FROM b JOIN f USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q110_bpe_pairs" ->
+      """WITH tok AS (
+        |  SELECT u.tok FROM (
+        |    SELECT string_split_regex(lower(trim(text)), '\s+') AS toks
+        |    FROM documents) t, UNNEST(toks) AS u(tok)
+        |  WHERE length(u.tok) >= 2),
+        |p AS (
+        |  SELECT substr(tok, i, 2) AS pair
+        |  FROM tok, UNNEST(generate_series(1, length(tok) - 1)) AS u(i))
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin,
 
     "q107_span_dedup" ->
       """WITH t AS (
