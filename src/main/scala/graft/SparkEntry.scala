@@ -1534,7 +1534,53 @@ object SparkEntry {
           .as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
-        .limit(40))
+        .limit(40)),
+
+    // Exact per-supplier triangle counts on the co-order supplier graph
+    // (suppliers sharing an order = the entity-linkage shape of "wallets
+    // sharing a transaction"). Mega-orders are excluded with a window
+    // count in the SAME shuffle that dedups (order, supplier) — the hub
+    // guard against quadratic pair explosion; inside Graph.triangleCounts
+    // the degree orientation bounds wedge volume at O(m^1.5) on its own.
+    "q111_triangles" -> ((s, dir) => {
+      val os = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sx"))
+        .distinct()
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy("o")))
+        .filter(col("ns") <= 8)
+        .select("o", "sx")
+      val edges = os.as("x").join(os.as("y"), Seq("o"))
+        .filter(col("x.sx") < col("y.sx"))
+        .select(col("x.sx").as("src"), col("y.sx").as("dst"))
+      Graph.triangleCounts(edges).orderBy("id")
+    }),
+
+    // Length-proportional importance sampling: keep each document with
+    // probability n_chars/max(n_chars) — the token-budget downsampling
+    // that biases survival toward long documents. All-integer acceptance
+    // test (portable md5 uniform), scan-stage filter, one scalar agg
+    // broadcast back for the max.
+    "q112_weighted_sample" -> ((s, dir) =>
+      Corpus.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // Hopping (sliding) event-time windows, 30-min size / 10-min hop, via
+    // the built-in `window()` — the Structured-Streaming-compatible
+    // windowing (same operator runs on readStream). Each event lands in
+    // exactly size/hop = 3 windows; the explode happens scan-stage, the
+    // agg is one partial-agg shuffle. Window bounds surface as epoch
+    // SECONDS (never raw timestamps — cross-engine parity discipline).
+    "q113_hopping" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("t", expr("CAST(ts_ns div 1000000000 AS TIMESTAMP)"))
+        .groupBy(col("event_type"),
+          window(col("t"), "30 minutes", "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          Aggregations.exactSum(col("value")).as("sum_value"))
+        .select(col("event_type"), col("w.start").cast("long").as("w_start"),
+          col("n"), col("sum_value"))
+        .orderBy("event_type", "w_start"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2947,6 +2993,60 @@ object SparkEntry {
         |  FROM tok, UNNEST(generate_series(1, length(tok) - 1)) AS u(i))
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 40""".stripMargin,
+
+    "q111_triangles" ->
+      """WITH os0 AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sx FROM lineitem),
+        |os AS (
+        |  SELECT o, sx FROM (
+        |    SELECT o, sx, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+        |  WHERE ns <= 8),
+        |e0 AS (
+        |  SELECT DISTINCT x.sx AS a, y.sx AS b
+        |  FROM os x JOIN os y ON x.o = y.o AND x.sx < y.sx),
+        |deg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+        |  GROUP BY id),
+        |og AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.a ELSE e0.b END AS u,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.b ELSE e0.a END AS v
+        |  FROM e0 JOIN deg da ON da.id = e0.a JOIN deg db ON db.id = e0.b),
+        |tri AS (
+        |  SELECT o1.u, o1.v, o2.v AS w
+        |  FROM og o1 JOIN og o2 ON o1.u = o2.u AND o1.v < o2.v
+        |  JOIN e0 ON e0.a = o1.v AND e0.b = o2.v),
+        |t AS (
+        |  SELECT id, count(*) AS n FROM (
+        |    SELECT u AS id FROM tri UNION ALL SELECT v AS id FROM tri
+        |    UNION ALL SELECT w AS id FROM tri)
+        |  GROUP BY id)
+        |SELECT deg.id AS id, CAST(COALESCE(t.n, 0) AS BIGINT) AS triangles
+        |FROM deg LEFT JOIN t ON t.id = deg.id ORDER BY id""".stripMargin,
+
+    "q112_weighted_sample" ->
+      """WITH m AS (SELECT max(n_chars) AS mxw FROM documents)
+        |SELECT doc_id, source, n_chars FROM documents, m
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |        * CAST(mxw AS BIGINT)
+        |      < CAST(n_chars AS BIGINT) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+
+    "q113_hopping" -> {
+      val hop = 600L; val k = 3 // 30-min size / 10-min hop => 3 windows
+      s"""WITH e AS (
+         |  SELECT event_type, value,
+         |         epoch_ns(ts) // 1000000000 AS tsec FROM events),
+         |w AS (
+         |  SELECT event_type, value,
+         |    ((tsec // $hop) - u.j) * $hop AS w_start
+         |  FROM e, UNNEST(generate_series(0, ${k - 1})) AS u(j))
+         |SELECT event_type, CAST(w_start AS BIGINT) AS w_start,
+         |  count(*) AS n, ${dSum("value")} AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY event_type, w_start""".stripMargin
+    },
 
     "q107_span_dedup" ->
       """WITH t AS (

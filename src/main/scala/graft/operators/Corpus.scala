@@ -87,6 +87,26 @@ object Corpus {
       16, 10).cast("bigint")
   private def rateThreshold(rate: Double): Long = (rate * 4294967296.0).toLong
 
+  /** Deterministic weighted (importance) Bernoulli sample: keep each row
+    * with probability weight/max(weight) — the "sample proportional to
+    * document length / quality score" curation step, where long or
+    * high-value documents must survive downsampling more often than
+    * short ones. The acceptance test is ALL-INTEGER
+    * (`u32 · maxW < w · 2³²`), so the kept set is bit-identical across
+    * engines, reruns and partitionings; no float RNG, no pow/ln.
+    * Contract: integer weights in [0, 2³¹) — keeps both products inside
+    * a 64-bit long. The global max is one scalar agg broadcast back
+    * (never a global window, which would single-partition the table).
+    * Composes with [[hashSample]]/[[mixtureSample]] (same uniform):
+    * raising a row's weight can only keep it, never drop it. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val mx = df.agg(max(col(weightCol).cast("long")).as("__mxw"))
+    df.crossJoin(broadcast(mx))
+      .filter(md5Uniform(idCol) * col("__mxw") <
+        col(weightCol).cast("long") * lit(4294967296L))
+      .drop("__mxw")
+  }
+
   /** Deterministic mixture sampling: per-group Bernoulli rates (the
     * "hit a target source mixture" curation step — web at 100%, forums
     * at 25%, …). Same md5 uniform as [[hashSample]], with the threshold

@@ -187,4 +187,72 @@ object Graph {
       .select(col("dst").as("src"),
         (lit(scale - dampingScaled) + expr(s"($dampingScaled * s) div $scale"))
           .as("rank"))
+
+  /** Exact per-node triangle counts via degree orientation (the MPC/
+    * MapReduce-standard algorithm: Suri & Vassilvitskii "Counting
+    * Triangles and the Curse of the Last Reducer", WWW'11). Each
+    * undirected edge is oriented from its (degree, id)-smaller endpoint,
+    * which bounds every node's OUT-degree by O(√m) regardless of how
+    * skewed the raw degree distribution is — the hub that would
+    * otherwise emit deg² wedges emits none, because all its edges point
+    * INTO it. Total wedge volume is O(m^1.5) worst-case, the provable
+    * optimum for exact counting, and each triangle is generated exactly
+    * once (at its unique (deg,id)-minimal apex).
+    *
+    * Shuffle shape: canonical dedup (1), degree partial-agg (1), two
+    * degree-attach joins (node-sized build — broadcast below
+    * `broadcastNodeLimit`), wedge self-join on the apex (one Exchange,
+    * reused for both sides via repartition+cache), closure join against
+    * the canonical edge set on the (v, w) pair. Only (long, long) pairs
+    * ever shuffle — no payload columns.
+    *
+    * @param edges undirected edges as (src, dst) in either/both
+    *              directions; duplicates and self-loops are dropped
+    * @return (id, triangles) for EVERY node of the graph, zero included
+    */
+  def triangleCounts(edges: DataFrame,
+      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+    val deg = canon.select(col("a").as("id"))
+      .unionByName(canon.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+      .cache()
+    val small = deg.count() <= broadcastNodeLimit
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // Orient a—b (a<b canonical) from the (deg, id)-smaller endpoint;
+    // the id tie-break makes orientation total and deterministic.
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = canon
+      .join(maybeB(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
+      .join(maybeB(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v"))
+      .repartition(col("u")).cache()
+    // Wedges (u→v, u→w) with v<w, then close against the canonical set:
+    // v<w means the closing edge is exactly (a=v, b=w) — no least/greatest
+    // re-canonicalization needed. Each triangle appears once.
+    val tris = oriented
+      .join(oriented.withColumnRenamed("v", "w"), Seq("u"))
+      .filter(col("v") < col("w"))
+      .join(canon, col("v") === col("a") && col("w") === col("b"))
+      .select("u", "v", "w")
+    val counts = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val out = deg.select("id")
+      .join(maybeB(counts), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .localCheckpoint(true)
+    oriented.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    canon.unpersist(blocking = false)
+    out
+  }
 }

@@ -144,4 +144,24 @@ class CorpusSpec extends SparkSpec {
       Map.empty, defaultRate = 0.25).select("doc_id").as[Long].collect().toSet
     assert(rep == at25)
   }
+
+  test("weightedSample: max-weight rows always kept, zero never, monotone in weight") {
+    val df = Seq.tabulate(2000)(i =>
+      (i.toLong, if (i % 10 == 0) 0 else i % 100)).toDF("id", "w")
+    val kept = Corpus.weightedSample(df, "id", "w")
+      .select("id").as[Long].collect().toSet
+    val byId = df.as[(Long, Int)].collect().toMap
+    assert(kept.forall(byId(_) > 0))                   // weight 0 → never
+    assert(byId.filter(_._2 == 99).keySet.subsetOf(kept)) // max w → always
+    // uniformly rescaling all weights leaves the kept set unchanged
+    // (probability is w/max(w) — scale-free)
+    val scaled = Corpus.weightedSample(
+      df.withColumn("w", col("w") * 2), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(scaled == kept)
+    // partitioning-independent
+    val rep = Corpus.weightedSample(df.repartition(7), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(rep == kept)
+  }
 }

@@ -91,4 +91,41 @@ class GraphSpec extends SparkSpec {
     assert(r(1L) == 150000L)
     assert(r(2L) > r(1L))
   }
+
+  test("triangle counts: K4 plus a pendant — known closed form") {
+    // K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; pendant 5—1
+    // is in none. Feed messy input: both directions, dups, a self-loop.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L; if a != b } yield (a, b)
+    val e = (k4 ++ Seq((1L, 5L), (5L, 1L), (1L, 2L), (3L, 3L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(e).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
+  test("triangle counts: triangle-free bipartite graph is all zeros") {
+    val e = (for { a <- 1L to 5L; b <- 10L to 14L } yield (a, b))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(e).as[(Long, Long)].collect()
+    assert(got.length == 10 && got.forall(_._2 == 0L))
+  }
+
+  test("triangle counts are partitioning-independent") {
+    val e = Seq.tabulate(300)(i => (i.toLong % 40, (i * 13 % 40).toLong))
+      .toDF("src", "dst")
+    val a = Graph.triangleCounts(e.repartition(1))
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.triangleCounts(e.repartition(17))
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+    // full check against a local brute force (node 0 only self-loops in
+    // this edge set, so it must be absent from the result)
+    val adj = e.as[(Long, Long)].collect()
+      .flatMap { case (x, y) => Seq((x, y), (y, x)) }.filter(p => p._1 != p._2)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = adj.map { case (n, nbrs) =>
+      n -> nbrs.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }.toLong
+    }
+    assert(a == want)
+  }
 }
