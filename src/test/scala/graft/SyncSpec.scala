@@ -121,6 +121,73 @@ class SyncSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == ev.count())
   }
 
+  test("stateful gap sessions: event-time timeout finalizes sessions at the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StatefulSessions
+    import spark.implicits._
+    val dir = Files.createTempDirectory("sgs").toString
+    val src = s"$dir/src"; val ckpt = s"$dir/ckpt"; val out = s"$dir/out"
+    new java.io.File(src).mkdirs()
+    val H = 3600L * 1000L // one hour in millis
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP").parquet(src)
+        .withWatermark("ts", "1 minute").as[StatefulSessions.Ev]
+      val q = StatefulSessions.gapSessions(stream, gapMillis = 10 * 60 * 1000L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // run 1: user 1 has two events 3 min apart, then one 57 min later —
+    // the in-batch gap > 10 min closes the first session IMMEDIATELY.
+    // AvailableNow then runs a final empty batch with the advanced
+    // watermark (10:59), which times out user 2's session (close time
+    // 10:10) but NOT user 1's open one (close time 11:10).
+    Seq((1L, ts(10 * H)), (1L, ts(10 * H + 3 * 60000L)), (1L, ts(11 * H)),
+      (2L, ts(10 * H))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val afterR1 = spark.read.parquet(out).as[StatefulSessions.SessionOut].collect()
+    assert(afterR1.toSet == Set(
+      StatefulSessions.SessionOut(1L, 10 * H, 10 * H + 3 * 60000L, 2L),
+      StatefulSessions.SessionOut(2L, 10 * H, 10 * H, 1L)))
+
+    // run 2 (same checkpoint): an event at 13:00 advances the watermark
+    // to 12:59 → user 1's second session (close 11:10) finalizes; user
+    // 3's fresh session (close 13:10) stays open
+    Seq((3L, ts(13 * H))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val afterR2 = spark.read.parquet(out).as[StatefulSessions.SessionOut].collect()
+    assert(afterR2.toSet == afterR1.toSet +
+      StatefulSessions.SessionOut(1L, 11 * H, 11 * H, 1L))
+
+    // run 3: watermark 13:59 → user 3 finalizes; user 99 stays open
+    Seq((99L, ts(14 * H))).toDF("user_id", "ts")
+      .coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    val afterB3 = spark.read.parquet(out).as[StatefulSessions.SessionOut].collect()
+    assert(afterB3.toSet == afterR2.toSet +
+      StatefulSessions.SessionOut(3L, 13 * H, 13 * H, 1L))
+
+    // and the emitted sessions agree with the batch operator's grouping
+    val batchSessions = operators.Sessions.sessionize(
+      spark.read.parquet(src).withColumn("ts_ms", col("ts").cast("long") * 1000L),
+      "user_id", "ts_ms", gapNanos = 10 * 60 * 1000L) // ts_ms is millis → gap in millis
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_ms").as("s"), max("ts_ms").as("e"), count(lit(1)).as("n"))
+      .select(col("user_id"), col("s"), col("e"), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(afterB3.map(o =>
+      (o.user_id, o.session_start, o.session_end, o.n_events)).toSet
+      .subsetOf(batchSessions))
+  }
+
   test("structured streaming: native session windows agree with the batch operator") {
     import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("sssw").toString
