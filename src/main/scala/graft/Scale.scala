@@ -248,6 +248,18 @@ object Scale {
         liftNum = 13L, liftDen = 10L).count()
     time("colloc_1x") { collocShape(docs1) }
     time(s"colloc_${mult}x") { collocShape(docsN) }
+
+    // Degree-oriented triangle counting on the co-order supplier graph
+    // (q111). Suppliers shift WITH orders so the amplified input is mult
+    // disjoint copies of the graph — nodes, edges and triangles all ×mult;
+    // the orientation's O(m^1.5) wedge bound is what must hold.
+    def triangleShape(li: DataFrame): Long =
+      Graph.triangleCounts(Graph.coOccurrenceEdges(
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8)).count()
+    val liT = amplify(li1, Seq("l_orderkey", "l_partkey"))
+    time("triangles_1x") { triangleShape(li1) }
+    time(s"triangles_${mult}x") { triangleShape(liT) }
     spark.stop()
   }
 }

@@ -587,11 +587,29 @@ object SparkEntry {
         .orderBy(col("gflag"), col("l_returnflag"), col("l_linestatus"))),
 
     // Exact multi-column distinct counts per group.
+    // Three distinct counts in ONE Aggregate would make Catalyst plan an
+    // Expand that replicates every lineitem row once per distinct agg
+    // (the q105 lesson, measured 17 s vs 3 s there). Manual unpivot to
+    // (flag, kind, key-as-long) instead: the distinct is a narrow
+    // partial-agg shuffle with map-side dedup, the final per-flag counts
+    // a tiny conditional agg. The pair key packs (part, supp) into one
+    // long (both < 2³¹) so nothing wider than 3 longs ever shuffles.
     "q46_distinct_counts" -> ((s, dir) =>
-      Tables.lineitem(s, dir).groupBy("l_returnflag").agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_pairs"))
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("sk"))
+        .select(col("l_returnflag"), explode(array(
+          struct(lit(1).as("k"), col("p").as("key")),
+          struct(lit(2).as("k"), col("sk").as("key")),
+          struct(lit(3).as("k"),
+            (shiftleft(col("p"), 32) + col("sk")).as("key")))).as("e"))
+        .select(col("l_returnflag"), col("e.k").as("k"), col("e.key").as("key"))
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(count(when(col("k") === 1, 1)).as("n_parts"),
+          count(when(col("k") === 2, 1)).as("n_supps"),
+          count(when(col("k") === 3, 1)).as("n_pairs"))
         .orderBy("l_returnflag")),
 
     // As-of backward join: each click joined to the user's most recent
@@ -1536,24 +1554,22 @@ object SparkEntry {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(40)),
 
-    // Exact per-supplier triangle counts on the co-order supplier graph
-    // (suppliers sharing an order = the entity-linkage shape of "wallets
-    // sharing a transaction"). Mega-orders are excluded with a window
-    // count in the SAME shuffle that dedups (order, supplier) — the hub
-    // guard against quadratic pair explosion; inside Graph.triangleCounts
-    // the degree orientation bounds wedge volume at O(m^1.5) on its own.
-    "q111_triangles" -> ((s, dir) => {
-      val os = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sx"))
-        .distinct()
-        .withColumn("ns", count(lit(1)).over(Window.partitionBy("o")))
-        .filter(col("ns") <= 8)
-        .select("o", "sx")
-      val edges = os.as("x").join(os.as("y"), Seq("o"))
-        .filter(col("x.sx") < col("y.sx"))
-        .select(col("x.sx").as("src"), col("y.sx").as("dst"))
-      Graph.triangleCounts(edges).orderBy("id")
-    }),
+    // Exact per-part triangle counts on the co-order part graph (parts
+    // sharing an order = the entity-linkage shape of "wallets sharing a
+    // transaction"). The PART graph stays ~0.5%-dense as sf grows (the
+    // supplier projection saturates toward a complete graph — measured
+    // 15 s vs ~3 s at sf0.1). Edge generation is ONE fact-table shuffle:
+    // CollectLongsDistinctCapped dedups AND hub-guards per order inside
+    // the groupBy (vs distinct → window-count → self-join = 3 shuffles +
+    // a sort), pairs explode map-side. Inside Graph.triangleCounts the
+    // degree orientation bounds wedge volume at O(m^1.5) under any skew.
+    "q111_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(
+        Graph.coOccurrenceEdges(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p", maxGroupSize = 8))
+        .orderBy("id")),
 
     // Length-proportional importance sampling: keep each document with
     // probability n_chars/max(n_chars) — the token-budget downsampling
@@ -2996,14 +3012,14 @@ object SparkEntry {
 
     "q111_triangles" ->
       """WITH os0 AS (
-        |  SELECT DISTINCT l_orderkey AS o, l_suppkey AS sx FROM lineitem),
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |os AS (
-        |  SELECT o, sx FROM (
-        |    SELECT o, sx, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+        |  SELECT o, p FROM (
+        |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
         |  WHERE ns <= 8),
         |e0 AS (
-        |  SELECT DISTINCT x.sx AS a, y.sx AS b
-        |  FROM os x JOIN os y ON x.o = y.o AND x.sx < y.sx),
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p),
         |deg AS (
         |  SELECT id, count(*) AS d FROM (
         |    SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)

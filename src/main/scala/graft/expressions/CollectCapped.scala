@@ -158,11 +158,93 @@ case class CollectLongPairsCapped(
     copy(inputAggBufferOffset = o)
 }
 
+/** `collect_set` over longs with a hard cap on DISTINCT elements: a group
+  * stops growing at `cap + 1` distinct values (the +1 lets callers tell
+  * "exactly cap" from "over cap" and drop the group).
+  *
+  * Unlike [[CollectLongsCapped]], the cap interacts with dedup so the
+  * OUTCOME is arrival-order-independent: a group with ≤ cap distinct
+  * values always collects ALL of them (duplicates never consume cap
+  * budget — the set only grows on a NEW value), and a group with > cap
+  * distinct values always reaches cap+1 and can be filtered. That makes
+  * "per-key neighbor list, unless the key is a hub" a deterministic
+  * SINGLE-shuffle groupBy even on duplicated input — e.g. co-occurrence
+  * edge generation straight from the fact table, skipping the separate
+  * pre-distinct shuffle AND the window-count sort. */
+case class CollectLongsDistinctCapped(
+    child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.LinkedHashSet[Long]] {
+
+  private val limit = cap + 1
+
+  override def createAggregationBuffer(): java.util.LinkedHashSet[Long] =
+    new java.util.LinkedHashSet[Long](8)
+
+  override def update(buf: java.util.LinkedHashSet[Long], input: InternalRow)
+      : java.util.LinkedHashSet[Long] = {
+    if (buf.size() < limit) {
+      val v = child.eval(input)
+      if (v != null) buf.add(v.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(a: java.util.LinkedHashSet[Long],
+      b: java.util.LinkedHashSet[Long]): java.util.LinkedHashSet[Long] = {
+    val it = b.iterator()
+    while (a.size() < limit && it.hasNext) a.add(it.next())
+    a
+  }
+
+  override def eval(buf: java.util.LinkedHashSet[Long]): Any = {
+    val out = new Array[Long](buf.size())
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.LinkedHashSet[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.LinkedHashSet[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.LinkedHashSet[Long](math.max(8, n))
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+  override def withNewMutableAggBufferOffset(o: Int): CollectLongsDistinctCapped =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectLongsDistinctCapped =
+    copy(inputAggBufferOffset = o)
+}
+
 object CollectCapped {
   /** Column API: capped long collect (order within the list is partition-
     * dependent, as with collect_list — callers must not rely on it). */
   def collectLongsCapped(c: Column, cap: Int): Column =
     Bridge.column(CollectLongsCapped(Bridge.expression(c), cap)
+      .toAggregateExpression(isDistinct = false))
+
+  /** Column API: distinct-capped long collect. MEMBERSHIP is
+    * deterministic (see class doc); element order is not — callers must
+    * sort or consume order-insensitively. */
+  def collectLongsDistinctCapped(c: Column, cap: Int): Column =
+    Bridge.column(CollectLongsDistinctCapped(Bridge.expression(c), cap)
       .toAggregateExpression(isDistinct = false))
 
   /** Column API: capped (id, payload) collect → array<struct<a,b>>. */

@@ -109,6 +109,26 @@ class GraphSpec extends SparkSpec {
     assert(got.length == 10 && got.forall(_._2 == 0L))
   }
 
+  test("triangle counts: empty edge set (all self-loops) returns empty") {
+    val e = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(e).isEmpty)
+  }
+
+  test("coOccurrenceEdges: dedups duplicated facts, drops hub groups, deterministic") {
+    // group 1: items {1,2,3} with heavy duplication → 3 edges;
+    // group 2: 9 distinct items > cap 8 → dropped entirely;
+    // group 3: single item → no edges
+    val facts = (Seq.fill(50)(Seq((1L, 1L), (1L, 2L), (1L, 3L))).flatten ++
+      (1L to 9L).map((2L, _)) ++ Seq((3L, 7L))).toDF("g", "item")
+    val got = Graph.coOccurrenceEdges(facts, "g", "item", maxGroupSize = 8)
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // arrival order / partitioning never changes membership
+    val rep = Graph.coOccurrenceEdges(facts.repartition(13), "g", "item", 8)
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(rep == got)
+  }
+
   test("triangle counts are partitioning-independent") {
     val e = Seq.tabulate(300)(i => (i.toLong % 40, (i * 13 % 40).toLong))
       .toDF("src", "dst")
