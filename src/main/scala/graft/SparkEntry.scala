@@ -1581,6 +1581,21 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Deterministic synchronous label propagation on the co-order part
+    // graph: 3 mode-vote rounds (smallest label wins ties) — the
+    // community-detection complement to CC (q48), PageRank (q65) and
+    // triangles (q111). All-integer, so the iterative loop itself is
+    // oracle-checked bit-for-bit against 3 unrolled DuckDB CTE rounds.
+    "q114_label_prop" -> ((s, dir) => {
+      val canon = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8).distinct()
+      val edges = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.labelPropagation(edges, iterations = 3).orderBy("id")
+    }),
+
     // Hopping (sliding) event-time windows, 30-min size / 10-min hop, via
     // the built-in `window()` — the Structured-Streaming-compatible
     // windowing (same operator runs on readStream). Each event lands in
@@ -3049,6 +3064,34 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q114_label_prop" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""v$k AS (
+           |  SELECT e.dst AS id, l.lbl, count(*) AS c
+           |  FROM e JOIN l${k - 1} l ON l.id = e.src GROUP BY e.dst, l.lbl),
+           |l$k AS (
+           |  SELECT id, lbl FROM (
+           |    SELECT id, lbl, row_number() OVER (
+           |      PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM v$k)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH os0 AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |os AS (
+         |  SELECT o, p FROM (
+         |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+         |  WHERE ns <= 8),
+         |e0 AS (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p),
+         |e AS (
+         |  SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+         |l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM e),
+         |$rounds
+         |SELECT id, lbl AS label FROM l3 ORDER BY id""".stripMargin
+    },
 
     "q113_hopping" -> {
       val hop = 600L; val k = 3 // 30-min size / 10-min hop => 3 windows

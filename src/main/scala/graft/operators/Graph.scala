@@ -211,6 +211,50 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round it adopts the MODE of
+    * its neighbors' labels, ties broken by the smallest label — the
+    * deterministic variant of Raghavan et al.'s LPA (async LPA is
+    * run-order-dependent and could never be oracle-checked). All-integer:
+    * labels are ids, votes are counts, so every round is bit-identical
+    * across engines and partitionings.
+    *
+    * Contract: symmetric edge set (u→v ⇒ v→u), like
+    * `pageRankFixedPoint(symmetric = true)` — every node then has
+    * in-edges, so the vote table covers the whole node set and no
+    * carry-forward join is needed. Per round: one edges⋈labels join
+    * (labels broadcast below `broadcastNodeLimit` — the edge table never
+    * shuffles after the initial repartition), a (dst, lbl) partial-agg
+    * shuffle, and a per-dst argmax via min_by on the (-count, label)
+    * struct (deterministic: the ordering key contains the value).
+    * localCheckpoint per round keeps the plan flat, same discipline as
+    * the PageRank/CC loops. */
+  def labelPropagation(edges: DataFrame, iterations: Int,
+      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src")).cache()
+    val nNodes = ew.agg(approx_count_distinct(col("src")).as("n"))
+      .first().getLong(0)
+    def maybeB(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast(df) else df
+    var labels = ew.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      it += 1
+      labels = ew
+        .join(maybeB(labels.withColumnRenamed("id", "src")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(min_by(col("lbl"),
+          struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    ew.unpersist(blocking = false)
+    labels.select(col("id"), col("lbl").as("label"))
+  }
+
   /** Exact per-node triangle counts via degree orientation (the MPC/
     * MapReduce-standard algorithm: Suri & Vassilvitskii "Counting
     * Triangles and the Curse of the Last Reducer", WWW'11). Each

@@ -92,6 +92,32 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) > r(1L))
   }
 
+  test("label propagation: triangle converges to min id; star oscillates (sync LPA)") {
+    // complete triangle {1,2,3}: hand-computed rounds → all label 1 by r2
+    val tri = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val lTri = Graph.labelPropagation(tri, 3).as[(Long, Long)].collect().toMap
+    assert(lTri == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // star 1↔{2,3,4} is bipartite → synchronous LPA oscillates with
+    // period 2; after 3 rounds: hub carries the leaves' label and vice
+    // versa (hand-computed; determinism is the point of the sync variant)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val lStar = Graph.labelPropagation(star, 3).as[(Long, Long)].collect().toMap
+    assert(lStar == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("label propagation is partitioning-independent") {
+    val base = Seq.tabulate(300)(i => (i.toLong % 40, (i * 13 % 40).toLong))
+      .filter(p => p._1 != p._2)
+    val e = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val a = Graph.labelPropagation(e.repartition(1), 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(e.repartition(17), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("triangle counts: K4 plus a pendant — known closed form") {
     // K4 on {1,2,3,4}: every node is in C(3,2)=3 triangles; pendant 5—1
     // is in none. Feed messy input: both directions, dups, a self-loop.
