@@ -1581,6 +1581,16 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Asymmetric near-dup: n-gram CONTAINMENT |A∩B|/|A| — fires when a
+    // short doc is quoted inside a long one, where Jaccard stays near
+    // |A|/|B| and misses it. Directed pairs within (lang, source)
+    // blocks; merge-scan containment is one codegen'd expression over
+    // the cached shingle table.
+    "q115_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        blockCols = Seq("lang", "source"), threshold = 0.5, shingleSize = 2)
+        .orderBy("id_a", "id_b")),
+
     // Deterministic synchronous label propagation on the co-order part
     // graph: 3 mode-vote rounds (smallest label wins ties) — the
     // community-detection complement to CC (q48), PageRank (q65) and
@@ -3064,6 +3074,23 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q115_containment" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |    i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+        |         string_split_regex(lower(trim(text)), '\s+')[i+1])) AS tk
+        | FROM documents),
+        |j AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk)
+        |    AS containment
+        | FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id <> b.doc_id
+        | WHERE len(a.tk) > 0 AND len(b.tk) > 0)
+        |SELECT id_a, id_b, containment FROM j WHERE containment >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q114_label_prop" -> {
       val rounds = (1 to 3).map { k =>

@@ -35,6 +35,10 @@ object TextHash {
   def jaccardSorted(a: Column, b: Column): Column =
     column(JaccardSorted(expression(a), expression(b)))
 
+  /** Containment |a∩b|/|a| of two sorted long arrays (merge scan). */
+  def containmentSorted(a: Column, b: Column): Column =
+    column(ContainmentSorted(expression(a), expression(b)))
+
   /** Thresholded Jaccard: exact value when J ≥ t, −1 as soon as the
     * remaining-overlap upper bound proves J < t. For similarity joins the
     * overwhelming majority of candidate pairs are true negatives, which
@@ -144,6 +148,22 @@ object TextHash {
       else j += 1
     }
     if (inter < m) -1.0 else inter.toDouble / (s - inter)
+  }
+
+  /** Containment of sorted set a in sorted set b: |a∩b| / |a| — the
+    * ASYMMETRIC near-dup measure (a short doc quoted inside a long one
+    * scores ~1.0 where Jaccard stays near |a|/|b|). */
+  def containment(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / na
   }
 
   def jaccard(a: ArrayData, b: ArrayData): Double = {
@@ -348,6 +368,18 @@ case class JaccardSorted(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.expressions.TextHash$$.MODULE$$.jaccard($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+case class ContainmentSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.containment(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.TextHash$$.MODULE$$.containment($a, $b);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }

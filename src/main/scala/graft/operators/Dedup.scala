@@ -427,6 +427,33 @@ object Dedup {
     * block — callers block on cheap keys (lang, length bucket) so the
     * cross product never materializes globally. Kept as the reference
     * formulation; [[prefixJaccardPairs]] is the scale path. */
+  /** n-gram CONTAINMENT join: ordered pairs (a, b), a ≠ b, with
+    * |grams(a) ∩ grams(b)| / |grams(a)| ≥ threshold — the asymmetric
+    * near-dup measure that catches a short document quoted inside a long
+    * one (Jaccard stays near |a|/|b| there and never fires). Same
+    * blocked-cross-product scale shape as [[ngramJaccardPairs]]: one
+    * cached shingle pass, pairs only within cheap blocking keys, the
+    * merge-scan containment a single codegen'd expression. Emitted both
+    * directions when both clear the threshold (containment is directed).
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
+      threshold: Double, shingleSize: Int = 1): DataFrame = {
+    val base = df.select(col(idCol).as("id") +:
+      graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize).as("tk") +:
+      blockCols.map(col): _*)
+      .filter(size(col("tk")) > 0)
+      .cache()
+    val l = base.select(col("id").as("id_a") +: col("tk").as("tk_a") +: blockCols.map(col): _*)
+    val r = base.select(col("id").as("id_b") +: col("tk").as("tk_b") +: blockCols.map(col): _*)
+    val joined = if (blockCols.nonEmpty) l.join(r, blockCols) else l.crossJoin(r)
+    joined.filter(col("id_a") =!= col("id_b"))
+      .withColumn("containment",
+        graft.expressions.TextHash.containmentSorted(col("tk_a"), col("tk_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
       threshold: Double, shingleSize: Int = 1): DataFrame = {

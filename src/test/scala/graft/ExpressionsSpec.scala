@@ -149,4 +149,17 @@ class ExpressionsSpec extends SparkSpec {
       .select(col("t").cast("string")).as[String].collect()
     assert(out.toSeq == Seq("[{9.0, 6}]"))
   }
+
+  test("containmentSorted: |a∩b|/|a|, asymmetric, empty-left = 0") {
+    val df = Seq(
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)),      // subset → 1.0
+      (Seq(1L, 4L), Seq(1L, 2L, 3L)),      // half  → 0.5
+      (Seq.empty[Long], Seq(1L, 2L))       // empty a → 0.0
+    ).toDF("a", "b")
+    val got = df.select(
+      graft.expressions.TextHash.containmentSorted(col("a"), col("b")),
+      graft.expressions.TextHash.containmentSorted(col("b"), col("a")))
+      .as[(Double, Double)].collect().toSeq
+    assert(got == Seq((1.0, 2.0 / 3), (0.5, 1.0 / 3), (0.0, 0.0)))
+  }
 }
