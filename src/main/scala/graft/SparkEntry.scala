@@ -1581,6 +1581,16 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Distributed BPE merge training, 5 rounds: the corpus collapses to
+    // a vocab-sized (word, count) table in ONE scan, then every round is
+    // a narrow pair-count shuffle + a 1-row argmax collect + a map-side
+    // literal replace on the double-space symbol encoding (greedy
+    // left-to-right merge semantics identical in every engine — the
+    // whole loop is oracle-checked). q110 is round-0 candidates only.
+    "q116_bpe_train" -> ((s, dir) =>
+      Bpe.trainMerges(Tables.documents(s, dir), "text", steps = 5)
+        .orderBy("step")),
+
     // Asymmetric near-dup: n-gram CONTAINMENT |A∩B|/|A| — fires when a
     // short doc is quoted inside a long one, where Jaccard stays near
     // |A|/|B| and misses it. Directed pairs within (lang, source)
@@ -3074,6 +3084,43 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q116_bpe_train" -> {
+      val k = 5
+      val rounds = (1 to k).map { i =>
+        s"""p$i AS (
+           |  SELECT pr, sum(wc) AS c FROM (
+           |    SELECT s.wc, s.syms[u.i] || ' ' || s.syms[u.i + 1] AS pr
+           |    FROM (SELECT string_split_regex(trim(w), '\\s+') AS syms, wc
+           |          FROM w${i - 1}) s,
+           |         UNNEST(generate_series(1, len(s.syms) - 1)) AS u(i))
+           |  GROUP BY pr),
+           |m$i AS (SELECT pr, c FROM p$i ORDER BY c DESC, pr LIMIT 1),
+           |w$i AS (
+           |  SELECT replace(w,
+           |    ' ' || split_part(pr, ' ', 1) || '  ' ||
+           |      split_part(pr, ' ', 2) || ' ',
+           |    ' ' || replace(pr, ' ', '') || ' ') AS w, wc
+           |  FROM w${i - 1}, m$i)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to k)
+        .map(i => s"SELECT $i AS step, pr AS pair, c FROM m$i")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (
+         |  SELECT u.tok FROM (
+         |    SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |    FROM documents) t, UNNEST(toks) AS u(tok)
+         |  WHERE length(u.tok) > 0),
+         |v AS (SELECT tok, count(*) AS wc FROM toks GROUP BY tok),
+         |w0 AS (
+         |  SELECT ' ' || array_to_string(list_transform(
+         |    generate_series(1, length(tok)), i -> substr(tok, i, 1)), '  ')
+         |    || ' ' AS w, wc FROM v),
+         |$rounds
+         |SELECT * FROM (
+         |  $union)
+         |ORDER BY step""".stripMargin
+    },
 
     "q115_containment" ->
       """WITH t AS (SELECT doc_id, lang, source,
