@@ -1581,6 +1581,27 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Equi-depth (quantile) histogram — the complement of q74's
+    // equi-WIDTH bins: 10 bins of equal row count over price. Rank comes
+    // from the distributed prefix-sum (range-partitioned sort + carry
+    // pass), NEVER a global row_number window (which Spark plans as one
+    // single-partition task — the canonical 100 TB anti-pattern; q94's
+    // machinery). Ties: price is non-unique, but per-bin count/min/max
+    // are invariant to tie order — equal-price rows are interchangeable
+    // across the bin boundary — so the oracle's row_number agrees.
+    "q117_equidepth" -> ((s, dir) => {
+      val k = 10
+      val ranked = PrefixSum.globalRunningSum(
+        Tables.lineitem(s, dir).select(col("l_extendedprice").as("price"))
+          .withColumn("__one", lit(1L)),
+        "price", "__one", "rnk")
+      ranked.crossJoin(broadcast(ranked.agg(max(col("rnk")).as("n"))))
+        .select(expr(s"((rnk - 1) * $k) div n").as("bin"), col("price"))
+        .groupBy("bin").agg(count(lit(1)).as("n_rows"),
+          min("price").as("min_price"), max("price").as("max_price"))
+        .orderBy("bin")
+    }),
+
     // Distributed BPE merge training, 5 rounds: the corpus collapses to
     // a vocab-sized (word, count) table in ONE scan, then every round is
     // a narrow pair-count shuffle + a 1-row argmax collect + a map-side
@@ -3084,6 +3105,16 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q117_equidepth" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS price,
+        |         row_number() OVER (ORDER BY l_extendedprice) AS rnk,
+        |         count(*) OVER () AS n
+        |  FROM lineitem)
+        |SELECT CAST(((rnk - 1) * 10) // n AS BIGINT) AS bin,
+        |  count(*) AS n_rows, min(price) AS min_price, max(price) AS max_price
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q116_bpe_train" -> {
       val k = 5
