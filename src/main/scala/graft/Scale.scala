@@ -260,6 +260,27 @@ object Scale {
     val liT = amplify(li1, Seq("l_orderkey", "l_partkey"))
     time("triangles_1x") { triangleShape(li1) }
     time(s"triangles_${mult}x") { triangleShape(liT) }
+
+    // Synchronous LPA on the doubled co-order part graph (q114 shape):
+    // mult disjoint graph copies, 3 rounds each.
+    def lpaShape(li: DataFrame): Long = {
+      val canon = Graph.coOccurrenceEdges(
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8).distinct()
+      Graph.labelPropagation(canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst"))), 3).count()
+    }
+    time("labelprop_1x") { lpaShape(li1) }
+    time(s"labelprop_${mult}x") { lpaShape(liT) }
+
+    // BPE training (q116 shape): amplified docs repeat the same text, so
+    // the vocab — and with it EVERY per-round cost — is identical at
+    // mult×; only the one corpus scan grows. That invariance is the
+    // operator's whole scale claim.
+    def bpeShape(docs: DataFrame): Long =
+      operators.Bpe.trainMerges(docs, "text", steps = 3).count()
+    time("bpe_1x") { bpeShape(docs1) }
+    time(s"bpe_${mult}x") { bpeShape(docsN) }
     spark.stop()
   }
 }

@@ -1581,6 +1581,35 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
+    // Robust outlier detection: median/MAD (the z-score that doesn't
+    // blow up on the outliers it hunts — complements q96's mean/stddev).
+    // Values go to integer CENTS first, so every median/MAD lands on a
+    // dyadic rational (x.0/x.5) that both engines interpolate EXACTLY —
+    // only f∈{0,.5} percentiles are cross-engine-safe on doubles (q44's
+    // lesson generalized). Three passes by necessity (med → dev → MAD
+    // gate); the events projection is cached narrow, group tables
+    // broadcast back.
+    "q118_mad_outliers" -> ((s, dir) => {
+      val c = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .cache()
+      val med = c.groupBy("event_type")
+        .agg(expr("percentile(c, 0.5)").as("med"))
+      val dev = c.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), col("med"),
+          abs(col("c").cast("double") - col("med")).as("dev"))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med_cents"),
+          max(col("mad")).as("mad_cents"),
+          count(when(col("dev") > lit(3d) * col("mad"), 1)).as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // Equi-depth (quantile) histogram — the complement of q74's
     // equi-WIDTH bins: 10 bins of equal row count over price. Rank comes
     // from the distributed prefix-sum (range-partitioned sort + carry
@@ -3105,6 +3134,23 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q118_mad_outliers" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, quantile_cont(c, 0.5) AS med FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT c.event_type, abs(CAST(c.c AS DOUBLE) - m.med) AS dev, m.med
+        |  FROM c JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  max(d.med) AS med_cents, max(md.mad) AS mad_cents,
+        |  count(*) FILTER (WHERE d.dev > 3 * md.mad) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q117_equidepth" ->
       """WITH r AS (

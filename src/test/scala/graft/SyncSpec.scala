@@ -121,6 +121,40 @@ class SyncSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == ev.count())
   }
 
+  test("structured streaming: stream-stream interval join equals the batch join") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("ssj").toString
+    val src = s"$dir/src"
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.write.parquet(src)
+    def clicksOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("ts").as("c_ts"),
+        col("user_id").as("c_user"))
+    def buysOf(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user"))
+    val cond = expr(
+      "c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour")
+    val streamed = clicksOf(
+      spark.readStream.schema(ev.schema).parquet(src))
+      .withWatermark("c_ts", "2 hours")
+      .join(buysOf(spark.readStream.schema(ev.schema).parquet(src))
+        .withWatermark("p_ts", "2 hours"), cond)
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_out").select("c_id", "p_id")
+    val want = clicksOf(ev).join(buysOf(ev), cond).select("c_id", "p_id")
+    // both watermarks cover the whole bounded slice, so the streamed
+    // result must be EXACTLY the batch join, not merely a subset
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.join(want, Seq("c_id", "p_id"), "left_anti").isEmpty)
+  }
+
   test("stateful gap sessions: event-time timeout finalizes sessions at the watermark") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StatefulSessions
