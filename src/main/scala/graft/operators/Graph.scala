@@ -231,8 +231,18 @@ object Graph {
     * the PageRank/CC loops. */
   def labelPropagation(edges: DataFrame, iterations: Int,
       broadcastNodeLimit: Long = 2000000L): DataFrame = {
+    // Partition the edge table by DST, not src: the per-round join is a
+    // BROADCAST of the label table (no src co-location needed), and
+    // hash(dst) satisfies the clustering requirement of BOTH round aggs
+    // — groupBy(dst, lbl) (subset rule) and groupBy(id=dst) (alias-aware
+    // partitioning through the projections) — so a broadcast-mode round
+    // plans with ZERO Exchange (asserted in GraphSpec).
+    // cache, NOT localCheckpoint: the InMemoryRelation keeps the
+    // hash(dst) output partitioning (a checkpoint's LogicalRDD drops it
+    // — measured: both round aggs re-shuffle), which is what makes the
+    // rounds exchange-free.
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("src")).cache()
+      .repartition(col("dst")).cache()
     val nNodes = ew.agg(approx_count_distinct(col("src")).as("n"))
       .first().getLong(0)
     def maybeB(df: DataFrame): DataFrame =

@@ -107,6 +107,41 @@ class GraphSpec extends SparkSpec {
     assert(lStar == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("broadcast-mode LPA round plans with zero Exchange after the edge layout") {
+    val e = Seq.tabulate(300)(i => (i.toLong % 40 + 1, (i * 13 % 40).toLong + 1))
+      .filter(p => p._1 != p._2)
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("dst")).cache()
+    ew.count()
+    val labels = ew.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    // one round exactly as labelPropagation builds it
+    val round = ew
+      .join(broadcast(labels.withColumnRenamed("id", "src")), Seq("src"))
+      .groupBy(col("dst").as("id"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(min_by(col("lbl"),
+        struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+    round.collect()
+    // hash(dst) from the cached layout satisfies both aggs' clustering
+    // (subset rule + alias-aware partitioning through the projections),
+    // so a round runs with ZERO shuffle stages — the cache scan and the
+    // label broadcast are the only leaves. Tree-walk the final adaptive
+    // plan: a string match would also see the layout Exchange stored
+    // inside the InMemoryRelation.
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    val fin = round.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(fin.collect { case s: ShuffleQueryStageExec => s }.isEmpty,
+      fin.toString)
+    assert(fin.toString.contains("BroadcastHashJoin"), fin.toString)
+    ew.unpersist()
+  }
+
   test("label propagation is partitioning-independent") {
     val base = Seq.tabulate(300)(i => (i.toLong % 40, (i * 13 % 40).toLong))
       .filter(p => p._1 != p._2)
