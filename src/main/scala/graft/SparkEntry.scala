@@ -1589,6 +1589,16 @@ object SparkEntry {
     // lesson generalized). Three passes by necessity (med → dev → MAD
     // gate); the events projection is cached narrow, group tables
     // broadcast back.
+    // Cohort retention: first-touch weekly cohorts × week-offset activity
+    // cells. One hash(user) shuffle serves first-touch agg + join-back +
+    // per-user cell dedup (subset-rule partitioning reuse); only the tiny
+    // cohort×offset matrix re-shuffles. All-integer period arithmetic.
+    "q119_retention" -> ((s, dir) =>
+      Sessions.cohortRetention(
+        Tables.events(s, dir).select("user_id", "ts_ns"),
+        userCol = "user_id", tsNanosCol = "ts_ns", periodDays = 7)
+        .orderBy("cohort", "offset")),
+
     "q118_mad_outliers" -> ((s, dir) => {
       val c = Tables.events(s, dir)
         .select(col("event_type"),
@@ -3134,6 +3144,17 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q119_retention" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, epoch_ns(ts) // 604800000000000 AS p
+        |  FROM events),
+        |f AS (SELECT u, min(p) AS p0 FROM e GROUP BY u),
+        |x AS (
+        |  SELECT DISTINCT e.u, f.p0 AS cohort, e.p - f.p0 AS "offset"
+        |  FROM e JOIN f USING (u))
+        |SELECT cohort, "offset", count(*) AS n_users
+        |FROM x GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
 
     "q118_mad_outliers" ->
       """WITH c AS (

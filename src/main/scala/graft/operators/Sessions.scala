@@ -54,4 +54,31 @@ object Sessions {
       .select(col(keyCol), col("id_a"), col("id_b"))
       .dropDuplicates(keyCol, "id_a", "id_b")
   }
+
+  /** Cohort retention matrix: users are cohorted by their FIRST active
+    * period (first event day, floored to `periodDays`-day periods) and
+    * counted once per (cohort, offset) cell they are active in.
+    *
+    * Scale shape: ONE hash(user) shuffle serves the whole pipeline — the
+    * first-touch agg, the join back, and the per-user cell dedup all
+    * cluster on `user`, so Catalyst's subset rule (HashPartitioning(user)
+    * satisfies ClusteredDistribution(user, cohort, offset)) plans the
+    * dedup with zero additional Exchange. Only the final tiny
+    * (cohort × offset) agg re-shuffles, and that table is bounded by
+    * periods², not events. All-integer day/period arithmetic (`div`,
+    * never double division on epoch magnitudes). */
+  def cohortRetention(
+      df: DataFrame, userCol: String, tsNanosCol: String,
+      periodDays: Int = 7): DataFrame = {
+    val perNanos = periodDays * 86400L * 1000000000L
+    val e = df.select(col(userCol).as("__u"),
+      expr(s"$tsNanosCol div $perNanos").as("__p"))
+    val first = e.groupBy("__u").agg(min(col("__p")).as("__p0"))
+    e.join(first, "__u")
+      .select(col("__u"), col("__p0").as("cohort"),
+        (col("__p") - col("__p0")).as("offset"))
+      .dropDuplicates("__u", "cohort", "offset")
+      .groupBy("cohort", "offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -30,4 +30,36 @@ class SessionsSpec extends SparkSpec {
     assert(fast == naive)
     assert(naive.nonEmpty)
   }
+
+  test("cohortRetention: known cohort matrix; diagonal cell counts users once") {
+    val day = 86400L * 1000000000L
+    // u1 first active day 0 (period 0), active again days 8, 9 (period 1)
+    // u2 first active day 7 (period 1), active day 15 (period 2)
+    // u3 first active day 0, never again
+    val df = Seq(
+      (1L, 0L * day), (1L, 8L * day), (1L, 9L * day),
+      (2L, 7L * day), (2L, 15L * day),
+      (3L, 0L * day)).toDF("user_id", "ts_ns")
+    val out = Sessions.cohortRetention(df, "user_id", "ts_ns", periodDays = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("cohortRetention: per-user dedup adds no Exchange beyond the user shuffle") {
+    val day = 86400L * 1000000000L
+    val df = Seq.tabulate(500)(i => ((i % 40).toLong, (i % 23).toLong * day))
+      .toDF("user_id", "ts_ns")
+    val ret = Sessions.cohortRetention(df, "user_id", "ts_ns", periodDays = 7)
+    ret.collect()
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    val fin = ret.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // hash(user) for first-touch agg + join; dedup rides it (subset rule);
+    // final cohort×offset agg re-shuffles: 2 distinct exchanges total.
+    val n = fin.collect { case s: ShuffleQueryStageExec => s.plan.canonicalized }
+      .distinct.size
+    assert(n <= 2, s"expected <=2 distinct shuffles, got $n:\n$fin")
+  }
 }
