@@ -1589,6 +1589,15 @@ object SparkEntry {
     // lesson generalized). Three passes by necessity (med → dev → MAD
     // gate); the events projection is cached narrow, group tables
     // broadcast back.
+    // Capped inverted index: token → df + top-3 "doc:tf" postings. The
+    // cap is a bounded-heap AGGREGATE (O(k) map-side state even for
+    // stopword tokens), not a window sort over the hot-token partition;
+    // shuffle bytes O(|vocab|·k). df≥5 prunes the long hapax tail.
+    "q120_inverted_index" -> ((s, dir) =>
+      Corpus.invertedIndex(Tables.documents(s, dir), "doc_id", "text",
+        k = 3, minDf = 5L)
+        .orderBy("token")),
+
     // Cohort retention: first-touch weekly cohorts × week-offset activity
     // cells. One hash(user) shuffle serves first-touch agg + join-back +
     // per-user cell dedup (subset-rule partitioning reuse); only the tiny
@@ -3144,6 +3153,24 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q120_inverted_index" ->
+      """WITH tf AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |    FROM documents)
+        |  WHERE token <> '' GROUP BY token, doc_id),
+        |r AS (
+        |  SELECT token, doc_id, tf,
+        |    row_number() OVER (PARTITION BY token
+        |                       ORDER BY tf DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY token) AS df
+        |  FROM tf)
+        |SELECT token, df,
+        |  string_agg(doc_id || ':' || tf, ',' ORDER BY rn) AS postings
+        |FROM r WHERE rn <= 3 AND df >= 5
+        |GROUP BY token, df ORDER BY token""".stripMargin,
 
     "q119_retention" ->
       """WITH e AS (

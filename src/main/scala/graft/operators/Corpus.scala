@@ -18,6 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** Capped inverted index: token → document frequency + the top-`k`
+    * postings "doc:tf" ranked (tf desc, doc_id asc) — the search-engine
+    * build step over a curated corpus.
+    *
+    * Scale shape: tf is explode → (token, doc) partial+final hash agg;
+    * the posting cap then rides a SECOND agg keyed on token alone whose
+    * per-group state is the O(k) bounded heap (`TopKHeap`) with map-side
+    * combine — a stopword token costs k pairs per map task, where the
+    * window spelling (the oracle) would sort the full hot-token
+    * partition. Shuffle bytes are O(|vocab|·k), never O(corpus).
+    * doc_id is negated into the heap's id-DESC tie-break to get the
+    * conventional doc-asc posting order. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDf: Long = 1L): DataFrame = {
+    val tf = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    tf.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        graft.expressions.TopKHeap.topKPairs(
+          col("tf").cast("double"), -col("doc_id"), k).as("top"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), col("df"),
+        array_join(transform(col("top"), p =>
+          concat((-p.getField("id")).cast("string"), lit(":"),
+            p.getField("score").cast("long").cast("string"))), ",")
+          .as("postings"))
+  }
+
   /** Global token-frequency vocabulary: the `k` most frequent whitespace
     * tokens of the lowercased corpus with stable tie-break (count desc,
     * token asc). At 100 TB this is the canonical map-side-combine shape:

@@ -164,4 +164,25 @@ class CorpusSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(rep == kept)
   }
+
+  test("invertedIndex: tf-desc doc-asc postings, cap, df filter") {
+    val docs = Seq(
+      (1L, "a a a b"), (2L, "a b b"), (3L, "a c"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Corpus.invertedIndex(docs, "doc_id", "text", k = 2)
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // token a: tf 3@1, 1@{2,3,4} → top2 = 1:3 then doc-asc tie 2:1
+    assert(out("a") == ((4L, "1:3,2:1")))
+    assert(out("b") == ((3L, "2:2,1:1")))
+    assert(out("c") == ((2L, "3:1,4:1")))
+    // minDf prunes the tail
+    val pruned = Corpus.invertedIndex(docs, "doc_id", "text", k = 2, minDf = 3L)
+      .select("token").as[String].collect().toSet
+    assert(pruned == Set("a", "b"))
+    // partitioning-independent
+    val rep = Corpus.invertedIndex(docs.repartition(5), "doc_id", "text", k = 2)
+      .as[(String, Long, String)].collect().toSet
+    assert(rep == out.map { case (t, (d, p)) => (t, d, p) }.toSet)
+  }
 }
