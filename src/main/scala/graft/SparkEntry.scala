@@ -1589,6 +1589,23 @@ object SparkEntry {
     // lesson generalized). Three passes by necessity (med → dev → MAD
     // gate); the events projection is cached narrow, group tables
     // broadcast back.
+    // Z-order layout audit: Morton-interleave (l_partkey, l_suppkey),
+    // bucket on the z-value's high bits, and report per-bucket ranges of
+    // BOTH dimensions — the evidence that one clustering key localizes
+    // two filter columns at once (io/Layout.zorder2 feeds zorderedWrite;
+    // here the bucket stats are the oracle-checkable surface). Pure
+    // codegen'd integer bit ops, zero shuffles beyond the bucket agg.
+    "q121_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.io.Layout.zorder2(col("l_partkey"), col("l_suppkey"))
+            .as("z"))
+        .groupBy(expr("z div 4096").as("zbucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("zbucket")),
+
     // Capped inverted index: token → df + top-3 "doc:tf" postings. The
     // cap is a bounded-heap AGGREGATE (O(k) map-side state even for
     // stopword tokens), not a window sort over the hot-token partition;
@@ -3153,6 +3170,24 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q121_zorder" -> {
+      // Morton spread16 as nested SQL (same magic-mask doubling as
+      // io/Layout.spread16); DuckDB & | << need full parenthesization.
+      def sp(e: String): String = {
+        val s0 = s"(($e) & 65535)"
+        val s1 = s"((($s0 | ($s0 << 8))) & 16711935)"
+        val s2 = s"((($s1 | ($s1 << 4))) & 252645135)"
+        val s3 = s"((($s2 | ($s2 << 2))) & 858993459)"
+        s"((($s3 | ($s3 << 1))) & 1431655765)"
+      }
+      val z = s"(${sp("l_partkey")} | (${sp("l_suppkey")} << 1))"
+      s"""SELECT CAST(($z // 4096) AS BIGINT) AS zbucket,
+         |  count(*) AS n_rows,
+         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |FROM lineitem GROUP BY 1 ORDER BY zbucket""".stripMargin
+    },
 
     "q120_inverted_index" ->
       """WITH tf AS (
