@@ -1589,6 +1589,21 @@ object SparkEntry {
     // lesson generalized). Three passes by necessity (med → dev → MAD
     // gate); the events projection is cached narrow, group tables
     // broadcast back.
+    // k-core decomposition (k=3, 4 peel rounds) of the co-order part
+    // graph — iterative degree peeling where each round is one node-id
+    // partial-agg shuffle + two broadcast semi-joins (the edge table
+    // never re-shuffles in broadcast regime). All-integer, so the whole
+    // loop is oracle-checked bit-for-bit against 4 unrolled DuckDB CTE
+    // rounds; early-exit on a no-op round is oracle-transparent.
+    "q122_kcore" -> ((s, dir) =>
+      Graph.kCore(
+        Graph.coOccurrenceEdges(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p", maxGroupSize = 8),
+        k = 3, maxRounds = 4)
+        .orderBy("id")),
+
     // Z-order layout audit: Morton-interleave (l_partkey, l_suppkey),
     // bucket on the z-value's high bits, and report per-bucket ranges of
     // BOTH dimensions — the evidence that one clustering key localizes
@@ -3170,6 +3185,38 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q122_kcore" -> {
+      // MATERIALIZED is load-bearing: each e_i is referenced ~3× by round
+      // i+1 (degree count + two IN-subqueries); without it DuckDB inlines
+      // the CTE chain and re-evaluates e0 3^rounds times (observed: >75
+      // CPU-min at sf0.1 vs seconds materialized).
+      val rounds = (1 to 4).map { i =>
+        s"""d${i - 1} AS MATERIALIZED (
+           |  SELECT id, count(*) AS c FROM (
+           |    SELECT a AS id FROM e${i - 1}
+           |    UNION ALL SELECT b AS id FROM e${i - 1})
+           |  GROUP BY id),
+           |k${i - 1} AS MATERIALIZED (SELECT id FROM d${i - 1} WHERE c >= 3),
+           |e$i AS MATERIALIZED (
+           |  SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT id FROM k${i - 1})
+           |    AND b IN (SELECT id FROM k${i - 1}))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH os0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |os AS MATERIALIZED (
+         |  SELECT o, p FROM (
+         |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+         |  WHERE ns <= 8),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p),
+         |$rounds
+         |SELECT id, count(*) AS deg FROM (
+         |  SELECT a AS id FROM e4 UNION ALL SELECT b AS id FROM e4)
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
 
     "q121_zorder" -> {
       // Morton spread16 as nested SQL (same magic-mask doubling as

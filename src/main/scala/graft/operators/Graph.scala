@@ -211,6 +211,53 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
+  /** k-core decomposition by iterative peeling: drop every node whose
+    * degree is below `k`, recompute degrees on the surviving subgraph,
+    * repeat until fixpoint (or `maxRounds`). Returns the surviving nodes
+    * with their core-subgraph degree — the standard spam/quality signal
+    * for link graphs and the densest-region pre-filter for community
+    * mining.
+    *
+    * Input: canonical undirected edges (src < dst); duplicates are
+    * dedup'd and self-loops dropped here. Per round: ONE node-id
+    * partial-agg shuffle for degrees, then two SEMI-joins of the edge
+    * table against the (node-sized, broadcast below `broadcastNodeLimit`)
+    * survivor set — the edge table itself never re-shuffles in broadcast
+    * regime. localCheckpoint per round keeps the plan flat (same
+    * discipline as the PageRank/LPA loops); early-exit when an edge
+    * count round removes nothing is semantics-preserving for the
+    * fixed-unroll oracle because post-fixpoint rounds are no-ops in any
+    * engine. All-integer, so the loop is oracle-checked bit-for-bit. */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int,
+      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    val nNodes = e.agg(approx_count_distinct(col("src")).as("n"))
+      .first().getLong(0)
+    def maybeB(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast(df) else df
+    def degrees(ed: DataFrame): DataFrame =
+      ed.select(col("src").as("id"))
+        .unionAll(ed.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var m = e.count()
+    var round = 0
+    var done = m == 0L
+    while (!done && round < maxRounds) {
+      round += 1
+      val keep = degrees(e).filter(col("deg") >= k).select("id")
+      e = e
+        .join(maybeB(keep.withColumnRenamed("id", "src")), Seq("src"), "semi")
+        .join(maybeB(keep.withColumnRenamed("id", "dst")), Seq("dst"), "semi")
+        .select("src", "dst").localCheckpoint(true)
+      val m2 = e.count()
+      done = m2 == m
+      m = m2
+    }
+    degrees(e).select(col("id"), col("deg"))
+  }
+
   /** Synchronous label propagation (community detection): every node
     * starts labeled with its own id; each round it adopts the MODE of
     * its neighbors' labels, ties broken by the smallest label — the
