@@ -273,6 +273,17 @@ object Scale {
     time("labelprop_1x") { lpaShape(li1) }
     time(s"labelprop_${mult}x") { lpaShape(liT) }
 
+    // k-core peeling (q122 shape): mult disjoint copies of the co-order
+    // part graph — every round's degree agg and survivor semi-joins scale
+    // with the edge count, and the broadcast regime flips to shuffle
+    // semi-joins once 2m crosses broadcastNodeLimit (exercised at 20x).
+    def kcoreShape(li: DataFrame): Long =
+      Graph.kCore(Graph.coOccurrenceEdges(
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8), k = 3, maxRounds = 4).count()
+    time("kcore_1x") { kcoreShape(li1) }
+    time(s"kcore_${mult}x") { kcoreShape(liT) }
+
     // BPE training (q116 shape): amplified docs repeat the same text, so
     // the vocab — and with it EVERY per-round cost — is identical at
     // mult×; only the one corpus scan grows. That invariance is the

@@ -233,15 +233,15 @@ object Graph {
     var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
-    val nNodes = e.agg(approx_count_distinct(col("src")).as("n"))
-      .first().getLong(0)
-    def maybeB(df: DataFrame): DataFrame =
-      if (nNodes <= broadcastNodeLimit) broadcast(df) else df
     def degrees(ed: DataFrame): DataFrame =
       ed.select(col("src").as("id"))
         .unionAll(ed.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
     var m = e.count()
+    // #nodes <= 2m, so the edge count (needed anyway for the fixpoint
+    // test) decides the regime without a separate distinct-count action.
+    def maybeB(df: DataFrame): DataFrame =
+      if (2 * m <= broadcastNodeLimit) broadcast(df) else df
     var round = 0
     var done = m == 0L
     while (!done && round < maxRounds) {
