@@ -1604,6 +1604,41 @@ object SparkEntry {
         k = 3, maxRounds = 4)
         .orderBy("id")),
 
+    // Interval–interval overlap join (IntervalJoin.overlapJoin): lineitem
+    // ship→receipt intervals × per-nation 45-day maintenance windows
+    // (4 per nation, generated from nationkey — tiny → broadcast regime,
+    // so the fact side NEVER shuffles). Binning turns the non-equi
+    // overlap into an equi-join on (nation, 64-day bin); first-shared-bin
+    // reporting makes output exactly-once with no dedup shuffle. The
+    // oracle is the naive inequality join DuckDB plans as IEJoin.
+    "q123_interval_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("l_suppkey"),
+            col("s_nationkey").as("nk"))), Seq("l_suppkey"))
+        .select(col("nk"), col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("ls"),
+          date_add(to_date(col("l_shipdate")),
+            col("l_quantity").cast("int") % 28).as("le"))
+      val win = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("nk"),
+          explode(sequence(lit(0), lit(3))).as("window_id"))
+        .select(col("nk"), col("window_id"),
+          date_add(to_date(lit("1992-01-01")),
+            col("nk").cast("int") * 30 + col("window_id").cast("int") * 400)
+            .as("ws"))
+        .withColumn("we", date_add(col("ws"), 45))
+      IntervalJoin.overlapJoin(li, win, "ls", "le", "ws", "we",
+          keyCols = Seq("nk"), binWidth = 64L, broadcastRight = true)
+        .select(col("nk").cast("long").as("nk"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("window_id").cast("long").as("window_id"),
+          (datediff(least(col("le"), col("we")),
+            greatest(col("ls"), col("ws"))) + 1).cast("long")
+            .as("overlap_days"))
+        .orderBy("nk", "l_orderkey", "l_linenumber", "window_id")
+    }),
+
     // Z-order layout audit: Morton-interleave (l_partkey, l_suppkey),
     // bucket on the z-value's high bits, and report per-bucket ranges of
     // BOTH dimensions — the evidence that one clustering key localizes
@@ -3185,6 +3220,26 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q123_interval_join" -> """
+      |WITH li AS (
+      |  SELECT s.s_nationkey AS nk, l.l_orderkey, l.l_linenumber,
+      |         CAST(l.l_shipdate AS DATE) AS ls,
+      |         CAST(l.l_shipdate AS DATE)
+      |           + (CAST(l.l_quantity AS INTEGER) % 28) AS le
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |win AS (
+      |  SELECT n.n_nationkey AS nk, q.window_id,
+      |         DATE '1992-01-01' + (n.n_nationkey * 30 + q.window_id * 400) AS ws,
+      |         DATE '1992-01-01' + (n.n_nationkey * 30 + q.window_id * 400 + 45) AS we
+      |  FROM nation n CROSS JOIN (SELECT unnest([0,1,2,3]) AS window_id) q)
+      |SELECT CAST(li.nk AS BIGINT) AS nk, li.l_orderkey, li.l_linenumber,
+      |       CAST(win.window_id AS BIGINT) AS window_id,
+      |       CAST(datediff('day', greatest(li.ls, win.ws),
+      |                     least(li.le, win.we)) + 1 AS BIGINT) AS overlap_days
+      |FROM li JOIN win ON li.nk = win.nk
+      |  AND li.ls <= win.we AND win.ws <= li.le
+      |ORDER BY nk, l_orderkey, l_linenumber, window_id""".stripMargin,
 
     "q122_kcore" -> {
       // MATERIALIZED is load-bearing: each e_i is referenced ~3× by round
