@@ -1604,6 +1604,26 @@ object SparkEntry {
         k = 3, maxRounds = 4)
         .orderBy("id")),
 
+    // CDC merge / lakehouse MERGE INTO (Merge.mergeChangelog): orders is
+    // the base snapshot, lineitem plays a keyed changelog (seq =
+    // l_linenumber, low-quantity lines are deletes). Last-write-wins via
+    // ONE partial-agg shuffle — max over struct(seq, payload) — instead
+    // of a row_number window that would sort every partition; shuffle
+    // volume is distinct keys per map task, not input rows. Oracle
+    // spells the same semantics as a window (unique (key, seq) makes
+    // both orders total).
+    "q124_merge_upsert" -> ((s, dir) => {
+      val base = Tables.customer(s, dir)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+      val chg = Tables.events(s, dir)
+        .select(col("user_id").as("k"), col("value").as("v"),
+          col("event_id").as("seq"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      Merge.mergeChangelog(base, chg, Seq("k"), "seq", "op", baseSeq = -1L)
+        .select(col("k"), col("seq").as("last_seq"), col("v"))
+        .orderBy("k")
+    }),
+
     // Interval–interval overlap join (IntervalJoin.overlapJoin): lineitem
     // ship→receipt intervals × per-nation 45-day maintenance windows
     // (4 per nation, generated from nationkey — tiny → broadcast regime,
@@ -3220,6 +3240,22 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q124_merge_upsert" -> """
+      |WITH all_rows AS (
+      |  SELECT c_custkey AS k, c_acctbal AS v,
+      |         CAST(-1 AS BIGINT) AS seq, 'U' AS op FROM customer
+      |  UNION ALL
+      |  SELECT user_id, value, event_id,
+      |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END
+      |  FROM events),
+      |latest AS (
+      |  SELECT k, v, seq, op,
+      |         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM all_rows)
+      |SELECT k, seq AS last_seq, v
+      |FROM latest WHERE rn = 1 AND op <> 'D'
+      |ORDER BY k""".stripMargin,
 
     "q123_interval_join" -> """
       |WITH li AS (
