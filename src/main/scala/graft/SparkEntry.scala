@@ -1604,6 +1604,23 @@ object SparkEntry {
         k = 3, maxRounds = 4)
         .orderBy("id")),
 
+    // Personalized PageRank from a seed set (orders divisible by 25) on
+    // the doubled order↔part graph — teleport mass returns to seeds, so
+    // the rank table is FRONTIER-sized (r0 = |seeds| rows), the edge
+    // table never re-shuffles, and the whole fixed-point integer loop is
+    // oracle-checked bit-for-bit against 3 unrolled MATERIALIZED CTE
+    // rounds.
+    "q125_ppr" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"))
+        .distinct()
+      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
+      val seeds = pairs.select(col("o").as("id")).filter(col("id") % 50 === 0)
+      Graph.personalizedPageRank(edges, seeds, iterations = 3)
+        .orderBy("id")
+    }),
+
     // CDC merge / lakehouse MERGE INTO (Merge.mergeChangelog): orders is
     // the base snapshot, lineitem plays a keyed changelog (seq =
     // l_linenumber, low-quantity lines are deletes). Last-write-wins via
@@ -3240,6 +3257,35 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q125_ppr" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT id, CAST(sum(r) AS BIGINT) AS rank FROM (
+           |    SELECT id, CAST(150000 AS BIGINT) AS r FROM s0
+           |    UNION ALL
+           |    SELECT c.id, (850000 * c.c) // 1000000 FROM (
+           |      SELECT e.dst AS id,
+           |             CAST(sum(r.rank // d.deg) AS BIGINT) AS c
+           |      FROM e JOIN r${k - 1} r ON r.id = e.src
+           |             JOIN deg d ON d.id = e.src
+           |      GROUP BY e.dst) c) u
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |s0 AS MATERIALIZED (
+         |  SELECT DISTINCT src AS id FROM e WHERE src % 50 = 0),
+         |r0 AS MATERIALIZED (
+         |  SELECT id, CAST(1000000 AS BIGINT) AS rank FROM s0),
+         |$rounds
+         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
+    },
 
     "q124_merge_upsert" -> """
       |WITH all_rows AS (

@@ -211,6 +211,56 @@ object Graph {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
+  /** Personalized PageRank: damped propagation where teleport mass
+    * returns to a SEED set instead of all nodes — "importance relative
+    * to these accounts / this topic", the standard neighborhood-ranking
+    * and fraud-propagation primitive.
+    *
+    * The scale property global PageRank can't offer: the rank table is
+    * FRONTIER-sized. r0 is |seeds| rows and each round only reaches
+    * nodes within i hops of a seed, so on a 100 TB graph with a handful
+    * of seeds the per-round state stays tiny while the edge table —
+    * degree attached in the same materializing pass, repartitioned by
+    * dst once — never re-shuffles (broadcast regime) and its
+    * contribution aggregation is exchange-free on the dst partitioning.
+    * The damp-after-sum order matches the oracle's integer arithmetic
+    * bit-for-bit: `(d * Σ(rank div deg)) div scale`, then + base at
+    * seeds, all in fixed-point longs.
+    *
+    * @param seeds one column `id`; deduplicated here
+    * @return (id, rank) for nodes reachable within `iterations` hops of
+    *         a seed (unreached nodes are implicitly rank 0) */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, scale: Long = 1000000L, dampingScaled: Long = 850000L,
+      broadcastRankLimit: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      .repartition(col("dst")).cache()
+    val sd = seeds.select(col("id").cast("long")).distinct()
+      .localCheckpoint(true)
+    val base = scale - dampingScaled
+    var ranks = sd.withColumn("rank", lit(scale)).localCheckpoint(true)
+    var nRanks = ranks.count()
+    var it = 0
+    while (it < iterations) {
+      it += 1
+      val r = if (nRanks <= broadcastRankLimit) broadcast(ranks) else ranks
+      val contrib = ew
+        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = sd.withColumn("r", lit(base))
+        .unionByName(contrib.select(col("id"),
+          expr(s"($dampingScaled * s) div $scale").as("r")))
+        .groupBy("id").agg(sum(col("r")).as("rank"))
+        .localCheckpoint(true)
+      nRanks = ranks.count()
+    }
+    ew.unpersist(blocking = false)
+    ranks
+  }
+
   /** k-core decomposition by iterative peeling: drop every node whose
     * degree is below `k`, recompute degrees on the surviving subgraph,
     * repeat until fixpoint (or `maxRounds`). Returns the surviving nodes

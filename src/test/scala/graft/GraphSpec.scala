@@ -190,6 +190,30 @@ class GraphSpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("personalized PageRank: hand-computed 2-cycle, frontier-only output") {
+    // 1⇄2 plus an unreachable component 5→6; seed = {1}
+    val e = Seq((1L, 2L), (2L, 1L), (5L, 6L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val r2 = Graph.personalizedPageRank(e, seeds, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    // r0: {1:1000000}
+    // r1: 2 gets (850000*1000000) div 1e6 = 850000; 1 keeps base 150000
+    // r2: 1 = 150000 + (850000*850000) div 1e6 = 872500
+    //     2 = (850000*150000) div 1e6 = 127500
+    assert(r2 == Map(1L -> 872500L, 2L -> 127500L)) // 5,6 never appear
+  }
+
+  test("personalized PageRank is partitioning-independent") {
+    val e = Seq.tabulate(200)(i => ((i % 23).toLong, (i * 7 % 23).toLong))
+      .filter(p => p._1 != p._2).toDF("src", "dst")
+    val seeds = Seq(0L, 5L).toDF("id")
+    val a = Graph.personalizedPageRank(e.repartition(1), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.personalizedPageRank(e.repartition(17), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("triangle counts are partitioning-independent") {
     val e = Seq.tabulate(300)(i => (i.toLong % 40, (i * 13 % 40).toLong))
       .toDF("src", "dst")
