@@ -1604,6 +1604,21 @@ object SparkEntry {
         k = 3, maxRounds = 4)
         .orderBy("id")),
 
+    // Product-quantization ANN (Ann.pqTopK): corpus compressed to 8
+    // codes/vector against 8×16 subspace codebooks, queries scored by
+    // LUT lookups (ADC) — the scan side is the codes table, never the
+    // raw embeddings. initById + 0 Lloyd rounds makes codebooks, code
+    // assignment (tie → larger codeword) and subspace-ascending ADC sums
+    // engine-independent, so the DuckDB oracle reproduces ranks exactly
+    // (q43's determinism trick applied to PQ).
+    "q126_ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Ann.pqTopK(emb, emb.filter(col("vec_id") < 5), k = 10,
+        numSubspaces = 8, codebookSize = 16, lloydIterations = 0,
+        initById = true)
+        .orderBy("query_id", "rank")
+    }),
+
     // Personalized PageRank from a seed set (orders divisible by 25) on
     // the doubled order↔part graph — teleport mass returns to seeds, so
     // the rank table is FRONTIER-sized (r0 = |seeds| rows), the edge
@@ -3257,6 +3272,42 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q126_ann_pq" -> """
+      |WITH seed AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv
+      |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+      |        LIMIT 16)),
+      |cb AS MATERIALIZED (
+      |  SELECT m.m, s.ci, list_slice(s.cv, m.m*8+1, m.m*8+8) AS cent
+      |  FROM seed s CROSS JOIN
+      |       (SELECT unnest([0,1,2,3,4,5,6,7]) AS m) m),
+      |codes AS MATERIALIZED (
+      |  SELECT id, m, ci AS code FROM (
+      |    SELECT e.vec_id AS id, c.m, c.ci,
+      |      row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(list_slice(e.embedding, c.m*8+1, c.m*8+8), c.cent),
+      |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) DESC,
+      |        c.ci DESC) AS rn
+      |    FROM embeddings e CROSS JOIN cb c) WHERE rn = 1),
+      |lut AS MATERIALIZED (
+      |  SELECT q.vec_id AS query_id, c.m, c.ci,
+      |    list_sum(list_transform(
+      |      list_zip(list_slice(q.embedding, c.m*8+1, c.m*8+8), c.cent),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS d
+      |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 5),
+      |scored AS (
+      |  SELECT l.query_id, cd.id, list_sum(list(l.d ORDER BY l.m)) AS score
+      |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.ci = cd.code
+      |  WHERE cd.id <> l.query_id
+      |  GROUP BY l.query_id, cd.id),
+      |r AS (
+      |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, id ASC) AS rnk
+      |  FROM scored)
+      |SELECT query_id, id AS neighbor_id, CAST(rnk AS INT) AS rank
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q125_ppr" -> {
       val rounds = (1 to 3).map { k =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.expressions.VectorExpressions.{cosineF, hyperplaneBucket}
+import graft.expressions.VectorExpressions.{cosineF, dotF, hyperplaneBucket}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -108,6 +108,115 @@ object Ann {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Product-quantization ANN (inner-product / ADC variant): vectors are
+    * split into `numSubspaces` subvectors, each encoded as the id of its
+    * nearest (max-dot) codeword from a per-subspace codebook — the whole
+    * corpus compresses to M small ints per vector (64-dim float → 8
+    * codes: 32× smaller). A query never touches raw corpus vectors:
+    * it precomputes a LUT of M×K subvector dots, and each candidate's
+    * score is M array lookups summed (asymmetric distance computation).
+    *
+    * Scale shape: the scan side is the CODES table, not the embeddings —
+    * at 100 TB that is the difference between scanning 3 TB and 100 TB
+    * per query batch. Codebooks are tiny driver arrays baked into
+    * codegen'd literals (train on a sample at scale); query LUTs ride a
+    * broadcast; nothing shuffles but the per-query top-k window over
+    * candidates. Composable with IVF cells for candidate pruning.
+    *
+    * Determinism: codebook init is the `codebookSize` smallest rows by
+    * hash(id) (or by id with `initById` — with `lloydIterations = 0`
+    * that makes the whole operator engine-independent and SQL-oracle
+    * reproducible, the same trick as [[ivfTopK]]); code assignment ties
+    * break toward the larger codeword id; ADC sums run subspace-ascending
+    * (matches an ORDER BY m list_sum oracle).
+    */
+  /** @param rerankFactor 0 = pure ADC ranks. n > 0 = keep the top n·k by
+    *        ADC, then join those FEW candidates back to raw vectors for
+    *        an exact cosine re-rank — the standard PQ recall recovery,
+    *        priced at a semi-join of candidate ids instead of a corpus
+    *        scan. */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      numSubspaces: Int = 8, codebookSize: Int = 16,
+      lloydIterations: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initById: Boolean = false, rerankFactor: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val dim = c.select(size(col("v"))).first().getInt(0)
+    require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
+    val ds = dim / numSubspaces
+
+    val seedRows: Array[Seq[Float]] = c
+      .orderBy(if (initById) col("id") else hash(col("id")), col("id"))
+      .limit(codebookSize).select("v").collect().map(_.getSeq[Float](0))
+    require(seedRows.length == codebookSize, "corpus smaller than codebook")
+    val cb: Array[Array[Seq[Float]]] =
+      Array.tabulate(numSubspaces, codebookSize)((mm, ci) =>
+        seedRows(ci).slice(mm * ds, (mm + 1) * ds))
+
+    def subv(v: Column, mm: Int): Column = slice(v, mm * ds + 1, ds)
+    // argmax dot over the subspace codebook; struct max ties → larger ci
+    def codeOf(v: Column, mm: Int): Column =
+      array_max(array(cb(mm).zipWithIndex.map { case (cent, ci) =>
+        struct(dotF(subv(v, mm), typedLit(cent)).as("s"), lit(ci).as("i"))
+      }: _*)).getField("i")
+
+    var iter = 0
+    while (iter < lloydIterations) {
+      // ONE corpus pass refines every subspace: explode to (mm, ci, subvec)
+      val assigned = c.select(explode(array((0 until numSubspaces).map(mm =>
+        struct(lit(mm).as("mm"), codeOf(col("v"), mm).as("ci"),
+          subv(col("v"), mm).as("sv"))): _*)).as("a"))
+        .select(col("a.mm"), col("a.ci"), col("a.sv"))
+      val means = assigned.select(col("mm"), col("ci"), posexplode(col("sv")))
+        .groupBy("mm", "ci", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("mm", "ci")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("mm"), col("ci"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("cent"))
+        .collect()
+      means.foreach(r =>
+        cb(r.getAs[Int]("mm"))(r.getAs[Int]("ci")) = r.getSeq[Float](2))
+      iter += 1
+    }
+
+    val codes = c.select(col("id"),
+      array((0 until numSubspaces).map(mm => codeOf(col("v"), mm)): _*)
+        .as("codes"))
+    val lutExpr = array((for (mm <- 0 until numSubspaces;
+                              ci <- 0 until codebookSize)
+      yield dotF(subv(col("q_vec"), mm), typedLit(cb(mm)(ci)))): _*)
+    val ql = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("query_id"), lutExpr.as("lut"))
+
+    val scored = codes.crossJoin(broadcast(ql))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score", aggregate(
+        sequence(lit(0), lit(numSubspaces - 1)), lit(0.0),
+        (acc, mm) => acc + element_at(col("lut"),
+          (mm * codebookSize + element_at(col("codes"), mm + 1) + 1)
+            .cast("int"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    if (rerankFactor <= 0)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+    else {
+      val cand = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k * rerankFactor)
+        .select("query_id", "id")
+      val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      val exact = cand.join(c, Seq("id")).join(broadcast(qv), Seq("query_id"))
+        .withColumn("sim", cosineF(col("q_vec"), col("v")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("id").asc)
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
+    }
   }
 
   /** LSH-bucketed ANN: hyperplane signatures with `nTables` independent
