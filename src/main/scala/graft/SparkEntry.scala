@@ -1604,6 +1604,26 @@ object SparkEntry {
         k = 3, maxRounds = 4)
         .orderBy("id")),
 
+    // Incremental rollup maintenance (Incremental.state/merge/finalize):
+    // history and delta are aggregated separately into mergeable states
+    // (count / exact decimal sum / min / max) and COMBINED — history is
+    // never rescanned. The oracle recomputes the rollup from ALL raw
+    // rows directly, so the green row proves merged-incremental ==
+    // full-recompute bit-for-bit (decimal sums are associative; avg is
+    // derived only at finalize).
+    "q127_incremental_rollup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val hist = ev.filter(col("event_id") % 10 =!= 0)
+      val delta = ev.filter(col("event_id") % 10 === 0)
+      Incremental.finalizeState(
+        Incremental.merge(Seq("event_type"),
+          Incremental.state(hist, Seq("event_type"), "value"),
+          Incremental.state(delta, Seq("event_type"), "value")),
+        Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // Product-quantization ANN (Ann.pqTopK): corpus compressed to 8
     // codes/vector against 8×16 subspace codebooks, queries scored by
     // LUT lookups (ADC) — the scan side is the codes table, never the
@@ -3272,6 +3292,16 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q127_incremental_rollup" -> """
+      |SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value,
+      |  min(value) AS min_value,
+      |  max(value) AS max_value,
+      |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+      |    AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q126_ann_pq" -> """
       |WITH seed AS MATERIALIZED (
