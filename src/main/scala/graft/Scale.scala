@@ -284,6 +284,74 @@ object Scale {
     time("kcore_1x") { kcoreShape(li1) }
     time(s"kcore_${mult}x") { kcoreShape(liT) }
 
+    // interval overlap join (q123 shape): bin equi-join against the tiny
+    // broadcast window dim — fact side never shuffles, cost is the scan
+    // plus the ~(span/binWidth + 1) bin explosion
+    def intervalShape(li: DataFrame): Long = {
+      val sup = Tables.supplier(spark, dir)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey").as("nk"))
+      val facts = li.join(broadcast(sup), Seq("l_suppkey"))
+        .select(col("nk"), col("l_orderkey"),
+          to_date(col("l_shipdate")).as("ls"),
+          date_add(to_date(col("l_shipdate")),
+            col("l_quantity").cast("int") % 28).as("le"))
+      val win = Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("nk"),
+          explode(sequence(lit(0), lit(3))).as("w"))
+        .select(col("nk"), col("w"),
+          date_add(to_date(lit("1992-01-01")),
+            col("nk").cast("int") * 30 + col("w").cast("int") * 400).as("ws"))
+        .withColumn("we", date_add(col("ws"), 45))
+      operators.IntervalJoin.overlapJoin(facts, win, "ls", "le", "ws", "we",
+        keyCols = Seq("nk"), binWidth = 64L, broadcastRight = true).count()
+    }
+    time("intervaljoin_1x") { intervalShape(li1) }
+    time(s"intervaljoin_${mult}x") { intervalShape(liN) }
+
+    // CDC merge (q124 shape): object-hash latest-by-key — shuffle bytes
+    // bounded by distinct keys per map task, so N× changelog over the
+    // same key space must grow by scan cost, not shuffle cost
+    def mergeShape(ev: DataFrame): Long = {
+      val base = Tables.customer(spark, dir)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+      val chg = ev.select(col("user_id").as("k"), col("value").as("v"),
+        col("event_id").as("seq"),
+        when(col("event_type") === "error", "D").otherwise("U").as("op"))
+      operators.Merge.mergeChangelog(base, chg, Seq("k"), "seq", "op",
+        baseSeq = -1L).count()
+    }
+    time("cdcmerge_1x") { mergeShape(ev1) }
+    time(s"cdcmerge_${mult}x") { mergeShape(evN) }
+
+    // personalized PageRank (q125 shape): rank state is frontier-sized;
+    // N× disjoint-ish graph with N× seeds ⇒ state and edges both ×N,
+    // per-round cost must stay ~linear
+    def pprShape(li: DataFrame): Long = {
+      val pairs = li.select((col("l_orderkey") * 2).as("o"),
+        (col("l_partkey") * 2 + 1).as("p")).distinct()
+      val edges = pairs.select(col("o").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
+      val seeds = pairs.select(col("o").as("id")).filter(col("id") % 50 === 0)
+      Graph.personalizedPageRank(edges, seeds, iterations = 3).count()
+    }
+    time("ppr_1x") { pprShape(li1) }
+    time(s"ppr_${mult}x") { pprShape(liT) }
+
+    // rolling range-frame window (q128 shape): pre-agg to (user, day)
+    // shrinks the window input; N× events over N× users keeps per-user
+    // partitions constant
+    def rollingShape(ev: DataFrame): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev.groupBy(col("user_id"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(sum(col("value").cast("decimal(28,10)")).as("d"))
+      val w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+      daily.select(col("user_id"), col("day"),
+        sum(col("d")).over(w).cast("double").as("r")).count()
+    }
+    time("rolling_1x") { rollingShape(ev1) }
+    time(s"rolling_${mult}x") { rollingShape(evN) }
+
     // BPE training (q116 shape): amplified docs repeat the same text, so
     // the vocab — and with it EVERY per-round cost — is identical at
     // mult×; only the one corpus scan grows. That invariance is the

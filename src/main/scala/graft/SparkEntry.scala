@@ -1604,6 +1604,25 @@ object SparkEntry {
         k = 3, maxRounds = 4)
         .orderBy("id")),
 
+    // 7-day rolling per-user aggregates via a RANGE-frame window — the
+    // moving-average shape. Events pre-aggregate to (user, day) BEFORE
+    // the window (the frame input shrinks from events to user-days, and
+    // intra-day order can no longer affect sums), day sums stay decimal
+    // through the frame, and day is the unique per-user sort key (total
+    // order). RANGE not ROWS: gap days must still look back 6 calendar
+    // days, not 6 rows.
+    "q128_rolling" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+        .agg(sum(col("value").cast("decimal(28,10)")).as("d"))
+      val w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+      daily.select(col("user_id"), col("day"),
+          col("d").cast("double").as("day_value"),
+          sum(col("d")).over(w).cast("double").as("roll7_value"),
+          count(lit(1)).over(w).as("roll7_days"))
+        .orderBy("user_id", "day")
+    }),
+
     // Incremental rollup maintenance (Incremental.state/merge/finalize):
     // history and delta are aggregated separately into mergeable states
     // (count / exact decimal sum / min / max) and COMBINED — history is
@@ -3292,6 +3311,20 @@ object SparkEntry {
         |        * CAST(mxw AS BIGINT)
         |      < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+
+    "q128_rolling" -> """
+      |WITH daily AS (
+      |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+      |         sum(CAST(value AS DECIMAL(28,10))) AS d
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day,
+      |  CAST(d AS DOUBLE) AS day_value,
+      |  CAST(sum(d) OVER w AS DOUBLE) AS roll7_value,
+      |  CAST(count(*) OVER w AS BIGINT) AS roll7_days
+      |FROM daily
+      |WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, day""".stripMargin,
 
     "q127_incremental_rollup" -> """
       |SELECT event_type,
