@@ -1858,12 +1858,36 @@ object SparkEntry {
           Aggregations.exactSum(col("value")).as("sum_value"))
         .select(col("event_type"), col("w.start").cast("long").as("w_start"),
           col("n"), col("sum_value"))
-        .orderBy("event_type", "w_start"))
+        .orderBy("event_type", "w_start")),
+
+    // HyperLogLog distinct-user sketch per event type: the register
+    // table itself (integer-exact over the portable md5 uniform) is the
+    // oracle-checked artifact; the float estimate is Sketch.hllEstimate
+    // (spec-checked against exact ndv). max() is idempotent → no
+    // distinct pre-pass, one partial-agg shuffle, O(groups·64) rows out.
+    "q129_hll_sketch" -> ((s, dir) =>
+      Sketch.hllRegisters(Tables.events(s, dir), "user_id",
+          Seq("event_type"), b = 6)
+        .orderBy("event_type", "bucket"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q129_hll_sketch" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type,
+        |    CAST(hv // 67108864 AS INT) AS bucket,
+        |    CAST(CASE WHEN hv % 67108864 = 0 THEN 27
+        |         ELSE 27 - length(bin(hv % 67108864)) END AS INT) AS rho
+        |  FROM h)
+        |SELECT event_type, bucket, CAST(max(rho) AS INT) AS register
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

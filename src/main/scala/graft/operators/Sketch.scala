@@ -68,4 +68,71 @@ object Sketch {
         .as("est_ndv"),
       col("__ndv").as("exact_ndv")): _*)
   }
+
+  /** HyperLogLog registers (Flajolet et al. 2007) over the portable md5
+    * uniform: bucket = top `b` bits of the 32-bit hash, rho = position of
+    * the first 1-bit in the remaining `32-b` bits (1-based; all-zero
+    * suffix → `32-b+1`), register = max(rho) per (group, bucket).
+    *
+    * Integer-exact end-to-end — rho is `(32-b+1) - bitlength(suffix)`
+    * and `bitlength = length(bin(x))` evaluates identically in Spark and
+    * DuckDB — so the register table itself is oracle-checkable; the
+    * float estimate lives in [[hllEstimate]] for consumers.
+    *
+    * Scale shape — this is the cheapest distinct sketch in the file:
+    * max() is idempotent, so NO distinct pre-pass is needed (KMV's
+    * bottom-k must dedupe first). One partial-agg shuffle whose map-side
+    * combine reduces every partition to ≤ groups·2^b rows before any
+    * byte moves; the reduce side is O(groups·2^b) regardless of input
+    * size. Registers are mergeable by max ([[hllMerge]]): per-day /
+    * per-partition sketches union without rescanning — the incremental-
+    * rollup pattern (q127) applies verbatim.
+    *
+    * @return groupCols* + (bucket INT, register INT); empty buckets are
+    *         absent (consumers treat missing as 0)
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      b: Int = 6): DataFrame = {
+    require(b >= 2 && b <= 16, s"bucket bits b must be in [2,16], got $b")
+    val suffixBits = 32 - b
+    val g = groupCols.map(col)
+    val h = md5Uniform32(col(keyCol))
+    val suffix = h.bitwiseAND(lit((1L << suffixBits) - 1))
+    val rho = when(suffix === 0, lit(suffixBits + 1))
+      .otherwise(lit(suffixBits + 1) - length(bin(suffix)))
+    df.filter(col(keyCol).isNotNull)   // count(DISTINCT …) ignores NULL
+      .select(g ++ Seq(
+        shiftright(h, suffixBits).cast("int").as("bucket"),
+        rho.cast("int").as("rho")): _*)
+      .groupBy(g :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** Merge register tables from [[hllRegisters]] (same `b`): the union's
+    * sketch is the bucket-wise max — per-shard sketches compose without
+    * touching the raw keys again. */
+  def hllMerge(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("register")).as("register"))
+
+  /** The standard HLL estimate with linear-counting small-range
+    * correction, per group. Float math (hence spec-checked against exact
+    * counts, not oracle-hashed): E = α·m²/Σ2^(−reg) with absent buckets
+    * contributing 2⁰; if E ≤ 2.5m and empty buckets remain, fall back to
+    * m·ln(m/V). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+      b: Int = 6): DataFrame = {
+    val m = (1 << b).toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val g = groupCols.map(col)
+    val agg = registers.groupBy(g: _*)
+      .agg(sum(pow(lit(2.0), -col("register"))).as("__s"),
+        count(lit(1)).as("__nb"))
+    val rawE = lit(alpha * m * m) /
+      (col("__s") + (lit(m) - col("__nb")))          // absent buckets = 2^0
+    val v = lit(m) - col("__nb")                     // empty-bucket count
+    agg.select(g :+
+      when(rawE <= lit(2.5 * m) && v > 0, lit(m) * log(lit(m) / v))
+        .otherwise(rawE).as("est_ndv"): _*)
+  }
 }

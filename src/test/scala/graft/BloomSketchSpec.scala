@@ -73,6 +73,45 @@ class BloomSketchSpec extends SparkSpec {
     assert(kmv.head.getLong(2) === 2L) // exact_ndv ignores the null
   }
 
+  test("hll: estimate lands within the m=64 error envelope of exact ndv") {
+    val df = (1L to 6000L).map(i => (if (i <= 4000) "a" else "b", i))
+      .toDF("g", "k")
+    // group a: 4000 distinct, group b: 2000 distinct
+    val regs = Sketch.hllRegisters(df, "k", Seq("g"), b = 6)
+    val est = Sketch.hllEstimate(regs, Seq("g"), b = 6).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // σ ≈ 1.04/√64 = 13%; the deterministic md5 draw is fixed, allow 2σ
+    assert(math.abs(est("a") - 4000.0) / 4000.0 < 0.26, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 2000.0) / 2000.0 < 0.26, s"b: ${est("b")}")
+  }
+
+  test("hll: small-range linear counting is near-exact at tiny ndv") {
+    val df = (1L to 20L).toDF("k").withColumn("g", lit("x"))
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, "k", Seq("g"), b = 6), Seq("g"), b = 6)
+      .collect().head.getDouble(1)
+    assert(math.abs(est - 20.0) < 3.0, s"linear-counting estimate $est")
+  }
+
+  test("hll: registers merge by bucket-wise max — shards compose exactly") {
+    val a = (1L to 1500L).toDF("k").withColumn("g", lit("x"))
+    val b = (1000L to 2500L).toDF("k").withColumn("g", lit("x"))
+    val direct = Sketch.hllRegisters(a.unionByName(b), "k", Seq("g"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    val merged = Sketch.hllMerge(
+      Sketch.hllRegisters(a, "k", Seq("g"))
+        .unionByName(Sketch.hllRegisters(b, "k", Seq("g"))), Seq("g"))
+      .collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(merged === direct)
+  }
+
+  test("hll: register table is bounded by 2^b rows per group, rho in range") {
+    val df = (1L to 100000L).toDF("k").withColumn("g", lit("x"))
+    val regs = Sketch.hllRegisters(df, "k", Seq("g"), b = 6).collect()
+    assert(regs.length <= 64)
+    assert(regs.forall(r => r.getInt(2) >= 1 && r.getInt(2) <= 27))
+  }
+
   test("kmv: bottom-k sketches merge — union's bottom-k = bottom-k of merged parts") {
     val a = (1L to 1000L).toDF("k")
     val b = (800L to 1800L).toDF("k") // overlapping ranges
