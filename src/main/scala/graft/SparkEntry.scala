@@ -1868,7 +1868,22 @@ object SparkEntry {
     "q129_hll_sketch" -> ((s, dir) =>
       Sketch.hllRegisters(Tables.events(s, dir), "user_id",
           Seq("event_type"), b = 6)
-        .orderBy("event_type", "bucket"))
+        .orderBy("event_type", "bucket")),
+
+    // SCD Type-2 dimension build: each user's event_type stream becomes
+    // validity-ranged version rows (consecutive unchanged states
+    // compressed away). Duplicate (user, ts) rows are pre-collapsed
+    // deterministically (min state) so the change log is unique-keyed.
+    "q130_scd2" -> ((s, dir) => {
+      // epoch MICROS, not ts_ns: DuckDB's parquet reader truncates the
+      // nanos timestamp to its micro-precision TIMESTAMP, so nanos are
+      // not cross-engine representable (same rule as q128's day math)
+      val ch = Tables.events(s, dir)
+        .groupBy(col("user_id"), expr("ts_ns div 1000").as("seq"))
+        .agg(min(col("event_type")).as("state"))
+      Merge.scdType2(ch, Seq("user_id"), "seq", Seq("state"))
+        .orderBy("user_id", "version")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -1887,6 +1902,24 @@ object SparkEntry {
         |  FROM h)
         |SELECT event_type, bucket, CAST(max(rho) AS INT) AS register
         |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q130_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, epoch_us(ts) AS seq, min(event_type) AS state
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY seq)
+        |    AS prev FROM ch),
+        |c AS (SELECT user_id, seq, state FROM f
+        |      WHERE prev IS DISTINCT FROM state)
+        |SELECT user_id, state,
+        |  seq AS valid_from,
+        |  lead(seq) OVER w AS valid_to,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  lead(seq) OVER w IS NULL AS is_current
+        |FROM c
+        |WINDOW w AS (PARTITION BY user_id ORDER BY seq)
+        |ORDER BY user_id, version""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

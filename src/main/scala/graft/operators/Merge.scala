@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** CDC merge / snapshot compaction: apply a changelog of keyed upserts
@@ -63,5 +64,45 @@ object Merge {
     latestByKey(unioned, keyCols, seqCol)
       .filter(col(opCol) =!= deleteOp)
       .drop(opCol)
+  }
+
+  /** SCD Type-2: turn a keyed change log into validity-ranged dimension
+    * rows — the warehouse-standard history table (Kimball slowly-changing
+    * dimension, type 2).
+    *
+    * Consecutive rows whose tracked attributes are unchanged are
+    * compressed away (null-safely, via `<=>` on the packed attr struct),
+    * then each surviving change opens a version: `valid_from` = its
+    * sequence, `valid_to` = the next change's sequence (NULL while
+    * current), `version` = 1-based per key, `is_current` = no successor.
+    * Half-open semantics: a probe at sequence t matches the row with
+    * `valid_from <= t < valid_to` — and [[graft.operators.AsOfJoin]] /
+    * [[graft.operators.RangeJoin]] are the probe operators.
+    *
+    * Requires unique (key, seq) input rows — pre-aggregate duplicates
+    * deterministically first (the q130 query keeps `min(state)`).
+    *
+    * Scale shape: ONE hash shuffle by key + one per-key sort; the
+    * compression filter preserves partitioning AND ordering, so the
+    * second window pass (lead/row_number) reuses the first's Exchange
+    * and Sort — dimension change logs are key-bounded, never fact-sized.
+    */
+  def scdType2(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "keys and attrs required")
+    val reserved = Seq("__prev", "valid_from", "valid_to", "version", "is_current")
+    require(reserved.forall(r => !changes.columns.contains(r)),
+      s"input must not contain ${reserved.mkString("/")}")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol))
+    val attrs = struct(attrCols.map(col): _*)
+    changes
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(!(col("__prev") <=> attrs))   // first row: NULL <=> x = false
+      .select(
+        keyCols.map(col) ++ attrCols.map(col) ++ Seq(
+          col(seqCol).as("valid_from"),
+          lead(col(seqCol), 1).over(w).as("valid_to"),
+          row_number().over(w).cast("long").as("version"),
+          lead(col(seqCol), 1).over(w).isNull.as("is_current")): _*)
   }
 }

@@ -57,4 +57,58 @@ class MergeSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(1500))
     assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
   }
+
+  test("scdType2 compresses unchanged runs and ranges each version") {
+    val ch = Seq(
+      (1L, 10L, "A"), (1L, 20L, "A"), (1L, 30L, "B"), (1L, 40L, "A"),
+      (2L, 5L, "X"))
+      .toDF("k", "seq", "state")
+    val out = Merge.scdType2(ch, Seq("k"), "seq", Seq("state"))
+      .orderBy("k", "version")
+      .select("k", "state", "valid_from", "valid_to", "version", "is_current")
+      .as[(Long, String, Long, Option[Long], Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "A", 10L, Some(30L), 1L, false),   // 20L run compressed away
+      (1L, "B", 30L, Some(40L), 2L, false),
+      (1L, "A", 40L, None, 3L, true),
+      (2L, "X", 5L, None, 1L, true)))
+  }
+
+  test("scdType2 is null-safe on tracked attributes") {
+    val ch = Seq(
+      (1L, 1L, None), (1L, 2L, None),          // null run compresses
+      (1L, 3L, Some("v")), (1L, 4L, None))     // value→null is a change
+      .toDF("k", "seq", "state")
+    val out = Merge.scdType2(ch, Seq("k"), "seq", Seq("state"))
+      .orderBy("version").select("valid_from", "version")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (3L, 2L), (4L, 3L)))
+  }
+
+  test("scdType2 versions are contiguous: valid_to meets the next valid_from") {
+    val ch = (1L to 50L).map(i => (i % 5, i, (i % 3).toString))
+      .toDF("k", "seq", "state")
+    val rows = Merge.scdType2(ch, Seq("k"), "seq", Seq("state"))
+      .orderBy("k", "version")
+      .select("k", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect().toSeq
+    rows.groupBy(_._1).values.foreach { vs =>
+      vs.sliding(2).foreach {
+        case Seq((_, _, Some(to), false), (_, from, _, _)) =>
+          assert(to == from)
+        case Seq((_, _, None, cur)) => assert(cur)
+        case _ => ()
+      }
+      assert(vs.count(_._4) == 1, "exactly one current version per key")
+      assert(vs.last._4)
+    }
+  }
+
+  test("scdType2 plans ONE exchange: compression and ranging share the sort") {
+    val ch = Seq((1L, 10L, "A")).toDF("k", "seq", "state")
+    val plan = Merge.scdType2(ch, Seq("k"), "seq", Seq("state"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, plan.take(2000))
+  }
 }
