@@ -1883,7 +1883,19 @@ object SparkEntry {
         .agg(min(col("event_type")).as("state"))
       Merge.scdType2(ch, Seq("user_id"), "seq", Seq("state"))
         .orderBy("user_id", "version")
-    })
+    }),
+
+    // HITS hubs/authorities over the bipartite order→part graph (same
+    // 2x / 2x+1 node encoding as q65 so order and part ids never
+    // collide). Two full rounds, unnormalized integer fixed point —
+    // bit-exact against the unrolled oracle.
+    "q131_hits" -> ((s, dir) =>
+      Graph.hits(
+        Tables.lineitem(s, dir).select(
+          (col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct(),
+        iterations = 2)
+        .orderBy("id"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -1920,6 +1932,24 @@ object SparkEntry {
         |FROM c
         |WINDOW w AS (PARTITION BY user_id ORDER BY seq)
         |ORDER BY user_id, version""".stripMargin,
+
+    "q131_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+        |  FROM lineitem),
+        |n AS (SELECT DISTINCT src AS id FROM e
+        |      UNION SELECT DISTINCT dst FROM e),
+        |a1 AS (SELECT dst AS id, count(*) AS a FROM e GROUP BY 1),
+        |h1 AS (SELECT e.src AS id, sum(a1.a) AS h
+        |       FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+        |a2 AS (SELECT e.dst AS id, sum(h1.h) AS a
+        |       FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+        |h2 AS (SELECT e.src AS id, sum(a2.a) AS h
+        |       FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1)
+        |SELECT n.id, CAST(COALESCE(h2.h, 0) AS BIGINT) AS hub,
+        |       CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
+        |FROM n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
+        |ORDER BY n.id""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

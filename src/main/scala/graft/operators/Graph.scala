@@ -120,6 +120,69 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge set,
+    * UNNORMALIZED integer fixed point: aₖ(v) = Σ_{(u,v)∈E} hₖ₋₁(u),
+    * hₖ(u) = Σ_{(u,v)∈E} aₖ(v), h₀ ≡ 1. Dropping the per-round L2
+    * normalization keeps every score an exact BIGINT — rankings are
+    * unchanged (normalization is a positive scalar) and results are
+    * bit-identical across engines/partitionings, like
+    * [[pageRankFixedPoint]]. Magnitudes grow ~(d_in·d_out)^k per round,
+    * so keep `iterations` small (≤4) or rescale externally; multi-edges
+    * act as integer weights — pre-`distinct` if unweighted.
+    *
+    * Scale shape: the edge table is cached TWICE, partitioned by src and
+    * by dst. In the broadcast regime each half-round is then one
+    * broadcast join (node-sized score table) + one hash agg whose
+    * grouping key equals the cached partitioning — ZERO per-round
+    * Exchange on the edge table (plan-asserted in GraphSpec). Above
+    * `broadcastNodeLimit` the joins degrade to shuffles; the bucketed
+    * loop of [[pageRankCoBucketed]] applies the same way if needed.
+    *
+    * @return (id, hub, auth) for every node of `edges`; sink nodes have
+    *         hub = 0, source nodes auth = 0 */
+  def hits(edges: DataFrame, iterations: Int,
+      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+    require(iterations >= 1, "HITS needs at least one round")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val eSrc = e.repartition(col("src")).cache()
+    val eDst = e.repartition(col("dst")).cache()
+    val est = eDst.agg(
+      approx_count_distinct(col("src")).as("ns"),
+      approx_count_distinct(col("dst")).as("nd")).first()
+    val small = est.getLong(0) + est.getLong(1) <= broadcastNodeLimit
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // round 1 authority = in-degree (h₀ is the constant 1) — no join
+    var auth = eDst.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("auth")).localCheckpoint(true)
+    def hubFrom(a: DataFrame): DataFrame = eSrc
+      .join(maybeB(a.select(col("id").as("dst"), col("auth"))), Seq("dst"))
+      .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub"))
+      .localCheckpoint(true)
+    def authFrom(h: DataFrame): DataFrame = eDst
+      .join(maybeB(h.select(col("id").as("src"), col("hub"))), Seq("src"))
+      .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth"))
+      .localCheckpoint(true)
+    var hub = hubFrom(auth)
+    var it = 1
+    while (it < iterations) {
+      it += 1
+      auth = authFrom(hub)
+      hub = hubFrom(auth)
+    }
+    val nodes = eSrc.select(col("src").as("id"))
+      .unionByName(eDst.select(col("dst").as("id"))).distinct()
+    val out = nodes
+      .join(maybeB(hub), Seq("id"), "left")
+      .join(maybeB(auth), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+      .localCheckpoint(true)
+    eSrc.unpersist(blocking = false)
+    eDst.unpersist(blocking = false)
+    out
+  }
+
   /** Big-graph regime — the cluster answer above `broadcastNodeLimit`
     * that the adaptive path's scaladoc promises: edges live as a table
     * bucketed by src (degree attached at layout time), and each round's

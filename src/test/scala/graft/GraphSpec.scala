@@ -233,4 +233,48 @@ class GraphSpec extends SparkSpec {
     }
     assert(a == want)
   }
+
+  test("HITS: hand-computed bipartite example, two rounds") {
+    // 1→10, 2→10, 2→11, 3→11; h₀≡1 ⇒ a₁=(10:2, 11:2);
+    // h₁=(1:2, 2:4, 3:2); a₂=(10:6, 11:6); h₂=(1:6, 2:12, 3:6)
+    val e = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)).toDF("src", "dst")
+    val out = Graph.hits(e, iterations = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 6L, 0L), (2L, 12L, 0L), (3L, 6L, 0L),
+      (10L, 0L, 6L), (11L, 0L, 6L)))
+  }
+
+  test("HITS is partitioning-independent") {
+    val e = Seq.tabulate(300)(i => (i.toLong % 37, 100L + (i * 11 % 41)))
+      .distinct.toDF("src", "dst")
+    val a = Graph.hits(e.repartition(1), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Graph.hits(e.repartition(17), 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("HITS half-round plans with zero Exchange: cached layout + broadcast") {
+    val e = Seq.tabulate(300)(i => (i.toLong % 37, 100L + (i * 11 % 41)))
+      .distinct.toDF("src", "dst")
+    val eSrc = e.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src")).cache()
+    eSrc.count()
+    val auth = eSrc.groupBy(col("dst").as("id")).agg(count(lit(1)).as("auth"))
+      .localCheckpoint(true)
+    // one hub half-round exactly as Graph.hits builds it: join key is
+    // dst (broadcast side) but the agg groups by src = the cached layout
+    val round = eSrc
+      .join(broadcast(auth.select(col("id").as("dst"), col("auth"))), Seq("dst"))
+      .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub"))
+    round.collect()
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    val fin = round.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(fin.collect { case s: ShuffleQueryStageExec => s }.isEmpty,
+      fin.toString)
+    eSrc.unpersist()
+  }
 }
