@@ -1895,7 +1895,21 @@ object SparkEntry {
           (col("l_orderkey") * 2).as("src"),
           (col("l_partkey") * 2 + 1).as("dst")).distinct(),
         iterations = 2)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // CUSUM change-point detection over the per-type daily event volume:
+    // dev = n_days·count − total (exact-integer mean deviation), running
+    // sum flags sustained level shifts. The heavy reduction is the
+    // map-side-combined daily groupBy; the window runs over tiny
+    // per-type day series.
+    "q132_cusum" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("ts_ns div 86400000000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      Anomaly.cusum(daily, Seq("event_type"), "day", "c")
+        .orderBy("event_type", "day")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -1950,6 +1964,23 @@ object SparkEntry {
         |       CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
         |FROM n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
         |ORDER BY n.id""".stripMargin,
+
+    "q132_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT *, count(*) OVER (PARTITION BY event_type) AS n,
+        |         sum(c) OVER (PARTITION BY event_type) AS t FROM daily),
+        |r AS (
+        |  SELECT event_type, day, c, t,
+        |    CAST(sum(n * c - t) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS cusum
+        |  FROM s)
+        |SELECT event_type, day, CAST(c AS BIGINT) AS c, cusum,
+        |       abs(cusum) > t AS breach
+        |FROM r ORDER BY event_type, day""".stripMargin,
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
