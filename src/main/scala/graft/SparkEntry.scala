@@ -1909,6 +1909,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("c"))
       Anomaly.cusum(daily, Seq("event_type"), "day", "c")
         .orderBy("event_type", "day")
+    }),
+
+    // TPC-H Q5-shaped star join: revenue by nation where customer and
+    // supplier share the nation, one region, one order-date year. Only
+    // the constant-size dims (nation 25, region 5) are broadcast
+    // explicitly; customer/supplier scale with the data, so their join
+    // strategy is left to Catalyst stats + AQE (broadcast at bench SFs,
+    // shuffle at 100 TB). Both filters reach the scans as PushedFilters
+    // (asserted in QueriesSpec).
+    "q133_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01'") &&
+          expr("o_orderdate < TIMESTAMP '1997-01-01'"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(Aggregations.exactSum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), col("nation"))
     })
   )
 
@@ -1964,6 +1993,24 @@ object SparkEntry {
         |       CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
         |FROM n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
         |ORDER BY n.id""".stripMargin,
+
+    "q133_star_join" ->
+      """SELECT n_name AS nation,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, nation""".stripMargin,
 
     "q132_cusum" ->
       """WITH daily AS (

@@ -21,4 +21,18 @@ class QueriesSpec extends SparkSpec {
       assert(df.count() > 0, s"$name returned 0 rows")
     }
   }
+
+  test("q133 star join: filters reach the scans, dims join by broadcast") {
+    val df = SparkEntry.queries("q133_star_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the order-date range and the region predicate are both pushed to
+    // their parquet scans, and every dim side plans as a broadcast join
+    // at this SF (Catalyst stats for customer/supplier, explicit hints
+    // for nation/region)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(o_orderdate)"), plan.take(3000))
+    assert(plan.contains("EqualTo(r_name,ASIA)"), plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4, plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }
