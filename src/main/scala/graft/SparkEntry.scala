@@ -1938,7 +1938,17 @@ object SparkEntry {
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue"), col("nation"))
-    })
+    }),
+
+    // Sorted-neighborhood near-dup: sort by (lang, n_chars, doc_id),
+    // compare each doc to its 8 successors, verify by exact SimHash
+    // hamming. The rank is the distributed prefix sum — no
+    // single-partition window anywhere (see Dedup scaladoc).
+    "q134_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "doc_id",
+          "text", sortCols = Seq("lang", "n_chars"), windowSize = 8,
+          maxHamming = 3)
+        .orderBy("id_a", "id_b"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -1993,6 +2003,43 @@ object SparkEntry {
         |       CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
         |FROM n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
         |ORDER BY n.id""".stripMargin,
+
+    "q134_sorted_neighborhood" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+        |    tkn -> md5(tkn)) AS hs
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, list_transform(range(64), j ->
+        |    CASE WHEN list_sum(list_transform(hs, h ->
+        |      CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(h, 2*(j//8) + CASE WHEN j%8 < 4 THEN 2 ELSE 1 END, 1)) - 1)
+        |          >> (CASE WHEN j%8 < 4 THEN j%8 ELSE j%8 - 4 END)) & 1 = 1
+        |      THEN 1 ELSE -1 END)) >= 0 THEN 1 ELSE 0 END) AS b
+        |  FROM d),
+        |sigs AS (
+        |  SELECT doc_id AS id, array_to_string(list_transform(range(8), k ->
+        |      substr('0123456789abcdef',
+        |        1 + b[8*k+5] + 2*b[8*k+6] + 4*b[8*k+7] + 8*b[8*k+8], 1) ||
+        |      substr('0123456789abcdef',
+        |        1 + b[8*k+1] + 2*b[8*k+2] + 4*b[8*k+3] + 8*b[8*k+4], 1)), '')
+        |    AS sig
+        |  FROM bits),
+        |r AS (
+        |  SELECT s.id, s.sig,
+        |    row_number() OVER (ORDER BY m.lang, m.n_chars, m.doc_id) AS rnk
+        |  FROM sigs s JOIN documents m ON m.doc_id = s.id),
+        |pairs AS (
+        |  SELECT a.id AS ia, b.id AS ib,
+        |    bit_count(xor(('0x'||substr(a.sig,1,8))::BIGINT,
+        |                  ('0x'||substr(b.sig,1,8))::BIGINT)) +
+        |    bit_count(xor(('0x'||substr(a.sig,9,8))::BIGINT,
+        |                  ('0x'||substr(b.sig,9,8))::BIGINT)) AS hamming
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 8)
+        |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+        |       CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q133_star_join" ->
       """SELECT n_name AS nation,

@@ -282,6 +282,57 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Sorted-neighborhood near-duplicate detection (Hernández & Stolfo
+    * 1995) — the third blocking family next to LSH banding and exact
+    * blocking: sort the corpus by a domain key that co-locates likely
+    * duplicates, compare each record only to its `windowSize` successors
+    * in the total order, verify candidates by exact SimHash hamming
+    * distance.
+    *
+    * The classic realization is a sliding window over ONE sorted list —
+    * on Spark that would be a single-partition window (the 100 TB
+    * anti-pattern). Here the total-order position comes from
+    * [[PrefixSum.globalRunningSum]] (a range-partitioned distributed
+    * rank), and "the next w records" becomes a self equi-join on
+    * rank offsets: each record explodes to (rank+1 … rank+w) probe keys
+    * and joins back on the rank — narrow integer keys, ordinary hash
+    * shuffle, no single-task stage anywhere. Candidate volume is
+    * exactly N·w by construction (vs LSH's data-dependent buckets);
+    * recall is whatever the sort key co-locates, the method's documented
+    * trade-off.
+    *
+    * @param sortCols  blocking sort key; `idCol` is appended as the
+    *                  tie-break so the order (and the oracle's
+    *                  row_number) is total
+    * @return (id_a, id_b, hamming), id_a < id_b, hamming ≤ maxHamming */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      sortCols: Seq[String], windowSize: Int = 8,
+      maxHamming: Int = 3): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    val sigs = df.select(col(idCol).as("id"),
+      struct(sortCols.map(col) :+ col(idCol): _*).as("__key"),
+      simHashHex(col(textCol)).as("__hex"))
+      .select(col("id"), col("__key"),
+        shiftleft(conv(substring(col("__hex"), 1, 8), 16, 10).cast("long"), 32)
+          .bitwiseOR(conv(substring(col("__hex"), 9, 8), 16, 10).cast("long"))
+          .as("sig"))
+    // checkpointed inside globalRunningSum — both join sides below read
+    // the materialized rank, not a recomputation
+    val ranked = PrefixSum.globalRunningSum(
+      sigs.withColumn("__one", lit(1L)), "__key", "__one", "rnk")
+      .select(col("id"), col("sig"), col("rnk"))
+    val probes = ranked.select(
+      col("id").as("id_x"), col("sig").as("sig_x"),
+      explode(sequence(col("rnk") + 1, col("rnk") + windowSize)).as("rnk"))
+    probes.join(ranked, Seq("rnk"))
+      .select(
+        least(col("id_x"), col("id")).as("id_a"),
+        greatest(col("id_x"), col("id")).as("id_b"),
+        bit_count(col("sig_x").bitwiseXOR(col("sig"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Shared LSH bucket→pair kernel: one shuffle groups (band, bucket),
     * caps hot buckets at O(cap) memory via the early-stopping collect,
     * explodes member pairs map-side, and deduplicates candidates. */

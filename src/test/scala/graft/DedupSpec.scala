@@ -129,4 +129,37 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
     assert(!pairs.contains((4L, 5L)))
   }
+
+  // 40 far-apart base docs (distinct token soup) + a dup planted next to
+  // doc 1 in the sort key and a dup of doc 5 planted > windowSize away
+  private def snmDocs = {
+    val base = (1L to 40L).map(i =>
+      (i, s"w${i}a w${i}b w${i}c w${i}d w${i}e", "en", i * 10L))
+    val adjacentDup = (41L, base(0)._2, "en", 10L)    // sorts beside doc 1
+    val farDup = (42L, base(4)._2, "en", 400L)        // 35 ranks from doc 5
+    (base :+ adjacentDup :+ farDup)
+      .toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  test("sorted-neighborhood: adjacent planted dup found, far dup missed") {
+    val pairs = Dedup.sortedNeighborhoodPairs(snmDocs, "doc_id", "text",
+      sortCols = Seq("lang", "n_chars"), windowSize = 8, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 41L)), s"adjacent dup not found: $pairs")
+    assert(!pairs.contains((5L, 42L)),
+      "window-limited method must miss the far pair — recall trade-off")
+  }
+
+  test("sorted-neighborhood is partitioning-independent") {
+    val a = Dedup.sortedNeighborhoodPairs(snmDocs.repartition(1), "doc_id",
+      "text", Seq("lang", "n_chars"), 8, 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Dedup.sortedNeighborhoodPairs(snmDocs.repartition(13), "doc_id",
+      "text", Seq("lang", "n_chars"), 8, 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // candidate volume is N·w by construction; at radius 64 every
+    // candidate passes, so the bound is exact on the last-w tail too
+    assert(a.size <= 42 * 8)
+  }
 }
