@@ -1948,7 +1948,20 @@ object SparkEntry {
       Dedup.sortedNeighborhoodPairs(Tables.documents(s, dir), "doc_id",
           "text", sortCols = Seq("lang", "n_chars"), windowSize = 8,
           maxHamming = 3)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Pareto frontier per (returnflag, linestatus): line items no other
+    // item beats on BOTH quantity and price — dominance analytics via
+    // one dedup + one window, never the O(n²) anti-join. Prices compare
+    // as exact integer cents.
+    "q135_pareto" -> ((s, dir) =>
+      Skyline.skyline2D(
+        Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")),
+        Seq("rf", "ls"), "qty", "price_c")
+        .orderBy("rf", "ls", "qty"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2003,6 +2016,21 @@ object SparkEntry {
         |       CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
         |FROM n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
         |ORDER BY n.id""".stripMargin,
+
+    "q135_pareto" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT l_returnflag AS rf, l_linestatus AS ls,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT *, max(price_c) OVER (
+        |    PARTITION BY rf, ls ORDER BY qty DESC, price_c DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        |  FROM pts)
+        |SELECT rf, ls, qty, price_c FROM m
+        |WHERE cm IS NULL OR cm < price_c
+        |ORDER BY rf, ls, qty""".stripMargin,
 
     "q134_sorted_neighborhood" ->
       """WITH d AS (

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pareto-frontier (skyline) extraction, Börzsönyi et al. ICDE 2001 —
+  * the dominance analytic: keep the points no other point beats on both
+  * criteria simultaneously (both maximized here; flip signs to
+  * minimize).
+  *
+  * 2-D realization: after deduplicating points, sort each group by
+  * (x DESC, y DESC). Any earlier row q then has x_q > x_p, or
+  * x_q = x_p with y_q > y_p — i.e. q dominates p iff y_q ≥ y_p. So
+  * p is on the frontier exactly when the exclusive running max of y is
+  * below y_p: one window, no self-join (the naive anti-join spelling is
+  * a quadratic O(n²) shuffle).
+  *
+  * Scale shape: a distinct partial-agg shuffle (dedup collapses the
+  * fact table to the point grid map-side) + one per-group window sort —
+  * the same cost envelope as any grouped analytic. Groups are required:
+  * a global skyline would be a single-partition window; wrap the call
+  * with a coarse block column (or run per-partition frontiers and
+  * re-run on their union — frontier-of-frontiers is exact because
+  * dominance is transitive and frontier extraction never drops a
+  * non-dominated point).
+  */
+object Skyline {
+
+  /** @return one row per frontier point: groupCols* + (xCol, yCol),
+    *         duplicates collapsed */
+  def skyline2D(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty,
+      "groups required — a global skyline would single-partition the window")
+    require(!df.columns.contains("__cm"), "input must not contain __cm")
+    val g = groupCols.map(col)
+    val pts = df.select(g :+ col(xCol) :+ col(yCol): _*).distinct()
+    val w = Window.partitionBy(g: _*)
+      .orderBy(col(xCol).desc, col(yCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("__cm", max(col(yCol)).over(w))
+      .filter(col("__cm").isNull || col("__cm") < col(yCol))
+      .drop("__cm")
+  }
+}
