@@ -1962,6 +1962,21 @@ object SparkEntry {
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")),
         Seq("rf", "ls"), "qty", "price_c")
         .orderBy("rf", "ls", "qty"))
+,
+    // Multi-source BFS over the undirected order↔part graph: exact hop
+    // distance from the seed parts (partkey ≡ 0 mod 97) within 4 hops.
+    // Frontier-sized per-round state — the reached set never re-joins.
+    "q136_bfs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+      Graph.bfsDistances(edges, seeds, maxHops = 4).orderBy("id")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2016,6 +2031,28 @@ object SparkEntry {
         |       CAST(COALESCE(a2.a, 0) AS BIGINT) AS auth
         |FROM n LEFT JOIN h2 ON h2.id = n.id LEFT JOIN a2 ON a2.id = n.id
         |ORDER BY n.id""".stripMargin,
+
+    "q136_bfs" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""d$k AS (
+           |  SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, d.dist + 1 AS dist
+           |    FROM e JOIN d${k - 1} d ON d.id = e.src)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |d0 AS (
+         |  SELECT DISTINCT l_partkey * 2 + 1 AS id, CAST(0 AS BIGINT) AS dist
+         |  FROM lineitem WHERE l_partkey % 97 = 0),
+         |$rounds
+         |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
+    },
 
     "q135_pareto" ->
       """WITH pts AS (

@@ -183,6 +183,55 @@ object Graph {
     out
   }
 
+  /** Multi-source BFS: exact shortest hop distance from ANY seed, up to
+    * `maxHops` rounds — reachability labeling, contamination-radius and
+    * "k hops from a flagged entity" queries.
+    *
+    * Frontier-based (the PPR discipline, `personalizedPageRank`): the
+    * per-round join input is ONLY the rows discovered last round, never
+    * the full distance table, and an anti-join keeps a node's FIRST
+    * discovery (= its true BFS distance, since frontiers expand one hop
+    * per round). State grows with the reached set; per-round cost decays
+    * with the frontier. Rounds stop early when a frontier empties — the
+    * per-round `isEmpty` is a frontier-sized action, cheap by
+    * construction.
+    *
+    * Scale shape per round (broadcast regime): one broadcast join
+    * against the dst-partitioned cached edge table + one hash agg on the
+    * SAME dst key (exchange-free, the LPA layout argument) + one
+    * broadcast anti-join. Above `broadcastNodeLimit`, shuffle joins —
+    * co-bucket edges and distances by key for the cluster regime
+    * ([[pageRankCoBucketed]]).
+    *
+    * @param seeds one `id` column (LongType-castable); absent nodes are
+    *              unreached within `maxHops` and are not returned
+    * @return (id, dist) with dist ∈ [0, maxHops] */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("dst")).cache()
+    val small = ew.agg(approx_count_distinct(col("dst")).as("n"))
+      .first().getLong(0) <= broadcastNodeLimit
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var dist = seeds.select(col("id").cast("long"), lit(0L).as("dist"))
+      .distinct().localCheckpoint(true)
+    var frontier = dist
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      frontier = ew
+        .join(maybeB(frontier.select(col("id").as("src"))), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(maybeB(dist.select("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionByName(frontier).localCheckpoint(true)
+    }
+    ew.unpersist(blocking = false)
+    dist
+  }
+
   /** Big-graph regime — the cluster answer above `broadcastNodeLimit`
     * that the adaptive path's scaladoc promises: edges live as a table
     * bucketed by src (degree attached at layout time), and each round's

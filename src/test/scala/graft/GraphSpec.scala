@@ -254,6 +254,35 @@ class GraphSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("BFS: path graph distances, hop cap, multi-source min, unreachable absent") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    def run(seeds: Seq[Long], k: Int) =
+      Graph.bfsDistances(edges, seeds.toDF("id"), k)
+        .as[(Long, Long)].collect().toMap
+    // single seed, generous cap: exact hop distances; 8/9 unreachable
+    assert(run(Seq(1L), 10) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // cap cuts the horizon
+    assert(run(Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // multi-source takes the min over seeds
+    assert(run(Seq(1L, 5L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+    // seed in the small component
+    assert(run(Seq(8L), 10) == Map(8L -> 0L, 9L -> 1L))
+  }
+
+  test("BFS is partitioning-independent") {
+    val e = Seq.tabulate(300)(i => (i.toLong % 40, (i * 13 % 40).toLong))
+      .filter(p => p._1 != p._2)
+    val edges = (e ++ e.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L, 7L).toDF("id")
+    val a = Graph.bfsDistances(edges.repartition(1), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.bfsDistances(edges.repartition(17), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
+
   test("HITS half-round plans with zero Exchange: cached layout + broadcast") {
     val e = Seq.tabulate(300)(i => (i.toLong % 37, 100L + (i * 11 % 41)))
       .distinct.toDF("src", "dst")
