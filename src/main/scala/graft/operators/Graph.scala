@@ -511,7 +511,18 @@ object Graph {
     // single wedge (measured 7.5 s → shuffle-free probe at 1M edges /
     // 56M wedges). 8M edges ≈ 128 MB of packed longs; above that, fall
     // back to shuffling wedges (the genuinely-huge-graph regime).
-    val nEdges = canon.count()
+    //
+    // ONE stats action decides every regime knob (edge count, id bounds,
+    // node-count upper bound): the previous canon.count / deg.count /
+    // bounds.first sequence serialized three jobs for ~1 s of pure
+    // latency at sf0.1. The node estimate a+b double-counts nodes seen
+    // on both sides — only ever conservative (skips broadcast early,
+    // never OOMs late). canon has a < b, so min(a)/max(b) bound all ids.
+    val st = canon.agg(count(lit(1)).as("m"),
+      min(col("a")).as("lo"), max(col("b")).as("hi"),
+      (approx_count_distinct(col("a")) + approx_count_distinct(col("b")))
+        .as("nUpper")).first()
+    val nEdges = st.getLong(0)
     if (nEdges == 0) {
       val out = canon.select(col("a").as("id"), col("b").as("triangles"))
       canon.unpersist(blocking = false)
@@ -523,14 +534,13 @@ object Graph {
       .unionByName(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
       .cache()
-    val small = deg.count() <= broadcastNodeLimit
+    val small = st.getLong(3) <= broadcastNodeLimit
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // When ids fit in 31 bits, the wedge-volume closure probe joins on
     // ONE packed long instead of a (long, long) pair — Spark builds a
     // LongHashedRelation (dense long-keyed map) instead of hashing
     // UnsafeRow keys, and every one of the O(m^1.5) probes gets cheaper.
-    val bounds = deg.agg(min(col("id")), max(col("id"))).first()
-    val packable = bounds.getLong(0) >= 0L && bounds.getLong(1) < (1L << 31)
+    val packable = st.getLong(1) >= 0L && st.getLong(2) < (1L << 31)
     // Orient a—b (a<b canonical) from the (deg, id)-smaller endpoint;
     // the id tie-break makes orientation total and deterministic.
     val aFirst = col("da") < col("db") ||
