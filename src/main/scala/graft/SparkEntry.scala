@@ -1976,6 +1976,67 @@ object SparkEntry {
       val seeds = li.filter(col("l_partkey") % 97 === 0)
         .select((col("l_partkey") * 2 + 1).as("id")).distinct()
       Graph.bfsDistances(edges, seeds, maxHops = 4).orderBy("id")
+    }),
+
+    // Mixture epoch balancing: per-source token budgets + exact integer
+    // repeat factors ("repeat scarce sources until every source matches
+    // the largest") — ONE corpus scan, metrics-sized everything after.
+    "q137_mix_epochs" -> ((s, dir) =>
+      Corpus.mixtureEpochs(Tables.documents(s, dir), "source", "text")
+        .orderBy("source")),
+
+    // Functional-dependency audit over TPC-H: one held FD, one key
+    // check, two violated FDs, unioned into a single data-quality
+    // report. Each audit is a distinct-pair agg keyed on the
+    // determinant — count(DISTINCT) is deliberately absent (the Expand
+    // trap), and nothing collects.
+    "q138_fd_audit" -> ((s, dir) => {
+      import graft.checks.Validations.fdAudit
+      fdAudit(Tables.nation(s, dir), "nation->region",
+          Seq("n_nationkey"), "n_regionkey")
+        .unionByName(fdAudit(Tables.lineitem(s, dir), "orderline->part",
+          Seq("l_orderkey", "l_linenumber"), "l_partkey"))
+        .unionByName(fdAudit(Tables.lineitem(s, dir), "part->supp",
+          Seq("l_partkey"), "l_suppkey"))
+        .unionByName(fdAudit(Tables.orders(s, dir), "cust->priority",
+          Seq("o_custkey"), "o_orderpriority"))
+        .orderBy("fd")
+    }),
+
+    // BPE train-then-encode: learn 5 merges, size every document in
+    // subword tokens. The corpus tokenizes once (cached doc-token
+    // pairs feed trainer AND encoder); the merge chain itself is
+    // oracle-replayed CTE-for-CTE in DuckDB.
+    "q139_bpe_encode" -> ((s, dir) =>
+      Bpe.encodeCounts(Tables.documents(s, dir), "doc_id", "text", steps = 5)
+        .orderBy("doc_id")),
+
+    // Int8 Gram matrix over absmax-quantized embeddings (the similarity
+    // / covariance precompute of an embedding pipeline, in the int8
+    // arithmetic a serving stack would use): quantization AND the
+    // per-vector upper-triangle outer product are scan-stage array
+    // expressions — no explode-join, no per-element shuffle. The only
+    // shuffle moves (i, j, partial-sum) cells: d·(d+1)/2 = 2080 keys
+    // with map-side combine, independent of row count. Sums are exact
+    // 64-bit (|q|≤127 ⇒ 500M rows of headroom per cell).
+    "q140_int8_gram" -> ((s, dir) => {
+      val q = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))").as("maxabs"),
+          col("embedding"))
+        .filter(col("maxabs") > 0)
+        .select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0" +
+            " / maxabs + 0.5) AS BIGINT))").as("q"))
+      q.select(explode(expr(
+          "flatten(transform(sequence(1, size(q)), i -> " +
+            "transform(sequence(i, size(q)), j -> " +
+            "struct(i, j, q[i-1] * q[j-1] AS p))))")).as("cell"))
+        .groupBy(col("cell.i").cast("long").as("i"),
+          col("cell.j").cast("long").as("j"))
+        .agg(sum(col("cell.p")).as("g"))
+        .orderBy("i", "j")
     })
   )
 
@@ -3935,6 +3996,95 @@ object SparkEntry {
         |SELECT doc_id, n_spans, CAST(n_kept AS BIGINT) AS n_kept,
         |  CAST(n_spans - n_kept AS DOUBLE) / CAST(n_spans AS DOUBLE)
         |    AS dup_span_frac
-        |FROM g ORDER BY doc_id""".stripMargin
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q137_mix_epochs" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split_regex(lower(trim(text)), '\s+')))
+        |      AS BIGINT) AS n_toks
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(max(n_toks) AS BIGINT) AS mx,
+        |               CAST(sum(n_toks) AS BIGINT) AS tot FROM per)
+        |SELECT source, n_docs, n_toks,
+        |  CAST((mx + n_toks - 1) // n_toks AS BIGINT) AS repeats,
+        |  CAST(n_toks * ((mx + n_toks - 1) // n_toks) AS BIGINT) AS eff_toks,
+        |  CAST((n_toks * 1000000) // tot AS BIGINT) AS share_ppm
+        |FROM per, tot ORDER BY source""".stripMargin,
+
+    "q138_fd_audit" -> {
+      def audit(name: String, table: String, det: Seq[String], dep: String) =
+        s"""SELECT '$name' AS fd, count(*) AS n_keys,
+           |  CAST(sum(CASE WHEN card > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violating,
+           |  CAST(max(card) AS BIGINT) AS max_card
+           |FROM (
+           |  SELECT ${det.mkString(", ")}, count(*) AS card
+           |  FROM (SELECT DISTINCT ${(det :+ dep).mkString(", ")} FROM $table)
+           |  GROUP BY ${det.mkString(", ")})""".stripMargin
+      Seq(
+        audit("nation->region", "nation", Seq("n_nationkey"), "n_regionkey"),
+        audit("orderline->part", "lineitem",
+          Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+        audit("part->supp", "lineitem", Seq("l_partkey"), "l_suppkey"),
+        audit("cust->priority", "orders", Seq("o_custkey"), "o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+    },
+
+    "q139_bpe_encode" -> {
+      val k = 5
+      val rounds = (1 to k).map { i =>
+        s"""p$i AS (
+           |  SELECT pr, sum(wc) AS c FROM (
+           |    SELECT s.wc, s.syms[u.i] || ' ' || s.syms[u.i + 1] AS pr
+           |    FROM (SELECT string_split_regex(trim(w), '\\s+') AS syms, wc
+           |          FROM w${i - 1}) s,
+           |         UNNEST(generate_series(1, len(s.syms) - 1)) AS u(i))
+           |  GROUP BY pr),
+           |m$i AS (SELECT pr FROM p$i ORDER BY c DESC, pr LIMIT 1),
+           |w$i AS (
+           |  SELECT tok, replace(w,
+           |    ' ' || split_part(pr, ' ', 1) || '  ' ||
+           |      split_part(pr, ' ', 2) || ' ',
+           |    ' ' || replace(pr, ' ', '') || ' ') AS w, wc
+           |  FROM w${i - 1}, m$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, u.tok FROM (
+         |    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+         |    FROM documents) t, UNNEST(tk) AS u(tok)
+         |  WHERE length(u.tok) > 0),
+         |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         |v AS (SELECT tok, count(*) AS wc FROM toks GROUP BY tok),
+         |w0 AS (
+         |  SELECT tok, ' ' || array_to_string(list_transform(
+         |    generate_series(1, length(tok)), i -> substr(tok, i, 1)), '  ')
+         |    || ' ' AS w, wc FROM v),
+         |$rounds,
+         |widths AS (SELECT tok,
+         |  CAST(len(string_split_regex(trim(w), '\\s+')) AS BIGINT) AS n_sub
+         |  FROM w$k)
+         |SELECT dt.doc_id, CAST(sum(dt.cnt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(dt.cnt * widths.n_sub) AS BIGINT) AS n_subwords
+         |FROM dt JOIN widths ON dt.tok = widths.tok
+         |GROUP BY dt.doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q140_int8_gram" ->
+      """WITH m AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / maxabs + 0.5)
+        |         AS BIGINT)) AS q
+        |  FROM (SELECT embedding,
+        |          list_max(list_transform(embedding,
+        |            x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        |        FROM embeddings)
+        |  WHERE maxabs > 0)
+        |SELECT CAST(u.i AS BIGINT) AS i, CAST(v.j AS BIGINT) AS j,
+        |  CAST(sum(q[u.i] * q[v.j]) AS BIGINT) AS g
+        |FROM m, UNNEST(generate_series(1, len(q))) AS u(i),
+        |        UNNEST(generate_series(1, len(q))) AS v(j)
+        |WHERE v.j >= u.i
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
   )
 }

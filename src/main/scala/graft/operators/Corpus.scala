@@ -176,6 +176,44 @@ object Corpus {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Mixture epoch balancing: per-source token budgets for an
+    * epoch-repeated training mixture — the static "how many times do we
+    * repeat each source so every source contributes its target share"
+    * computation (the deployment-side complement of [[mixtureSample]]:
+    * sampling DOWN-weights over-represented sources, epoch repeats
+    * UP-weight scarce ones). For each `groupCol` value: document count,
+    * token count, the exact repeat factor `ceil(max_toks / toks)` that
+    * lifts it to the largest source's budget, the resulting effective
+    * token count, and its pre-balance corpus share in ppm. ALL-INTEGER
+    * (ceil as `(a + b - 1) div b`, share as `toks·10⁶ div total`) — no
+    * float proportions, so the emitted plan is bit-identical across
+    * engines and reruns.
+    *
+    * Scale shape: ONE corpus scan into a per-source partial+final agg
+    * (O(#sources) rows), then a 1-row global agg broadcast back as the
+    * scalar pair (max_toks, total) — never a global window over the
+    * source table, never a second scan. At 100 TB the scan dominates;
+    * everything after it is metrics-sized. */
+  def mixtureEpochs(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val per = docs.select(col(groupCol),
+        size(TextFunctions.tokens(lower(trim(col(textCol))))).cast("long")
+          .as("__nt"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_toks"))
+    val tot = per.agg(max(col("n_toks")).as("__mx"), sum(col("n_toks")).as("__tot"))
+    per.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_docs"), col("n_toks"),
+        // integer `div`, NOT `/`: Column./ is double division in Spark
+        // (would round-trip through a double and disagree with DuckDB's
+        // `//` above 2⁵³), while `div` is exact 64-bit in both engines
+        expr("(__mx + n_toks - 1) div n_toks").as("repeats"),
+        col("__mx"), col("__tot"))
+      .withColumn("eff_toks", col("n_toks") * col("repeats"))
+      .withColumn("share_ppm", expr("(n_toks * 1000000) div __tot"))
+      .drop("__mx", "__tot")
+  }
+
   /** Collocation extraction: adjacent token pairs whose observed count
     * beats independence by at least `liftNum/liftDen` — the corpus step
     * that surfaces multi-word terms ("new york") before tokenizer

@@ -28,4 +28,25 @@ class BpeSpec extends SparkSpec {
       .as[(Int, String, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("encodeCounts: per-doc subword widths after train-then-encode") {
+    // vocab: aaaa (wc 3), ab (wc 1)
+    // r1: (a,a) = 3 occurrences/word × wc 3 = 9 → aaaa encodes "aa aa"
+    // r2: (aa,aa) = 3 → aaaa encodes as ONE symbol; ab stays "a b"
+    val docs = Seq((1L, "aaaa ab"), (2L, "aaaa aaaa"))
+      .toDF("doc_id", "text")
+    val got = Bpe.encodeCounts(docs, "doc_id", "text", steps = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L, 3L), (2L, 2L, 2L)))
+  }
+
+  test("encodeCounts is partitioning-independent") {
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat ran far"),
+      (3L, "a cathedral")).toDF("doc_id", "text")
+    val a = Bpe.encodeCounts(docs, "doc_id", "text", steps = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val b = Bpe.encodeCounts(docs.repartition(7), "doc_id", "text", steps = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(a == b && a.size == 3)
+  }
 }

@@ -34,6 +34,24 @@ class CorpusSpec extends SparkSpec {
     assert(capped.filter(col("source") === "book").count() == 1)
   }
 
+  test("mixtureEpochs: integer repeat factors lift every source to the max") {
+    val d = Seq(
+      (1L, "A", "a b c"), (2L, "A", "d e"),          // A: 5 tokens
+      (3L, "B", "t u v w x y z p q r"))              // B: 10 tokens
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.mixtureEpochs(d, "source", "text")
+      .select("source", "n_docs", "n_toks", "repeats", "eff_toks", "share_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("A", 2L, 5L, 2L, 10L, 333333L),
+      ("B", 1L, 10L, 1L, 10L, 666666L)))
+    // repeated under a different partitioning: identical
+    val rep = Corpus.mixtureEpochs(d.repartition(7), "source", "text")
+      .select("source", "n_docs", "n_toks", "repeats", "eff_toks", "share_ppm")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rep == got)
+  }
+
   test("hashSample is deterministic, nested by rate, and near the target rate") {
     val ids = Seq.tabulate(2000)(i => i.toLong).toDF("doc_id")
     val at20 = Corpus.hashSample(ids, "doc_id", 0.2)

@@ -24,4 +24,18 @@ class ValidationsSpec extends SparkSpec {
     assert(rs("zero_price_ratio"))      // 1 of 3 < half
     assert(!rs("no_missing_tokens"))    // MISSING has no price
   }
+
+  test("fdAudit: held and violated dependencies, duplicate-insensitive") {
+    // key 1 maps to {x, y} (violates), key 2 maps to {z} — and the
+    // repeated (1, x) row must not inflate any count
+    val df = Seq((1, "x"), (1, "x"), (1, "y"), (2, "z")).toDF("k", "d")
+    val r = Validations.fdAudit(df, "k->d", Seq("k"), "d")
+      .as[(String, Long, Long, Long)].head()
+    assert(r == (("k->d", 2L, 1L, 2L)))
+    // multi-column determinant makes it functional again
+    val df2 = Seq((1, 1, "x"), (1, 2, "y"), (2, 1, "z")).toDF("k1", "k2", "d")
+    val r2 = Validations.fdAudit(df2, "kk->d", Seq("k1", "k2"), "d")
+      .as[(String, Long, Long, Long)].head()
+    assert(r2 == (("kk->d", 3L, 0L, 1L)))
+  }
 }
