@@ -214,22 +214,28 @@ object Graph {
     val small = ew.agg(approx_count_distinct(col("dst")).as("n"))
       .first().getLong(0) <= broadcastNodeLimit
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    var dist = seeds.select(col("id").cast("long"), lit(0L).as("dist"))
+    val seed0 = seeds.select(col("id").cast("long"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)
-    var frontier = dist
+    // Only each hop's NEW frontier is ever materialized: the visited set
+    // stays a lazy union of the checkpointed frontiers (scanning k small
+    // flat frames per anti-join), where re-checkpointing the union would
+    // rewrite every visited row once per hop — O(hops · nodes) total.
+    var frontiers = List(seed0)
+    var frontier = seed0
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
       hop += 1
+      val visited = frontiers.map(_.select("id")).reduce(_ unionByName _)
       frontier = ew
         .join(maybeB(frontier.select(col("id").as("src"))), Seq("src"))
         .select(col("dst").as("id")).distinct()
-        .join(maybeB(dist.select("id")), Seq("id"), "left_anti")
+        .join(maybeB(visited), Seq("id"), "left_anti")
         .withColumn("dist", lit(hop.toLong))
         .localCheckpoint(true)
-      dist = dist.unionByName(frontier).localCheckpoint(true)
+      frontiers ::= frontier
     }
     ew.unpersist(blocking = false)
-    dist
+    frontiers.reduce(_ unionByName _)
   }
 
   /** Big-graph regime — the cluster answer above `broadcastNodeLimit`
