@@ -46,6 +46,29 @@ object VectorExpressions {
     (z >>> 11) * (1.0 / (1L << 52)) * 2.0 - 1.0
   }
 
+  /** All product-quantization subspace codes in ONE pass: for each of
+    * `numSubspaces` slices of `v`, the argmax-dot codeword index (ties →
+    * larger index, matching `array_max(struct(s, i))`). Replaces the
+    * 128-node slice+dot+struct expression tree the composed spelling
+    * builds — and the per-(mm,ci) slice allocations with zero-copy
+    * offset arithmetic. */
+  def pqCodesF(v: Column, cb: Array[Float], numSubspaces: Int,
+      codebookSize: Int): Column =
+    column(PqCodes(expression(v), cb, numSubspaces, codebookSize))
+
+  /** The ADC lookup table for one query vector: entry mm·K+ci =
+    * dot(subv(q, mm), codeword(mm, ci)), same layout the composed
+    * spelling emits. */
+  def pqLutF(q: Column, cb: Array[Float], numSubspaces: Int,
+      codebookSize: Int): Column =
+    column(PqLut(expression(q), cb, numSubspaces, codebookSize))
+
+  /** ADC score: Σ_mm lut[mm·K + codes[mm]], ascending mm (bit-identical
+    * to the `aggregate` fold it replaces — which was CodegenFallback and
+    * ran interpreted on every scored row). */
+  def pqAdcF(codes: Column, lut: Column, codebookSize: Int): Column =
+    column(PqAdc(expression(codes), expression(lut), codebookSize))
+
   /** Portable (md5-seeded) Rademacher-hyperplane bucket keys: component
     * (t, bit, d) = +1 iff the first hex digit of md5("hp{t}_{bit}_{d}")
     * is < 8. Reproducible in any engine with md5 — the oracle-checkable
@@ -105,6 +128,114 @@ case class RademacherBuckets(child: Expression, nBits: Int, nTables: Int)
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.expressions.RademacherSigns$$.MODULE$$.buckets($a, $nBits, $nTables);")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Product-quantization kernels shared by eval and codegen. The codebook
+  * travels as ONE flat float array (layout: (mm·K + ci)·ds + t) captured
+  * in the expression — a per-plan constant, never a join side. Dot
+  * products accumulate double((float)·(float)) ascending t, the exact
+  * arithmetic of [[FloatVecDot]], so swapping the composed spelling for
+  * these kernels changes no output bit. */
+object PqKernel {
+  /** argmax-dot code per subspace; ties resolve to the LARGER codeword
+    * index (`s >= best` under ascending ci), matching
+    * `array_max(array(struct(score, ci)...))`. */
+  def codes(v: ArrayData, cb: Array[Float], m: Int, k: Int): ArrayData = {
+    val ds = cb.length / (m * k)
+    val out = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      var best = Double.NegativeInfinity
+      var bestI = 0
+      var ci = 0
+      while (ci < k) {
+        var s = 0.0
+        val off = (mm * k + ci) * ds
+        var t = 0
+        while (t < ds) {
+          s += v.getFloat(mm * ds + t).toDouble * cb(off + t).toDouble
+          t += 1
+        }
+        if (s >= best) { best = s; bestI = ci }
+        ci += 1
+      }
+      out(mm) = bestI
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def lut(q: ArrayData, cb: Array[Float], m: Int, k: Int): ArrayData = {
+    val ds = cb.length / (m * k)
+    val out = new Array[Double](m * k)
+    var mm = 0
+    while (mm < m) {
+      var ci = 0
+      while (ci < k) {
+        var s = 0.0
+        val off = (mm * k + ci) * ds
+        var t = 0
+        while (t < ds) {
+          s += q.getFloat(mm * ds + t).toDouble * cb(off + t).toDouble
+          t += 1
+        }
+        out(mm * k + ci) = s
+        ci += 1
+      }
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def adc(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    var s = 0.0
+    var mm = 0
+    val m = codes.numElements()
+    while (mm < m) { s += lut.getDouble(mm * k + codes.getInt(mm)); mm += 1 }
+    s
+  }
+}
+
+case class PqCodes(child: Expression, cb: Array[Float], numSubspaces: Int,
+    codebookSize: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    PqKernel.codes(a.asInstanceOf[ArrayData], cb, numSubspaces, codebookSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "float[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.PqKernel$$.MODULE$$.codes(" +
+        s"$a, $cbRef, $numSubspaces, $codebookSize);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class PqLut(child: Expression, cb: Array[Float], numSubspaces: Int,
+    codebookSize: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    PqKernel.lut(a.asInstanceOf[ArrayData], cb, numSubspaces, codebookSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "float[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.PqKernel$$.MODULE$$.lut(" +
+        s"$a, $cbRef, $numSubspaces, $codebookSize);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+case class PqAdc(left: Expression, right: Expression, codebookSize: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernel.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      codebookSize)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.PqKernel$$.MODULE$$.adc(" +
+        s"$a, $b, $codebookSize);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 case class FloatVecDot(left: Expression, right: Expression)
