@@ -2037,7 +2037,32 @@ object SparkEntry {
           col("cell.j").cast("long").as("j"))
         .agg(sum(col("cell.p")).as("g"))
         .orderBy("i", "j")
-    })
+    }),
+
+    // KMV sketch algebra: |A|, |B|, |A∪B|, |A∩B| and Jaccard for the
+    // view-vs-click user sets estimated from the two bottom-256
+    // sketches ALONE — after the base scans everything is k-sized array
+    // math on one row, the compose-without-rescanning counterpart of
+    // q97's exact overlap matrix. All-integer; exact below k.
+    "q141_kmv_setops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Sketch.kmvSetOps(
+        ev.filter(col("event_type") === "view").select(col("user_id")),
+        ev.filter(col("event_type") === "click").select(col("user_id")),
+        "user_id", k = 256)
+    }),
+
+    // Exact weighted median (weight = integer quantity) of the cent-
+    // encoded price per return flag: occurrences collapse to one row
+    // per distinct price before a single window pass — the window sorts
+    // distinct values, never raw lineitems.
+    "q142_weighted_median" -> ((s, dir) =>
+      Aggregations.weightedMedian(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty")),
+        Seq("l_returnflag"), "price_c", "qty")
+        .orderBy("l_returnflag"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -4085,6 +4110,60 @@ object SparkEntry {
         |FROM m, UNNEST(generate_series(1, len(q))) AS u(i),
         |        UNNEST(generate_series(1, len(q))) AS v(j)
         |WHERE v.j >= u.i
-        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    "q141_kmv_setops" -> {
+      val k = 256
+      s"""WITH ha AS (
+         |  SELECT DISTINCT
+         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+         |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+         |hb AS (
+         |  SELECT DISTINCT
+         |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS h
+         |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+         |la AS (SELECT (SELECT list(h ORDER BY h)
+         |                 FROM (SELECT h FROM ha ORDER BY h LIMIT $k)) AS ma,
+         |              (SELECT count(*) FROM ha) AS na),
+         |lb AS (SELECT (SELECT list(h ORDER BY h)
+         |                 FROM (SELECT h FROM hb ORDER BY h LIMIT $k)) AS mb,
+         |              (SELECT count(*) FROM hb) AS nb),
+         |m AS (SELECT ma, na, mb, nb,
+         |        list_slice(list_sort(list_distinct(list_concat(ma, mb))),
+         |          1, $k) AS mu
+         |      FROM la, lb),
+         |c AS (SELECT *, least($k, len(mu)) AS ku,
+         |        CAST(len(list_filter(mu, h -> list_contains(ma, h)
+         |          AND list_contains(mb, h))) AS BIGINT) AS match_k,
+         |        CASE WHEN len(mu) < $k THEN len(mu)
+         |             ELSE (${k - 1} * 4294967296) // mu[$k] END AS est_union
+         |      FROM m)
+         |SELECT
+         |  CAST(CASE WHEN na < $k THEN na
+         |       ELSE (${k - 1} * 4294967296) // ma[$k] END AS BIGINT) AS est_a,
+         |  CAST(CASE WHEN nb < $k THEN nb
+         |       ELSE (${k - 1} * 4294967296) // mb[$k] END AS BIGINT) AS est_b,
+         |  CAST(est_union AS BIGINT) AS est_union, match_k,
+         |  CAST((match_k * est_union) // ku AS BIGINT) AS est_inter,
+         |  CAST((match_k * 1000000) // ku AS BIGINT) AS jaccard_ppm
+         |FROM c""".stripMargin
+    },
+
+    "q142_weighted_median" ->
+      """WITH pv AS (
+        |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           AS v,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        |  FROM pv)
+        |SELECT l_returnflag, min(v) AS w_median, max(tw) AS total_w
+        |FROM c WHERE cw * 2 >= tw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -87,4 +87,34 @@ object Aggregations {
     df.agg(
       max(col(blockCol)).as("latest_block"),
       max_by(col(dateCol), col(blockCol)).as("latest_block_date"))
+
+  /** Exact per-group weighted (lower) median: the smallest value whose
+    * cumulative weight reaches half the group's total —
+    * min{x : 2·Σ_{v≤x} w(v) ≥ Σw}. Integer weights and integer-encoded
+    * values keep every comparison exact (no percentile interpolation),
+    * so the result is engine-independent.
+    *
+    * Scale shape: occurrences collapse FIRST to one row per (group,
+    * value) with summed weight — a partial-agg shuffle of O(distinct
+    * values) — then one window pass per group computes the running
+    * weight and a min-over-crossings agg picks the median. The window
+    * sorts distinct values, not raw rows, and a group's total rides the
+    * same window (no second scan or join). */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val perValue = df
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val cum = perValue
+      .withColumn("__cw", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(g: _*)
+      .agg(min(col("__v")).as("w_median"), max(col("__tw")).as("total_w"))
+  }
 }

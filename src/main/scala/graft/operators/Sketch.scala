@@ -108,6 +108,47 @@ object Sketch {
       .agg(max(col("rho")).as("register"))
   }
 
+  /** KMV set operations (Beyer et al. 2007): estimate |A|, |B|, |A∪B|,
+    * |A∩B| and Jaccard from the two bottom-k sketches ALONE — the union
+    * sketch is the bottom-k of the merged sketch arrays and the
+    * intersection uses ρ = |K_union ∩ K_A ∩ K_B| (valid because any
+    * union-bottom-k hash belonging to A is necessarily in A's bottom-k:
+    * A ⊆ A∪B ⇒ A's k-th min ≥ the union's). After the two base scans,
+    * everything is k-sized array math on ONE row — per-source sketches
+    * built once compose into every pairwise overlap without rescanning,
+    * the sketch-algebra counterpart of q97's exact overlap matrix.
+    *
+    * All-integer outputs (estimates via `(k−1)·2³² div h₍ₖ₎`, Jaccard in
+    * ppm), exact when a set has < k distinct hashes — oracle-checkable
+    * in the portable md5 family end-to-end. */
+  def kmvSetOps(a: DataFrame, b: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    def sketch(df: DataFrame, mins: String, ndv: String): DataFrame = df
+      .filter(col(keyCol).isNotNull)
+      .select(md5Uniform32(col(keyCol)).as("__h")).distinct()
+      .agg(TopKHeap.topKPairs(-col("__h").cast("double"), col("__h"), k).as("__p"),
+        count(lit(1)).as(ndv))
+      .select(expr("transform(__p, p -> p.id)").as(mins), col(ndv))
+    sketch(a, "ma", "na").crossJoin(sketch(b, "mb", "nb"))
+      .withColumn("mu",
+        expr(s"slice(array_sort(array_distinct(concat(ma, mb))), 1, $k)"))
+      .withColumn("ku", least(lit(k.toLong), size(col("mu")).cast("long")))
+      .withColumn("match_k", expr(
+        "CAST(size(filter(mu, h -> array_contains(ma, h) " +
+          "AND array_contains(mb, h))) AS BIGINT)"))
+      .withColumn("est_a", when(col("na") < k, col("na"))
+        .otherwise(expr(s"(${k - 1}L * 4294967296L) div ma[${k - 1}]")))
+      .withColumn("est_b", when(col("nb") < k, col("nb"))
+        .otherwise(expr(s"(${k - 1}L * 4294967296L) div mb[${k - 1}]")))
+      .withColumn("est_union",
+        when(size(col("mu")) < k, size(col("mu")).cast("long"))
+          .otherwise(expr(s"(${k - 1}L * 4294967296L) div mu[${k - 1}]")))
+      .withColumn("est_inter", expr("(match_k * est_union) div ku"))
+      .withColumn("jaccard_ppm", expr("(match_k * 1000000L) div ku"))
+      .select("est_a", "est_b", "est_union", "match_k", "est_inter",
+        "jaccard_ppm")
+  }
+
   /** Merge register tables from [[hllRegisters]] (same `b`): the union's
     * sketch is the bucket-wise max — per-shard sketches compose without
     * touching the raw keys again. */

@@ -76,4 +76,18 @@ class AggregationsSpec extends SparkSpec {
     assert(one == many)
     assert(one == 5005.0)
   }
+
+  test("weightedMedian: hand case, duplicate values collapse, partitioning") {
+    // g1: values 1(w1), 2(w1), 3(w10) → total 12, crossing at 3
+    // g2: value 5 twice (w2+w3=5), 7(w4) → total 9, cum(5)=5 ⇒ 2·5 ≥ 9
+    val df = Seq(("g1", 1L, 1L), ("g1", 2L, 1L), ("g1", 3L, 10L),
+      ("g2", 5L, 2L), ("g2", 5L, 3L), ("g2", 7L, 4L))
+      .toDF("g", "v", "w")
+    val got = Aggregations.weightedMedian(df, Seq("g"), "v", "w")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("g1", 3L, 12L), ("g2", 5L, 9L)))
+    val rep = Aggregations.weightedMedian(df.repartition(7), Seq("g"), "v", "w")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rep == got)
+  }
 }

@@ -73,6 +73,30 @@ class BloomSketchSpec extends SparkSpec {
     assert(kmv.head.getLong(2) === 2L) // exact_ndv ignores the null
   }
 
+  test("kmvSetOps: exact below k, overlap and jaccard from sketches alone") {
+    // |A| = 60 (1..60), |B| = 40 (41..80), |A∩B| = 20, |A∪B| = 80 —
+    // all below k=256, so every estimate must be EXACT
+    val a = (1L to 60L).toDF("k")
+    val b = (41L to 80L).toDF("k")
+    val r = Sketch.kmvSetOps(a, b, "k", k = 256).head()
+    assert(r.getAs[Long]("est_a") === 60L)
+    assert(r.getAs[Long]("est_b") === 40L)
+    assert(r.getAs[Long]("est_union") === 80L)
+    assert(r.getAs[Long]("match_k") === 20L)
+    assert(r.getAs[Long]("est_inter") === 20L)
+    assert(r.getAs[Long]("jaccard_ppm") === 250000L) // 20/80
+    // estimator regime: 2500 vs 2500 with 1250 shared, k=256
+    val a2 = (1L to 2500L).toDF("k")
+    val b2 = (1251L to 3750L).toDF("k")
+    val r2 = Sketch.kmvSetOps(a2, b2, "k", k = 256).head()
+    assert(math.abs(r2.getAs[Long]("est_union") - 3750.0) / 3750.0 < 0.2)
+    assert(math.abs(r2.getAs[Long]("est_inter") - 1250.0) / 1250.0 < 0.35)
+    // partitioning-independent (deterministic md5 sketches)
+    val r3 = Sketch.kmvSetOps(a2.repartition(13), b2.repartition(7), "k", 256)
+      .head()
+    assert(r2 === r3)
+  }
+
   test("hll: estimate lands within the m=64 error envelope of exact ndv") {
     val df = (1L to 6000L).map(i => (if (i <= 4000) "a" else "b", i))
       .toDF("g", "k")
