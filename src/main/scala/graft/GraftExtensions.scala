@@ -69,5 +69,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("topk_pairs", args =>
       TopKPairsAgg(args(0), args(1), intArg(args(2), "k"))
         .toAggregateExpression(isDistinct = false))
+    // product-quantization kernels; the codebook arrives as a literal
+    // array<float> (flat (mm·K + ci)·ds + t layout, a plan constant)
+    register("pq_codes", args => PqCodes(args(0),
+      floatArrayArg(args(1), "codebook"),
+      intArg(args(2), "numSubspaces"), intArg(args(3), "codebookSize")))
+    register("pq_lut", args => PqLut(args(0),
+      floatArrayArg(args(1), "codebook"),
+      intArg(args(2), "numSubspaces"), intArg(args(3), "codebookSize")))
+    register("pq_adc", args =>
+      PqAdc(args(0), args(1), intArg(args(2), "codebookSize")))
+  }
+
+  private def floatArrayArg(e: Expression, name: String): Array[Float] = {
+    // SQL `array(1.0F, …)` reaches the builder as a foldable CreateArray,
+    // not a Literal — accept any foldable array expression
+    if (!e.resolved || !e.foldable) throw new IllegalArgumentException(
+      s"$name expects a foldable array, got $e")
+    (e.dataType, e.eval()) match {
+      case (org.apache.spark.sql.types.ArrayType(et, _),
+          v: org.apache.spark.sql.catalyst.util.ArrayData) => et match {
+        case org.apache.spark.sql.types.FloatType => v.toFloatArray()
+        case org.apache.spark.sql.types.DoubleType => v.toDoubleArray().map(_.toFloat)
+        case other => throw new IllegalArgumentException(
+          s"$name expects a float/double array, got element type $other")
+      }
+      case (t, _) => throw new IllegalArgumentException(
+        s"$name expects an array, got type $t")
+    }
   }
 }

@@ -150,6 +150,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(out.toSeq == Seq("[{9.0, 6}]"))
   }
 
+  test("pq_codes / pq_lut / pq_adc are callable from SQL and agree") {
+    // 1 subspace, 2 codewords of dim 2: cb = [[1,0],[0,1]]
+    // v=[3,1] → dot c0=3, c1=1 → code 0; q=[0,2] → lut [0,2] → adc 0
+    Seq((Seq(3f, 1f), Seq(0f, 2f))).toDF("v", "q")
+      .createOrReplaceTempView("pqt")
+    val out = spark.sql(
+      """SELECT pq_codes(v, array(1.0F, 0.0F, 0.0F, 1.0F), 1, 2) AS c,
+        |  pq_adc(pq_codes(v, array(1.0F, 0.0F, 0.0F, 1.0F), 1, 2),
+        |         pq_lut(q, array(1.0F, 0.0F, 0.0F, 1.0F), 1, 2), 2) AS s
+        |FROM pqt""".stripMargin)
+      .select(col("c").cast("string"), col("s")).as[(String, Double)].head()
+    assert(out == (("[0]", 0.0)))
+    // tie goes to the LARGER codeword index (array_max struct semantics)
+    val tie = spark.sql(
+      "SELECT CAST(pq_codes(array(1.0F, 1.0F), " +
+        "array(1.0F, 0.0F, 0.0F, 1.0F), 1, 2) AS STRING) AS c FROM pqt")
+      .as[String].head()
+    assert(tie == "[1]")
+  }
+
   test("containmentSorted: |a∩b|/|a|, asymmetric, empty-left = 0") {
     val df = Seq(
       (Seq(1L, 2L), Seq(1L, 2L, 3L)),      // subset → 1.0
