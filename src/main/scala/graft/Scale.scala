@@ -360,6 +360,63 @@ object Scale {
       operators.Bpe.trainMerges(docs, "text", steps = 3).count()
     time("bpe_1x") { bpeShape(docs1) }
     time(s"bpe_${mult}x") { bpeShape(docsN) }
+
+    // BPE train-then-encode (q139 shape): one cached tokenize feeds
+    // trainer and encoder; the width join is a vocab-keyed shuffle, so
+    // N× docs over the same vocab grow only the scan and the doc rollup
+    def bpeEncShape(docs: DataFrame): Long =
+      operators.Bpe.encodeCounts(docs, "doc_id", "text", steps = 3).count()
+    time("bpeenc_1x") { bpeEncShape(docs1) }
+    time(s"bpeenc_${mult}x") { bpeEncShape(docsN) }
+
+    // int8 Gram matrix (q140 shape): quantization + upper-triangle outer
+    // product are scan-stage array kernels; the ONLY shuffle carries
+    // d(d+1)/2 = 2080 cells regardless of row count — the runtime should
+    // track the scan, the shuffle bytes should not move at all
+    val emb1 = Tables.embeddings(spark, dir)
+    val embN = amplify(emb1, Seq("vec_id"))
+    def gramShape(emb: DataFrame): Long = {
+      val q = emb
+        .select(col("vec_id"), expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))").as("maxabs"),
+          col("embedding"))
+        .filter(col("maxabs") > 0)
+        .select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0" +
+            " / maxabs + 0.5) AS BIGINT))").as("q"))
+      q.select(explode(expr(
+          "flatten(transform(sequence(1, size(q)), i -> " +
+            "transform(sequence(i, size(q)), j -> " +
+            "struct(i, j, q[i-1] * q[j-1] AS p))))")).as("cell"))
+        .groupBy(col("cell.i"), col("cell.j"))
+        .agg(sum(col("cell.p")).as("g")).count()
+    }
+    time("gram_1x") { gramShape(emb1) }
+    time(s"gram_${mult}x") { gramShape(embN) }
+
+    // KMV set algebra (q141 shape): after the two base scans everything
+    // is k-sized array math on one row — N× keys change the estimates,
+    // not the work profile beyond the scans
+    def kmvOpsShape(ev: DataFrame): Long =
+      operators.Sketch.kmvSetOps(
+        ev.filter(col("event_type") === "view").select(col("user_id")),
+        ev.filter(col("event_type") === "click").select(col("user_id")),
+        "user_id", k = 256).count()
+    time("kmvops_1x") { kmvOpsShape(ev1) }
+    time(s"kmvops_${mult}x") { kmvOpsShape(evN) }
+
+    // exact weighted median (q142 shape): the window sorts one row per
+    // distinct value — N× lineitems over the same price grid grow the
+    // collapse scan, not the window
+    def wmedShape(li: DataFrame): Long =
+      operators.Aggregations.weightedMedian(
+        li.select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty")),
+        Seq("l_returnflag"), "price_c", "qty").count()
+    time("wmedian_1x") { wmedShape(li1) }
+    time(s"wmedian_${mult}x") { wmedShape(liN) }
     spark.stop()
   }
 }

@@ -582,13 +582,40 @@ object Graph {
           .filter(col("v") < col("w"))
         (Some(o), w)
       }
+    // Shuffle-closure regime only: almost no wedge closes (1.45M
+    // triangles out of 32M wedges at sf0.1), yet every wedge would ride
+    // the closure exchange. A Bloom filter over the canonical edge set
+    // (Spark's own runtime-filter machinery: BloomFilterAggregate built
+    // distributed, the ~8-bits/edge sketch embedded as a literal and
+    // probed by codegen'd xxhash64) drops non-closing wedges MAP-side,
+    // so the exchange carries survivors + false positives instead of
+    // the full wedge volume. The exact join after it makes false
+    // positives harmless — results are identical, partitioning-
+    // independent. (Broadcast regime skips this: its probe is already
+    // scan-stage and exchange-free.) Measured 60 s → 23 s at 10.6M
+    // edges / 324M wedges.
+    val prunedWedges =
+      if (nEdges <= broadcastEdgeLimit) wedges
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.graft.Bridge
+        val numBits = math.min(8L * nEdges, 1L << 28)
+        val bf = Bridge.column(new BloomFilterAggregate(
+          Bridge.expression(xxhash64(col("a"), col("b"))),
+          Literal(nEdges), Literal(numBits)).toAggregateExpression())
+        val bytes = canon.select(bf.as("bf")).head().getAs[Array[Byte]](0)
+        wedges.filter(Bridge.column(new BloomFilterMightContain(
+          Literal(bytes, org.apache.spark.sql.types.BinaryType),
+          Bridge.expression(xxhash64(col("v"), col("w"))))))
+      }
     val tris =
-      if (packable) wedges.join(
+      if (packable) prunedWedges.join(
         maybeBE(canon.select(
           (shiftleft(col("a"), 32) + col("b")).as("__k"))),
         shiftleft(col("v"), 32) + col("w") === col("__k"))
         .select("u", "v", "w")
-      else wedges
+      else prunedWedges
         .join(maybeBE(canon), col("v") === col("a") && col("w") === col("b"))
         .select("u", "v", "w")
     val counts = tris

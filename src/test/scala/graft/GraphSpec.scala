@@ -163,6 +163,20 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
   }
 
+  test("triangle counts: shuffle+bloom closure regime matches broadcast") {
+    // force the big-graph path (broadcastEdgeLimit = 1): wedge pruning
+    // via the Bloom sketch + shuffle closure must return the same counts
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L; if a != b } yield (a, b)
+    val e = (k4 ++ Seq((1L, 5L), (6L, 7L), (7L, 8L), (6L, 8L)))
+      .toDF("src", "dst")
+    val big = Graph.triangleCounts(e, broadcastEdgeLimit = 1)
+      .as[(Long, Long)].collect().toMap
+    val small = Graph.triangleCounts(e).as[(Long, Long)].collect().toMap
+    assert(big == small)
+    assert(big == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L,
+      6L -> 1L, 7L -> 1L, 8L -> 1L))
+  }
+
   test("triangle counts: triangle-free bipartite graph is all zeros") {
     val e = (for { a <- 1L to 5L; b <- 10L to 14L } yield (a, b))
       .toDF("src", "dst")
