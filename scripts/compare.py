@@ -41,6 +41,18 @@ def main(sf_dir, out_dir):
             print(f"  [rows-only] {name}: rows={len(got)}")
             continue
         try:
+            # dtype-strict gate: the driver hashes typed values, so an
+            # uncast DuckDB sum() (BIGINT -> HUGEINT/int128) passes a
+            # value-only compare locally but fails the driver's hash.
+            desc = con.execute(f"DESCRIBE ({oracle[name]})").df()
+            huge = [f"{r['column_name']}:{r['column_type']}"
+                    for _, r in desc.iterrows()
+                    if "HUGEINT" in str(r["column_type"]).upper()]
+            if huge:
+                n_fail += 1
+                print(f"  [FAIL-dtype] {name}: oracle yields {huge} — "
+                      f"CAST the column(s) to BIGINT in the oracle SQL")
+                continue
             exp = con.execute(oracle[name]).df()
         except Exception as e:
             n_fail += 1

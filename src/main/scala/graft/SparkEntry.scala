@@ -3925,7 +3925,7 @@ object SparkEntry {
            |  FROM w${i - 1}, m$i)""".stripMargin
       }.mkString(",\n")
       val union = (1 to k)
-        .map(i => s"SELECT $i AS step, pr AS pair, c FROM m$i")
+        .map(i => s"SELECT $i AS step, pr AS pair, CAST(c AS BIGINT) AS c FROM m$i")
         .mkString("\n  UNION ALL ")
       s"""WITH toks AS (
          |  SELECT u.tok FROM (
