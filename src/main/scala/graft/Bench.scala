@@ -42,16 +42,26 @@ object Bench {
     // Per-query time = min over reps: one-off JIT/GC hiccups otherwise
     // masquerade as plan regressions between rounds.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
-    val results = selected.map { case (name, fn) =>
-      name -> (0 until reps).map { _ =>
+    // A throwing query must NOT clock a fake fail-fast time (round 4's
+    // artifact recorded 43 broken queries at ~0.05 s, flattering the
+    // total): it is reported as "err" and excluded from the total.
+    val results: Seq[(String, Option[Double])] = selected.map { case (name, fn) =>
+      var failed = false
+      val t = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try { exec(fn(spark, sfDir)) }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
+      name -> (if (failed) None else Some(t))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

@@ -20,6 +20,11 @@ object Verify {
     // SPARK_GRAFT_ONLY=q62_seq_pack,q101_cms_sketch narrows the dump for
     // fast targeted re-checks (compare.py only scores dumped queries).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A query that throws must be LOUD: round 4 shipped a silent 43-query
+    // collapse because failures only went to stderr and the missing
+    // entries looked like skips. Failures are collected into a
+    // failed.json artifact and the process exits non-zero.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -27,6 +32,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.toString).take(500)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +50,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failures.nonEmpty) {
+      val fj = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/failed.json"), fj)
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED — see $outDir/failed.json")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

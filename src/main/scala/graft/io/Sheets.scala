@@ -166,14 +166,27 @@ class Sheets(
 
   /** RAW append of the frame's rows (stringified, nulls as empty) at
     * `title!A1:<columnTill|columnCount>` — the API appends after the
-    * last non-empty row of that range. Driver-side collect: sheets are
-    * bounded by the grid cell cap, enforce locally before calling. */
+    * last non-empty row of that range.
+    *
+    * Sheets is a driver-side sink by nature (the grid itself caps at
+    * 10M CELLS per spreadsheet), so the collect is inherently bounded —
+    * but an unguarded `df.collect()` on an accidentally-huge frame would
+    * OOM the driver long before the API rejected it. The collect is
+    * therefore capped: `limit(maxRows + 1)` bounds what ever reaches the
+    * driver, and one extra row beyond the cap fails fast with a clear
+    * message instead of half-appending. */
   def appendDataFrame(
-      df: DataFrame, gid: Long, columnTill: Option[String] = None): Unit = {
+      df: DataFrame, gid: Long, columnTill: Option[String] = None,
+      maxRows: Int = 100000): Unit = {
     val s = sheet(gid)
     val range =
       s"${s.title}!A1:${columnTill.getOrElse(columnLetters(s.columnCount))}"
-    val values = df.collect().toSeq.map(_.toSeq.map {
+    val collected = df.limit(maxRows + 1).collect()
+    require(collected.length <= maxRows,
+      s"appendDataFrame: input exceeds maxRows=$maxRows (a spreadsheet " +
+      "holds at most ~10M cells); aggregate or sample before appending, " +
+      "or raise maxRows explicitly")
+    val values = collected.toSeq.map(_.toSeq.map {
       case null => ""
       case v => v.toString
     })

@@ -487,14 +487,32 @@ object Dedup {
     * merge-scan containment a single codegen'd expression. Emitted both
     * directions when both clear the threshold (containment is directed).
     */
+  /** Empty `blockCols` means a TRUE cross product — n² pairs with no
+    * blocking to bound it. That is only sane for small inputs (unit
+    * tests, a pre-filtered candidate set), so the unblocked path counts
+    * the input and refuses above `maxUnblockedRows`: at scale the caller
+    * must either pass blocking keys or use [[prefixJaccardPairs]]. The
+    * count is one cheap action over the already-cached shingle table. */
+  private def guardUnblocked(base: DataFrame, blockCols: Seq[String],
+      maxUnblockedRows: Long, fn: String): Unit =
+    if (blockCols.isEmpty) {
+      val n = base.count()
+      require(n <= maxUnblockedRows,
+        s"$fn called with no blocking columns on $n rows (> $maxUnblockedRows): " +
+        "an unblocked cross join is O(n^2). Pass blockCols (e.g. lang, length " +
+        "bucket), use prefixJaccardPairs, or raise maxUnblockedRows explicitly.")
+    }
+
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
-      threshold: Double, shingleSize: Int = 1): DataFrame = {
+      threshold: Double, shingleSize: Int = 1,
+      maxUnblockedRows: Long = 10000L): DataFrame = {
     val base = df.select(col(idCol).as("id") +:
       graft.expressions.TextHash.shingleHashes(col(textCol), shingleSize).as("tk") +:
       blockCols.map(col): _*)
       .filter(size(col("tk")) > 0)
       .cache()
+    guardUnblocked(base, blockCols, maxUnblockedRows, "ngramContainmentPairs")
     val l = base.select(col("id").as("id_a") +: col("tk").as("tk_a") +: blockCols.map(col): _*)
     val r = base.select(col("id").as("id_b") +: col("tk").as("tk_b") +: blockCols.map(col): _*)
     val joined = if (blockCols.nonEmpty) l.join(r, blockCols) else l.crossJoin(r)
@@ -507,7 +525,8 @@ object Dedup {
 
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
-      threshold: Double, shingleSize: Int = 1): DataFrame = {
+      threshold: Double, shingleSize: Int = 1,
+      maxUnblockedRows: Long = 10000L): DataFrame = {
     // cached: both join legs read it — one shingle pass, not two (the
     // cluster-scale analog: materialize the shingle table once)
     val base = df.select(col(idCol).as("id") +:
@@ -515,6 +534,7 @@ object Dedup {
       blockCols.map(col): _*)
       .filter(size(col("tk")) > 0)
       .cache()
+    guardUnblocked(base, blockCols, maxUnblockedRows, "ngramJaccardPairs")
     val l = base.select(col("id").as("id_a") +: col("tk").as("tk_a") +: blockCols.map(col): _*)
     val r = base.select(col("id").as("id_b") +: col("tk").as("tk_b") +: blockCols.map(col): _*)
     val joined = if (blockCols.nonEmpty) l.join(r, blockCols) else l.crossJoin(r)

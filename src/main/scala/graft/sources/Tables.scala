@@ -26,18 +26,35 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 
-  /** events.ts is parquet TIMESTAMP(NANOS) — illegal for Spark's µs
-    * timestamps. We read it as LongType nanos
-    * (spark.sql.legacy.parquet.nanosAsLong) and expose both the raw
-    * nanos (`ts_ns`) and a truncated-to-µs proper timestamp (`ts`). */
+  /** events.ts arrives in whichever timestamp representation the producer
+    * chose — parquet TIMESTAMP(NANOS) (read as LongType nanos via
+    * spark.sql.legacy.parquet.nanosAsLong) or plain timestamp[us]
+    * (read as TIMESTAMP / TIMESTAMP_NTZ). The reference is schema-dynamic
+    * (pandas infers whatever the source carries,
+    * `dataengineering/clickhouse/v1/operator.py:454`), so we branch on the
+    * scanned dtype and normalize to the same two columns either way:
+    * `ts` (TimestampType, µs precision) and `ts_ns` (LongType epoch nanos).
+    * Session timezone is UTC (GraftSession), so the NTZ→LTZ cast is
+    * value-preserving and `unix_micros` matches DuckDB's `epoch_ns(ts)`
+    * on both representations. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integral div — double division loses integer precision at
-    // epoch-nanos magnitudes (~1.7e18 > 2^53; ±128 ns rounding could
-    // shift a boundary event into the previous microsecond/day)
-    s.read.parquet(p(dir, "events"))
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val raw = s.read.parquet(p(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integral div — double division loses integer precision at
+        // epoch-nanos magnitudes (~1.7e18 > 2^53; ±128 ns rounding could
+        // shift a boundary event into the previous microsecond/day)
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected LongType nanos or a timestamp")
+    }
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",

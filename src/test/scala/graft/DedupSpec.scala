@@ -121,6 +121,21 @@ class DedupSpec extends SparkSpec {
     assert(local == dist)
   }
 
+  test("unblocked ngram pair joins refuse oversized inputs") {
+    val many = (1L to 50L).map(i => (i, s"tok$i a b c")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairs(many, "doc_id", "text", Nil,
+        threshold = 0.5, maxUnblockedRows = 10L).count())
+    assert(e1.getMessage.contains("O(n^2)"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.ngramContainmentPairs(many, "doc_id", "text", Nil,
+        threshold = 0.5, maxUnblockedRows = 10L).count())
+    assert(e2.getMessage.contains("O(n^2)"))
+    // under the cap, the unblocked path still works
+    assert(Dedup.ngramJaccardPairs(many.limit(5), "doc_id", "text", Nil,
+      threshold = 0.99).count() == 0L)
+  }
+
   test("ngramJaccardPairs finds the near-dup family within blocks") {
     val blocked = docs.withColumn("lang", lit("en"))
     val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",

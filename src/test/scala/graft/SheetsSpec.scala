@@ -129,6 +129,18 @@ class SheetsSpec extends SparkSpec {
     assert(fake.appends(1)._1 == "prices!A1:B")
   }
 
+  test("appendDataFrame refuses frames over the maxRows cap") {
+    import spark.implicits._
+    val fake = new Fake()
+    val df = (1 to 20).map(i => (s"s$i", i.toDouble)).toDF("sym", "px")
+    val e = intercept[IllegalArgumentException](
+      sheets(fake).appendDataFrame(df, 0L, maxRows = 10))
+    assert(e.getMessage.contains("maxRows=10"))
+    assert(fake.appends.isEmpty)  // failed BEFORE any partial append
+    sheets(fake).appendDataFrame(df, 0L, maxRows = 20)
+    assert(fake.appends.head._2.length == 20)
+  }
+
   test("clearSheet starts at A2 — the header row survives") {
     val fake = new Fake()
     val s = sheets(fake)
