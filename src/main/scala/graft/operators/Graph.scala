@@ -493,10 +493,13 @@ object Graph {
     *
     * Shuffle shape: canonical dedup (1), degree partial-agg (1), two
     * degree-attach joins (node-sized build — broadcast below
-    * `broadcastNodeLimit`), wedge self-join on the apex (one Exchange,
-    * reused for both sides via repartition+cache), closure join against
-    * the canonical edge set on the (v, w) pair. Only (long, long) pairs
-    * ever shuffle — no payload columns.
+    * `broadcastNodeLimit`). Then, below `broadcastEdgeLimit`: a
+    * node-sized adjacency agg (1 narrow shuffle) and per-edge sorted
+    * intersection — no wedge ever materializes. Above it: wedge
+    * self-join on the apex (one Exchange, reused for both sides via
+    * repartition+cache), Bloom-pruned closure join against the canonical
+    * edge set on the (v, w) pair. Only (long, long) pairs ever shuffle —
+    * no payload columns.
     *
     * @param edges undirected edges as (src, dst) in either/both
     *              directions; duplicates and self-loops are dropped
@@ -511,12 +514,9 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .cache()
-    // The closure probe is wedge-volume-sized (O(m^1.5) rows) while the
-    // edge set is only m — broadcasting the EDGES turns the heaviest join
-    // of the algorithm into a scan-stage hash probe that never shuffles a
-    // single wedge (measured 7.5 s → shuffle-free probe at 1M edges /
-    // 56M wedges). 8M edges ≈ 128 MB of packed longs; above that, fall
-    // back to shuffling wedges (the genuinely-huge-graph regime).
+    // Below `broadcastEdgeLimit` the adjacency-intersection regime runs
+    // entirely on broadcast node-sized state (8M edges ≈ 128 MB of
+    // packed adjacency longs); above it, wedge enumeration by shuffle.
     //
     // ONE stats action decides every regime knob (edge count, id bounds,
     // node-count upper bound): the previous canon.count / deg.count /
@@ -534,8 +534,6 @@ object Graph {
       canon.unpersist(blocking = false)
       return out
     }
-    def maybeBE(df: DataFrame): DataFrame =
-      if (nEdges <= broadcastEdgeLimit) broadcast(df) else df
     val deg = canon.select(col("a").as("id"))
       .unionByName(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
@@ -556,47 +554,50 @@ object Graph {
       .join(maybeB(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"))
-    // Wedges (u→v, u→w) with v<w, then close against the canonical set:
-    // v<w means the closing edge is exactly (a=v, b=w) — no least/greatest
-    // re-canonicalization needed. Each triangle appears once.
+    // Broadcast regime — sorted-adjacency INTERSECTION, not wedge
+    // enumeration: each triangle (u→v, u→w, v→w in the orientation DAG)
+    // is exactly a w ∈ N⁺(u) ∩ N⁺(v) for the oriented edge (u, v), so
+    // emitting `intersectSorted(adj[u], adj[v])` per EDGE finds each
+    // triangle once without ever materializing the O(m^1.5) wedge
+    // stream. Work is Σ_(u,v)∈E (od(u)+od(v)) merge steps inside one
+    // codegen stage over m rows — at sf0.1 that is ~150M long compares
+    // vs 32.4M wedge rows through join machinery (measured 3.7 s →
+    // 2.4 s end-to-end q111). One extra narrow shuffle builds the
+    // (u, sorted nbrs) adjacency (node-sized, ≈ m longs total, ~8 MB at
+    // sf0.1), broadcast to both join legs; nodes without out-edges are
+    // absent from adj and the inner join correctly drops their edges
+    // (no w can close them).
     //
-    // Below the broadcast-edge limit the wedge SELF-JOIN broadcasts too
-    // (the build side is only m oriented edges — the same table already
-    // judged broadcastable for the closure probe), so the entire
-    // wedge → closure → count path runs as ONE streamed codegen stage
-    // over a scan of the cached canon: no repartition, no cache fill, no
-    // sort-merge — measured 4.4 s → 2.9 s at 1.06M edges / 32M wedges.
-    // Both consumers of orientedBase then recompute it from cached canon
-    // + broadcast deg (two scan-stage hash probes), which is cheaper
-    // than materializing it. Above the limit: repartition + cache and
-    // self-join by shuffle, the genuinely-huge-graph regime.
-    val (oriented, wedges) =
+    // Above the limit: wedge enumeration by shuffle self-join — the
+    // genuinely-huge-graph regime, where per-node adjacency arrays
+    // could not broadcast anyway.
+    val (oriented, tris) =
       if (nEdges <= broadcastEdgeLimit) {
-        val w = orientedBase
-          .join(broadcast(orientedBase.withColumnRenamed("v", "w")), Seq("u"))
-          .filter(col("v") < col("w"))
-        (None, w)
+        val adj = orientedBase.groupBy(col("u"))
+          .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+        val t = orientedBase
+          .join(broadcast(adj), Seq("u"))
+          .join(broadcast(adj.select(col("u").as("v"),
+            col("nbrs").as("nbrs_v"))), Seq("v"))
+          .select(col("u"), col("v"),
+            explode(graft.expressions.SortedArrays.intersectSorted(
+              col("nbrs"), col("nbrs_v"))).as("w"))
+        (None, t)
       } else {
         val o = orientedBase.repartition(col("u")).cache()
-        val w = o.join(o.withColumnRenamed("v", "w"), Seq("u"))
+        val wedges = o.join(o.withColumnRenamed("v", "w"), Seq("u"))
           .filter(col("v") < col("w"))
-        (Some(o), w)
-      }
-    // Shuffle-closure regime only: almost no wedge closes (1.45M
-    // triangles out of 32M wedges at sf0.1), yet every wedge would ride
-    // the closure exchange. A Bloom filter over the canonical edge set
-    // (Spark's own runtime-filter machinery: BloomFilterAggregate built
-    // distributed, the ~8-bits/edge sketch embedded as a literal and
-    // probed by codegen'd xxhash64) drops non-closing wedges MAP-side,
-    // so the exchange carries survivors + false positives instead of
-    // the full wedge volume. The exact join after it makes false
-    // positives harmless — results are identical, partitioning-
-    // independent. (Broadcast regime skips this: its probe is already
-    // scan-stage and exchange-free.) Measured 60 s → 23 s at 10.6M
-    // edges / 324M wedges.
-    val prunedWedges =
-      if (nEdges <= broadcastEdgeLimit) wedges
-      else {
+        // Shuffle-closure regime: almost no wedge closes (1.45M
+        // triangles out of 32M wedges at sf0.1), yet every wedge would
+        // ride the closure exchange. A Bloom filter over the canonical
+        // edge set (Spark's own runtime-filter machinery:
+        // BloomFilterAggregate built distributed, the ~8-bits/edge
+        // sketch embedded as a literal and probed by codegen'd
+        // xxhash64) drops non-closing wedges MAP-side, so the exchange
+        // carries survivors + false positives instead of the full
+        // wedge volume. The exact join after it makes false positives
+        // harmless — results are identical, partitioning-independent.
+        // Measured 60 s → 23 s at 10.6M edges / 324M wedges.
         import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
         import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
         import org.apache.spark.sql.graft.Bridge
@@ -605,19 +606,21 @@ object Graph {
           Bridge.expression(xxhash64(col("a"), col("b"))),
           Literal(nEdges), Literal(numBits)).toAggregateExpression())
         val bytes = canon.select(bf.as("bf")).head().getAs[Array[Byte]](0)
-        wedges.filter(Bridge.column(new BloomFilterMightContain(
+        val pruned = wedges.filter(Bridge.column(new BloomFilterMightContain(
           Literal(bytes, org.apache.spark.sql.types.BinaryType),
           Bridge.expression(xxhash64(col("v"), col("w"))))))
+        // When ids fit in 31 bits the closure joins on ONE packed long
+        // (LongHashedRelation) instead of a (long, long) UnsafeRow key.
+        val t =
+          if (packable) pruned.join(
+            canon.select((shiftleft(col("a"), 32) + col("b")).as("__k")),
+            shiftleft(col("v"), 32) + col("w") === col("__k"))
+            .select("u", "v", "w")
+          else pruned
+            .join(canon, col("v") === col("a") && col("w") === col("b"))
+            .select("u", "v", "w")
+        (Some(o), t)
       }
-    val tris =
-      if (packable) prunedWedges.join(
-        maybeBE(canon.select(
-          (shiftleft(col("a"), 32) + col("b")).as("__k"))),
-        shiftleft(col("v"), 32) + col("w") === col("__k"))
-        .select("u", "v", "w")
-      else prunedWedges
-        .join(maybeBE(canon), col("v") === col("a") && col("w") === col("b"))
-        .select("u", "v", "w")
     val counts = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))

@@ -7,12 +7,17 @@ import graft.operators.Graph
 import graft.sources.Tables
 
 /** One-shot diagnostic for the q111 triangle regression (round-4 verdict
-  * task #3): prints edge count, degree-orientation out-degree histogram,
-  * exact wedge volume, and triangle count for the co-order part graph on
-  * a given SF dir, so the regime knobs in Graph.triangleCounts can be
-  * tuned against measured volumes rather than guesses. Dev tool — not
-  * part of the library surface. */
+  * task #3): staged timings of each phase of the co-order-part triangle
+  * pipeline at a given SF, so the regime knobs in Graph.triangleCounts
+  * are tuned against measured volumes. Dev tool — not library surface. */
 object ProbeQ111 {
+  private def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -26,48 +31,76 @@ object ProbeQ111 {
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    val edges = Graph.coOccurrenceEdges(
+    def edges = Graph.coOccurrenceEdges(
       Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
       "o", "p", maxGroupSize = 8)
 
-    val canon = edges.select(
-        least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .cache()
-    val m = canon.count()
-    println(s"[probe] edges m=$m")
+    time("cold full q111 (gen+count+sort)") {
+      Graph.triangleCounts(edges).orderBy("id")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("warm full q111") {
+      Graph.triangleCounts(edges).orderBy("id")
+        .write.format("noop").mode("overwrite").save()
+    }
 
-    val deg = canon.select(col("a").as("id"))
-      .unionByName(canon.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("d")).cache()
-    val nNodes = deg.count()
-    println(s"[probe] nodes n=$nNodes")
-    deg.agg(max("d").as("maxDeg"), avg("d").as("avgDeg"),
-        expr("percentile(d, 0.99)").as("p99"))
-      .show(false)
-
+    // staged: reuse triangleCounts' own structure piecewise
+    val canon = time("canon distinct + cache fill") {
+      val c = edges.select(
+          least(col("src"), col("dst")).cast("long").as("a"),
+          greatest(col("src"), col("dst")).cast("long").as("b"))
+        .filter(col("a") =!= col("b")).distinct().cache()
+      c.count()
+      c
+    }
+    val st = time("stats action") {
+      canon.agg(count(lit(1)).as("m"),
+        min(col("a")).as("lo"), max(col("b")).as("hi"),
+        (approx_count_distinct(col("a")) + approx_count_distinct(col("b")))
+          .as("nUpper")).first()
+    }
+    println(s"[probe] m=${st.getLong(0)} nUpper=${st.getLong(3)}")
+    val deg = time("deg agg + cache fill") {
+      val d = canon.select(col("a").as("id"))
+        .unionByName(canon.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d")).cache()
+      d.count()
+      d
+    }
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val oriented = canon
+    val orientedBase = canon
       .join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))), Seq("a"))
       .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))), Seq("b"))
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v"))
-    val outDeg = oriented.groupBy("u").agg(count(lit(1)).as("od")).cache()
-    outDeg.agg(max("od").as("maxOut"), avg("od").as("avgOut"),
-        expr("percentile(od, 0.99)").as("p99Out"),
-        sum(col("od") * (col("od") - 1) / 2).as("wedges"))
-      .show(false)
-    println("[probe] top-10 out-degrees:")
-    outDeg.orderBy(col("od").desc).show(10, false)
-
-    val t0 = System.nanoTime()
-    val tri = Graph.triangleCounts(edges)
-    tri.write.format("noop").mode("overwrite").save()
-    println(f"[probe] triangleCounts wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val adj = orientedBase.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    time("adjacency agg (noop)") {
+      adj.write.format("noop").mode("overwrite").save()
+    }
+    val tris = orientedBase
+      .join(broadcast(adj), Seq("u"))
+      .join(broadcast(adj.select(col("u").as("v"), col("nbrs").as("nbrs_v"))), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(graft.expressions.SortedArrays.intersectSorted(
+          col("nbrs"), col("nbrs_v"))).as("w"))
+    time("tris via intersection (noop)") {
+      tris.write.format("noop").mode("overwrite").save()
+    }
+    val counts = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    time("counts (noop)") {
+      counts.write.format("noop").mode("overwrite").save()
+    }
+    val out = deg.select("id")
+      .join(broadcast(counts), Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+    time("final left join + sort (noop)") {
+      out.orderBy("id").write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
