@@ -306,6 +306,200 @@ object Graph {
         (lit(scale - dampingScaled) + expr(s"($dampingScaled * s) div $scale"))
           .as("rank"))
 
+  private def dropTables(spark: SparkSession, tables: String*): Unit =
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** One co-bucketed LPA round (exposed for plan inspection): the
+    * edges⋈labels join is bucket-to-bucket (no Exchange); the single
+    * per-round shuffle is the explicit repartition on dst, after which
+    * BOTH vote aggregations are exchange-free (hash(dst) satisfies the
+    * (dst, lbl) clustering by the subset rule, and the per-dst argmax
+    * reuses the same partitioning). */
+  def lpaCoBucketedRound(spark: SparkSession, edgesTable: String,
+      labelsTable: String, numBuckets: Int): DataFrame =
+    spark.table(edgesTable).join(spark.table(labelsTable), Seq("src"))
+      .select(col("dst"), col("lbl"))
+      .repartition(numBuckets, col("dst"))
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(min_by(col("lbl"),
+        struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
+      .select(col("dst").as("src"), col("lbl"))
+
+  /** Big-graph LPA — [[labelPropagation]] above `broadcastNodeLimit`,
+    * built on the [[pageRankCoBucketed]] layout: edges bucketed by src
+    * once, each round's label table written bucketed by the same key,
+    * so the per-round edges⋈labels join plans bucket-to-bucket with
+    * ZERO Exchange on the (100 TB) edge side. Per-round Exchange count:
+    * 1 (the narrow (dst, lbl) vote repartition) — asserted in GraphSpec.
+    * Results are bit-identical to [[labelPropagation]] (same sync-LPA
+    * integer math; parity-tested). Contract: symmetric edge set, like
+    * the broadcast variant. */
+  def labelPropagationCoBucketed(edges: DataFrame, iterations: Int,
+      numBuckets: Int = 32, tablePrefix: String = "graft_lpa"): DataFrame = {
+    require(iterations >= 1, "co-bucketed loop needs >= 1 iteration")
+    val spark = edges.sparkSession
+    val edgesTbl = s"${tablePrefix}_edges"
+    def lblTbl(i: Int) = s"${tablePrefix}_labels_$i"
+    graft.io.Bucketing.writeBucketed(
+      edges.select(col("src").cast("long"), col("dst").cast("long")),
+      edgesTbl, Seq("src"), numBuckets)
+    // initial labels: own id; distinct-on-src is a bucket-aligned agg
+    // (zero Exchange) over the just-written edge table
+    graft.io.Bucketing.writeBucketed(
+      spark.table(edgesTbl).select(col("src")).distinct()
+        .withColumn("lbl", col("src")),
+      lblTbl(0), Seq("src"), numBuckets)
+    var it = 0
+    while (it < iterations) {
+      it += 1
+      graft.io.Bucketing.writeBucketed(
+        lpaCoBucketedRound(spark, edgesTbl, lblTbl(it - 1), numBuckets),
+        lblTbl(it), Seq("src"), numBuckets)
+    }
+    val out = spark.table(lblTbl(it))
+      .select(col("src").as("id"), col("lbl").as("label"))
+      .localCheckpoint(true)
+    dropTables(spark, edgesTbl +: (0 to it).map(lblTbl): _*)
+    out
+  }
+
+  /** One co-bucketed BFS expansion round (exposed for plan inspection):
+    * bucket join against the frontier [0 Exchange] → repartition+distinct
+    * on dst [the round's 1 Exchange, numBuckets partitions so the
+    * anti-join stays co-located] → first-discovery anti-join vs the
+    * visited table [0 Exchange]. */
+  def bfsCoBucketedRound(spark: SparkSession, edgesTable: String,
+      frontierTable: String, visitedTable: String, numBuckets: Int,
+      hop: Int): DataFrame =
+    spark.table(edgesTable)
+      .join(spark.table(frontierTable).select("src"), Seq("src"))
+      .select(col("dst").as("src"))
+      .repartition(numBuckets, col("src")).distinct()
+      .join(spark.table(visitedTable), Seq("src"), "left_anti")
+      .withColumn("dist", lit(hop.toLong))
+
+  /** Big-graph multi-source BFS — [[bfsDistances]] above
+    * `broadcastNodeLimit`, same bucketed discipline: edges bucketed by
+    * src once; the frontier AND the visited set live as tables bucketed
+    * by the same key, so the per-round frontier join and the
+    * first-discovery anti-join are both bucket-to-bucket with zero
+    * Exchange. Per-round Exchange count: 1 (the dst-distinct
+    * repartition of the raw frontier expansion) — asserted in
+    * GraphSpec. The visited table is rewritten per round
+    * (O(reached) rows, the same cost class as the PR rank rewrite);
+    * the edge table never re-shuffles. Results equal
+    * [[bfsDistances]] (parity-tested). */
+  def bfsDistancesCoBucketed(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int, numBuckets: Int = 32,
+      tablePrefix: String = "graft_bfs"): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val spark = edges.sparkSession
+    val edgesTbl = s"${tablePrefix}_edges"
+    def frontTbl(i: Int) = s"${tablePrefix}_frontier_$i"
+    def visTbl(i: Int) = s"${tablePrefix}_visited_$i"
+    graft.io.Bucketing.writeBucketed(
+      edges.select(col("src").cast("long"), col("dst").cast("long")),
+      edgesTbl, Seq("src"), numBuckets)
+    val seed0 = seeds.select(col("id").cast("long").as("src"),
+      lit(0L).as("dist")).distinct()
+    graft.io.Bucketing.writeBucketed(seed0, frontTbl(0), Seq("src"), numBuckets)
+    graft.io.Bucketing.writeBucketed(
+      spark.table(frontTbl(0)), visTbl(0), Seq("src"), numBuckets)
+    var hop = 0
+    var frontierSize = spark.table(frontTbl(0)).count()
+    while (hop < maxHops && frontierSize > 0) {
+      hop += 1
+      graft.io.Bucketing.writeBucketed(
+        bfsCoBucketedRound(spark, edgesTbl, frontTbl(hop - 1), visTbl(hop - 1),
+          numBuckets, hop),
+        frontTbl(hop), Seq("src"), numBuckets)
+      graft.io.Bucketing.writeBucketed(
+        spark.table(visTbl(hop - 1)).unionByName(spark.table(frontTbl(hop))),
+        visTbl(hop), Seq("src"), numBuckets)
+      frontierSize = spark.table(frontTbl(hop)).count()
+    }
+    val out = spark.table(visTbl(hop))
+      .select(col("src").as("id"), col("dist")).localCheckpoint(true)
+    dropTables(spark,
+      edgesTbl +: ((0 to hop).map(frontTbl) ++ (0 to hop).map(visTbl)): _*)
+    out
+  }
+
+  /** One co-bucketed k-core survivor filter (exposed for plan
+    * inspection): semi-join on src is bucket-to-bucket [0 Exchange];
+    * the dst-side semi-join re-clusters the shrinking edge set [the
+    * round's 1 Exchange] while the keep table side stays in place. */
+  def kCoreCoBucketedFilter(spark: SparkSession, srcEdgesTable: String,
+      keepTable: String): DataFrame = {
+    val keep = spark.table(keepTable)
+    spark.table(srcEdgesTable)
+      .join(keep.withColumnRenamed("id", "src"), Seq("src"), "semi")
+      .join(keep.withColumnRenamed("id", "dst"), Seq("dst"), "semi")
+      .select("src", "dst")
+  }
+
+  /** Big-graph k-core peeling — [[kCore]] above `broadcastNodeLimit`.
+    * Layout keeps TWO bucketed copies of the (shrinking) edge set — by
+    * src and by dst, the HITS discipline — so each round's degree
+    * computation is two bucket-aligned aggs merged by a bucket-aligned
+    * full outer join: ZERO Exchange for degrees (the broadcast variant
+    * pays a node-id shuffle). The survivor filter is one bucket
+    * semi-join on src [0 exch] + one semi-join on dst (1 Exchange of
+    * the shrinking edge set — the round's only one, asserted in
+    * GraphSpec); both next-round copies are then bucketed WRITES (no
+    * exchange: bucketed writes cluster into per-bucket files task-
+    * locally). The keep set never shuffles. Results equal [[kCore]]
+    * (parity-tested). Input contract: canonical undirected edges, like
+    * [[kCore]] (dedup + self-loop drop applied here too). */
+  def kCoreCoBucketed(edges: DataFrame, k: Int, maxRounds: Int,
+      numBuckets: Int = 32, tablePrefix: String = "graft_kcore"): DataFrame = {
+    val spark = edges.sparkSession
+    def srcTbl(i: Int) = s"${tablePrefix}_esrc_$i"
+    def dstTbl(i: Int) = s"${tablePrefix}_edst_$i"
+    def keepTbl(i: Int) = s"${tablePrefix}_keep_$i"
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct()
+    graft.io.Bucketing.writeBucketed(e0, srcTbl(0), Seq("src"), numBuckets)
+    graft.io.Bucketing.writeBucketed(
+      spark.table(srcTbl(0)), dstTbl(0), Seq("dst"), numBuckets)
+    // degrees with zero Exchange: out-half aggregated on the src-bucketed
+    // copy, in-half on the dst-bucketed copy, merged bucket-to-bucket
+    def degrees(i: Int): DataFrame = {
+      val out = spark.table(srcTbl(i)).groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("od"))
+      val in = spark.table(dstTbl(i)).groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("in_d"))
+      out.join(in, Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(col("od"), lit(0L)) + coalesce(col("in_d"), lit(0L)))
+            .as("deg"))
+    }
+    var m = spark.table(srcTbl(0)).count()
+    var round = 0
+    var done = m == 0L
+    while (!done && round < maxRounds) {
+      round += 1
+      graft.io.Bucketing.writeBucketed(
+        degrees(round - 1).filter(col("deg") >= k).select("id"),
+        keepTbl(round), Seq("id"), numBuckets)
+      graft.io.Bucketing.writeBucketed(
+        kCoreCoBucketedFilter(spark, srcTbl(round - 1), keepTbl(round)),
+        dstTbl(round), Seq("dst"), numBuckets)
+      graft.io.Bucketing.writeBucketed(
+        spark.table(dstTbl(round)), srcTbl(round), Seq("src"), numBuckets)
+      val m2 = spark.table(srcTbl(round)).count()
+      done = m2 == m
+      m = m2
+    }
+    val out = degrees(round).filter(col("deg") > 0)
+      .select(col("id"), col("deg")).localCheckpoint(true)
+    dropTables(spark,
+      (0 to round).flatMap(i => Seq(srcTbl(i), dstTbl(i))) ++
+        (1 to round).map(keepTbl): _*)
+    out
+  }
+
   /** Co-occurrence edge generation straight from a (group, item) fact
     * stream — "wallets sharing a transaction", "parts sharing an order".
     * ONE groupBy shuffle collects each group's distinct items via

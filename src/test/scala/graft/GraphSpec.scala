@@ -84,6 +84,85 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  // symmetric mixed hub + ring graph shared by the co-bucketed parity tests
+  private def symGraph = {
+    val pairs = (Seq.tabulate(40)(i => (100L, i.toLong + 1)) ++
+      Seq.tabulate(60)(i => (i.toLong + 1, (i + 1).toLong % 60 + 1)))
+      .filter { case (a, b) => a != b }.distinct
+    (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+  }
+
+  test("co-bucketed LPA matches the broadcast regime bit-for-bit") {
+    val e = symGraph
+    val want = Graph.labelPropagation(e, iterations = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val got = Graph.labelPropagationCoBucketed(e, iterations = 3,
+      numBuckets = 4, tablePrefix = "graftspec_lpa")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(!spark.catalog.tableExists("graftspec_lpa_edges"))
+    assert(!spark.catalog.tableExists("graftspec_lpa_labels_1"))
+  }
+
+  test("co-bucketed BFS matches the frontier regime") {
+    val e = symGraph
+    val seeds = Seq(100L).toDF("id")
+    val want = Graph.bfsDistances(e, seeds, maxHops = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val got = Graph.bfsDistancesCoBucketed(e, seeds, maxHops = 3,
+      numBuckets = 4, tablePrefix = "graftspec_bfs")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(!spark.catalog.tableExists("graftspec_bfs_edges"))
+    assert(!spark.catalog.tableExists("graftspec_bfs_visited_1"))
+  }
+
+  test("co-bucketed k-core matches the peeling regime") {
+    // canonical (src < dst) undirected edges: ring + hub spokes
+    val e = symGraph.filter(col("src") < col("dst"))
+    val want = Graph.kCore(e, k = 3, maxRounds = 5)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val got = Graph.kCoreCoBucketed(e, k = 3, maxRounds = 5,
+      numBuckets = 4, tablePrefix = "graftspec_kc")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(!spark.catalog.tableExists("graftspec_kc_esrc_0"))
+    assert(!spark.catalog.tableExists("graftspec_kc_keep_1"))
+  }
+
+  test("co-bucketed LPA/BFS/k-core rounds plan exactly one Exchange each") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+      io.Bucketing.writeBucketed(e, "graftspec_cb_edges", Seq("src"), 4)
+      io.Bucketing.writeBucketed(
+        e.select("src").distinct().withColumn("lbl", col("src")),
+        "graftspec_cb_labels", Seq("src"), 4)
+      io.Bucketing.writeBucketed(
+        Seq((1L, 0L)).toDF("src", "dist"), "graftspec_cb_front", Seq("src"), 4)
+      io.Bucketing.writeBucketed(
+        Seq((1L, 0L)).toDF("src", "dist"), "graftspec_cb_vis", Seq("src"), 4)
+      io.Bucketing.writeBucketed(
+        e.select("src").distinct().withColumnRenamed("src", "id"),
+        "graftspec_cb_keep", Seq("id"), 4)
+      val lpaPlan = Graph.lpaCoBucketedRound(spark, "graftspec_cb_edges",
+        "graftspec_cb_labels", 4).queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(lpaPlan).length == 1, lpaPlan)
+      val bfsPlan = Graph.bfsCoBucketedRound(spark, "graftspec_cb_edges",
+        "graftspec_cb_front", "graftspec_cb_vis", 4, 1)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(bfsPlan).length == 1, bfsPlan)
+      val kcPlan = Graph.kCoreCoBucketedFilter(spark, "graftspec_cb_edges",
+        "graftspec_cb_keep").queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(kcPlan).length == 1, kcPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      Seq("edges", "labels", "front", "vis", "keep").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graftspec_cb_$t"))
+    }
+  }
+
   test("dangling nodes keep the base rank") {
     val e = Seq((1L, 2L)).toDF("src", "dst") // 2 has no out-edges
     val r = Graph.pageRankFixedPoint(e, 2).as[(Long, Long)].collect().toMap
