@@ -2013,12 +2013,13 @@ object SparkEntry {
 
     // Int8 Gram matrix over absmax-quantized embeddings (the similarity
     // / covariance precompute of an embedding pipeline, in the int8
-    // arithmetic a serving stack would use): quantization AND the
-    // per-vector upper-triangle outer product are scan-stage array
-    // expressions — no explode-join, no per-element shuffle. The only
-    // shuffle moves (i, j, partial-sum) cells: d·(d+1)/2 = 2080 keys
-    // with map-side combine, independent of row count. Sums are exact
-    // 64-bit (|q|≤127 ⇒ 500M rows of headroom per cell).
+    // arithmetic a serving stack would use): quantization is a
+    // scan-stage array expression, and the d·(d+1)/2 = 2080 cells
+    // accumulate in ONE GramUpperTriangleAgg buffer (a 16.6 KB long
+    // array per partition, folded with a tight multiply-add loop) —
+    // no per-row struct explode, no 41.6M-row hash agg; the only thing
+    // that ever moves is P partial buffers. Sums are exact 64-bit
+    // (|q|≤127 ⇒ ~5.7e14 rows of headroom per cell).
     "q140_int8_gram" -> ((s, dir) => {
       val q = Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(
@@ -2029,13 +2030,11 @@ object SparkEntry {
         .select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0" +
             " / maxabs + 0.5) AS BIGINT))").as("q"))
-      q.select(explode(expr(
-          "flatten(transform(sequence(1, size(q)), i -> " +
-            "transform(sequence(i, size(q)), j -> " +
-            "struct(i, j, q[i-1] * q[j-1] AS p))))")).as("cell"))
-        .groupBy(col("cell.i").cast("long").as("i"),
-          col("cell.j").cast("long").as("j"))
-        .agg(sum(col("cell.p")).as("g"))
+      q.agg(graft.expressions.GramAggregate.gramUpperTriangle(col("q"))
+          .as("cells"))
+        .select(explode(col("cells")).as("cell"))
+        .select(col("cell.i").as("i"), col("cell.j").as("j"),
+          col("cell.g").as("g"))
         .orderBy("i", "j")
     }),
 

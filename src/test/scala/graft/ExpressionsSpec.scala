@@ -170,6 +170,44 @@ class ExpressionsSpec extends SparkSpec {
     assert(tie == "[1]")
   }
 
+  test("gramUpperTriangle: hand-computed cells, partition-independent, empty in") {
+    import graft.expressions.GramAggregate
+    // [(1,2),(3,4)]: G11 = 1+9, G12 = 2+12, G22 = 4+16
+    val vecs = Seq(Seq(1L, 2L), Seq(3L, 4L))
+    def cells(partitions: Int) =
+      vecs.toDF("q").repartition(partitions)
+        .agg(GramAggregate.gramUpperTriangle(col("q")).as("c"))
+        .select(explode(col("c")).as("cell"))
+        .select("cell.i", "cell.j", "cell.g")
+        .as[(Long, Long, Long)].collect().toSet
+    val want = Set((1L, 1L, 10L), (1L, 2L, 14L), (2L, 2L, 20L))
+    assert(cells(1) == want)
+    assert(cells(5) == want) // merge path: more partitions than rows
+    // empty input → empty cells array → zero rows after explode
+    val empty = Seq.empty[Seq[Long]].toDF("q")
+      .agg(GramAggregate.gramUpperTriangle(col("q")).as("c"))
+      .select(explode(col("c")).as("cell"))
+    assert(empty.count() == 0L)
+    // inconsistent vector lengths fail loudly, never mis-accumulate
+    val e = intercept[Exception](
+      Seq(Seq(1L, 2L), Seq(1L, 2L, 3L)).toDF("q").repartition(1)
+        .agg(GramAggregate.gramUpperTriangle(col("q")).as("c")).collect())
+    assert(e.getMessage.contains("vector length") ||
+      Option(e.getCause).exists(_.getMessage.contains("vector length")))
+  }
+
+  test("intersectSorted: merge-scan matches array_intersect on sorted input") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq.empty[Long], Seq(1L))
+    ).toDF("a", "b")
+    val got = df.select(
+      graft.expressions.SortedArrays.intersectSorted(col("a"), col("b")))
+      .as[Seq[Long]].collect().toSeq
+    assert(got == Seq(Seq(3L, 5L), Seq.empty, Seq.empty))
+  }
+
   test("containmentSorted: |a∩b|/|a|, asymmetric, empty-left = 0") {
     val df = Seq(
       (Seq(1L, 2L), Seq(1L, 2L, 3L)),      // subset → 1.0
