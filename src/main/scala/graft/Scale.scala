@@ -369,10 +369,11 @@ object Scale {
     time("bpeenc_1x") { bpeEncShape(docs1) }
     time(s"bpeenc_${mult}x") { bpeEncShape(docsN) }
 
-    // int8 Gram matrix (q140 shape): quantization + upper-triangle outer
-    // product are scan-stage array kernels; the ONLY shuffle carries
-    // d(d+1)/2 = 2080 cells regardless of row count — the runtime should
-    // track the scan, the shuffle bytes should not move at all
+    // int8 Gram matrix (q140 shape, GramUpperTriangleAgg formulation):
+    // quantization is a scan-stage array kernel and the 2080 cells
+    // accumulate in one 16.6 KB buffer per partition — the ONLY thing
+    // shuffled is P partial buffers regardless of row count, so the
+    // runtime must track the scan and nothing else
     val emb1 = Tables.embeddings(spark, dir)
     val embN = amplify(emb1, Seq("vec_id"))
     def gramShape(emb: DataFrame): Long = {
@@ -385,15 +386,77 @@ object Scale {
         .select(expr(
           "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0" +
             " / maxabs + 0.5) AS BIGINT))").as("q"))
-      q.select(explode(expr(
-          "flatten(transform(sequence(1, size(q)), i -> " +
-            "transform(sequence(i, size(q)), j -> " +
-            "struct(i, j, q[i-1] * q[j-1] AS p))))")).as("cell"))
-        .groupBy(col("cell.i"), col("cell.j"))
-        .agg(sum(col("cell.p")).as("g")).count()
+      q.agg(expressions.GramAggregate.gramUpperTriangle(col("q")).as("cells"))
+        .select(explode(col("cells")).as("cell")).count()
     }
     time("gram_1x") { gramShape(emb1) }
     time(s"gram_${mult}x") { gramShape(embN) }
+
+    // multi-source BFS (q136 shape): frontier-based — per-round join
+    // input is last round's discoveries only; amplified graph = mult
+    // disjoint copies with mult× seeds, so frontier AND edges both ×N
+    // and per-round cost must stay ~linear
+    def bfsShape(li: DataFrame): Long = {
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+      Graph.bfsDistances(edges, seeds, maxHops = 4).count()
+    }
+    time("bfs_1x") { bfsShape(li1) }
+    time(s"bfs_${mult}x") { bfsShape(liT) }
+
+    // HITS (q131 shape): two cached edge layouts (by src / by dst) make
+    // each half-round a broadcast join + exchange-free agg; N× disjoint
+    // copies grow the score tables and edges together — per-round cost
+    // must stay ~linear, the edge tables must never re-shuffle
+    def hitsShape(li: DataFrame): Long =
+      Graph.hits(
+        li.select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct(),
+        iterations = 2).count()
+    time("hits_1x") { hitsShape(li1) }
+    time(s"hits_${mult}x") { hitsShape(liT) }
+
+    // co-bucketed crossovers: same shapes as labelprop/bfs/kcore above
+    // but in the bucketed-table regime — the edge table shuffles once at
+    // layout and each round plans ≤ 1 Exchange; growth must track the
+    // layout write, with per-round cost state-bound
+    def lpaBucketShape(li: DataFrame, tag: String): Long = {
+      val canon = Graph.coOccurrenceEdges(
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8).distinct()
+      Graph.labelPropagationCoBucketed(canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst"))), 3,
+        numBuckets = 32, tablePrefix = s"graft_scale_lpa_$tag").count()
+    }
+    time("labelprop_cobucket_1x") { lpaBucketShape(li1, "a") }
+    time(s"labelprop_cobucket_${mult}x") { lpaBucketShape(liT, "b") }
+
+    def bfsBucketShape(li: DataFrame, tag: String): Long = {
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+      Graph.bfsDistancesCoBucketed(edges, seeds, maxHops = 4,
+        numBuckets = 32, tablePrefix = s"graft_scale_bfs_$tag").count()
+    }
+    time("bfs_cobucket_1x") { bfsBucketShape(li1, "a") }
+    time(s"bfs_cobucket_${mult}x") { bfsBucketShape(liT, "b") }
+
+    def kcoreBucketShape(li: DataFrame, tag: String): Long =
+      Graph.kCoreCoBucketed(Graph.coOccurrenceEdges(
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8).distinct(), k = 3, maxRounds = 4,
+        numBuckets = 32, tablePrefix = s"graft_scale_kc_$tag").count()
+    time("kcore_cobucket_1x") { kcoreBucketShape(li1, "a") }
+    time(s"kcore_cobucket_${mult}x") { kcoreBucketShape(liT, "b") }
 
     // KMV set algebra (q141 shape): after the two base scans everything
     // is k-sized array math on one row — N× keys change the estimates,

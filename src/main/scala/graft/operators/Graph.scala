@@ -199,9 +199,10 @@ object Graph {
     * Scale shape per round (broadcast regime): one broadcast join
     * against the dst-partitioned cached edge table + one hash agg on the
     * SAME dst key (exchange-free, the LPA layout argument) + one
-    * broadcast anti-join. Above `broadcastNodeLimit`, shuffle joins —
-    * co-bucket edges and distances by key for the cluster regime
-    * ([[pageRankCoBucketed]]).
+    * broadcast anti-join. Above `broadcastNodeLimit`, use
+    * [[bfsDistancesCoBucketed]] — the bucketed-table regime where the
+    * edge table shuffles once at layout and every round plans exactly
+    * one Exchange.
     *
     * @param seeds one `id` column (LongType-castable); absent nodes are
     *              unreached within `maxHops` and are not returned
@@ -589,7 +590,8 @@ object Graph {
     * discipline as the PageRank/LPA loops); early-exit when an edge
     * count round removes nothing is semantics-preserving for the
     * fixed-unroll oracle because post-fixpoint rounds are no-ops in any
-    * engine. All-integer, so the loop is oracle-checked bit-for-bit. */
+    * engine. All-integer, so the loop is oracle-checked bit-for-bit.
+    * Above `broadcastNodeLimit` use [[kCoreCoBucketed]]. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int,
       broadcastNodeLimit: Long = 2000000L): DataFrame = {
     var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -637,7 +639,8 @@ object Graph {
     * shuffle, and a per-dst argmax via min_by on the (-count, label)
     * struct (deterministic: the ordering key contains the value).
     * localCheckpoint per round keeps the plan flat, same discipline as
-    * the PageRank/CC loops. */
+    * the PageRank/CC loops. Above `broadcastNodeLimit` use
+    * [[labelPropagationCoBucketed]]. */
   def labelPropagation(edges: DataFrame, iterations: Int,
       broadcastNodeLimit: Long = 2000000L): DataFrame = {
     // Partition the edge table by DST, not src: the per-round join is a
