@@ -450,6 +450,15 @@ object Scale {
     time("bfs_cobucket_1x") { bfsBucketShape(li1, "a") }
     time(s"bfs_cobucket_${mult}x") { bfsBucketShape(liT, "b") }
 
+    def hitsBucketShape(li: DataFrame, tag: String): Long =
+      Graph.hitsCoBucketed(
+        li.select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst")).distinct(),
+        iterations = 2, numBuckets = 32,
+        tablePrefix = s"graft_scale_hits_$tag").count()
+    time("hits_cobucket_1x") { hitsBucketShape(li1, "a") }
+    time(s"hits_cobucket_${mult}x") { hitsBucketShape(liT, "b") }
+
     def kcoreBucketShape(li: DataFrame, tag: String): Long =
       Graph.kCoreCoBucketed(Graph.coOccurrenceEdges(
         li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),

@@ -365,6 +365,75 @@ object Graph {
     out
   }
 
+  /** One co-bucketed HITS half-round (exposed for plan inspection):
+    * the edges⋈score join is bucket-to-bucket on `joinKey` [0 Exchange
+    * — score tables are bucketed by id, alias-compatible with the join
+    * key]; the opposite-endpoint sum agg is the half-round's single
+    * Exchange, whose output partitioning IS the next table's bucket
+    * layout. */
+  def hitsCoBucketedHalfRound(spark: SparkSession, edgesTable: String,
+      scoreTable: String, joinKey: String, aggKey: String,
+      scoreCol: String, outCol: String): DataFrame =
+    spark.table(edgesTable)
+      .join(spark.table(scoreTable).withColumnRenamed("id", joinKey),
+        Seq(joinKey))
+      .groupBy(col(aggKey).as("id")).agg(sum(col(scoreCol)).as(outCol))
+
+  /** Big-graph HITS — [[hits]] above `broadcastNodeLimit`: the two edge
+    * layouts become two bucketed tables (by src / by dst, written once),
+    * and each half-round is one bucket-to-bucket join + one sum agg
+    * whose exchange doubles as the next score table's bucket layout —
+    * 1 Exchange per half-round (asserted in GraphSpec), the edge tables
+    * never re-shuffle. Round-1 authority (= in-degree) is a
+    * bucket-aligned agg with zero Exchange. Bit-identical to [[hits]]
+    * (same unnormalized integer fixed point; parity-tested). */
+  def hitsCoBucketed(edges: DataFrame, iterations: Int,
+      numBuckets: Int = 32, tablePrefix: String = "graft_hits"): DataFrame = {
+    require(iterations >= 1, "HITS needs at least one round")
+    val spark = edges.sparkSession
+    val eSrcTbl = s"${tablePrefix}_esrc"
+    val eDstTbl = s"${tablePrefix}_edst"
+    def authTbl(i: Int) = s"${tablePrefix}_auth_$i"
+    def hubTbl(i: Int) = s"${tablePrefix}_hub_$i"
+    graft.io.Bucketing.writeBucketed(
+      edges.select(col("src").cast("long"), col("dst").cast("long")),
+      eSrcTbl, Seq("src"), numBuckets)
+    graft.io.Bucketing.writeBucketed(
+      spark.table(eSrcTbl), eDstTbl, Seq("dst"), numBuckets)
+    graft.io.Bucketing.writeBucketed(
+      spark.table(eDstTbl).groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("auth")),
+      authTbl(1), Seq("id"), numBuckets)
+    graft.io.Bucketing.writeBucketed(
+      hitsCoBucketedHalfRound(spark, eDstTbl, authTbl(1), "dst", "src",
+        "auth", "hub"),
+      hubTbl(1), Seq("id"), numBuckets)
+    var it = 1
+    while (it < iterations) {
+      it += 1
+      graft.io.Bucketing.writeBucketed(
+        hitsCoBucketedHalfRound(spark, eSrcTbl, hubTbl(it - 1), "src", "dst",
+          "hub", "auth"),
+        authTbl(it), Seq("id"), numBuckets)
+      graft.io.Bucketing.writeBucketed(
+        hitsCoBucketedHalfRound(spark, eDstTbl, authTbl(it), "dst", "src",
+          "auth", "hub"),
+        hubTbl(it), Seq("id"), numBuckets)
+    }
+    val nodes = spark.table(eSrcTbl).select(col("src").as("id"))
+      .unionByName(spark.table(eDstTbl).select(col("dst").as("id"))).distinct()
+    val out = nodes
+      .join(spark.table(hubTbl(it)), Seq("id"), "left")
+      .join(spark.table(authTbl(it)), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
+      .localCheckpoint(true)
+    dropTables(spark,
+      Seq(eSrcTbl, eDstTbl) ++ (1 to it).map(authTbl) ++ (1 to it).map(hubTbl): _*)
+    out
+  }
+
   /** One co-bucketed BFS expansion round (exposed for plan inspection):
     * bucket join against the frontier [0 Exchange] → repartition+distinct
     * on dst [the round's 1 Exchange, numBuckets partitions so the

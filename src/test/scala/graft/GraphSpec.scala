@@ -117,6 +117,38 @@ class GraphSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graftspec_bfs_visited_1"))
   }
 
+  test("co-bucketed HITS matches the broadcast regime bit-for-bit") {
+    val e = symGraph
+    val want = Graph.hits(e, iterations = 2)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val got = Graph.hitsCoBucketed(e, iterations = 2,
+      numBuckets = 4, tablePrefix = "graftspec_hits")
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(!spark.catalog.tableExists("graftspec_hits_esrc"))
+    assert(!spark.catalog.tableExists("graftspec_hits_hub_1"))
+  }
+
+  test("co-bucketed HITS half-round plans exactly one Exchange") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+      io.Bucketing.writeBucketed(e, "graftspec_he_edst", Seq("dst"), 4)
+      io.Bucketing.writeBucketed(
+        e.select(col("dst").as("id")).distinct().withColumn("auth", lit(1L)),
+        "graftspec_he_auth", Seq("id"), 4)
+      val plan = Graph.hitsCoBucketedHalfRound(spark, "graftspec_he_edst",
+        "graftspec_he_auth", "dst", "src", "auth", "hub")
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).length == 1, plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graftspec_he_edst")
+      spark.sql("DROP TABLE IF EXISTS graftspec_he_auth")
+    }
+  }
+
   test("co-bucketed k-core matches the peeling regime") {
     // canonical (src < dst) undirected edges: ring + hub spokes
     val e = symGraph.filter(col("src") < col("dst"))
