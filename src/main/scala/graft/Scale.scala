@@ -450,6 +450,33 @@ object Scale {
     time("bfs_cobucket_1x") { bfsBucketShape(li1, "a") }
     time(s"bfs_cobucket_${mult}x") { bfsBucketShape(liT, "b") }
 
+    // connected components (dedup-clustering backbone): distributed
+    // hash-min/pointer-jump (edges re-shuffle per round) vs the
+    // co-bucketed regime (edges shuffle once at layout; 2 node-sized
+    // exchanges per round)
+    def ccEdges(li: DataFrame): DataFrame = {
+      val canon = Graph.coOccurrenceEdges(
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8).distinct()
+      canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    def ccShape(li: DataFrame): Long = {
+      val e = ccEdges(li)
+      val nodes = e.select(col("src").as("doc_id")).distinct()
+      val pairs = e.filter(col("src") < col("dst"))
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      Dedup.duplicateClusters(nodes, "doc_id", pairs,
+        localEdgeThreshold = 0L).count()
+    }
+    time("cc_1x") { ccShape(li1) }
+    time(s"cc_${mult}x") { ccShape(liT) }
+    def ccBucketShape(li: DataFrame, tag: String): Long =
+      Graph.connectedComponentsCoBucketed(ccEdges(li), numBuckets = 32,
+        tablePrefix = s"graft_scale_cc_$tag").count()
+    time("cc_cobucket_1x") { ccBucketShape(li1, "a") }
+    time(s"cc_cobucket_${mult}x") { ccBucketShape(liT, "b") }
+
     def hitsBucketShape(li: DataFrame, tag: String): Long =
       Graph.hitsCoBucketed(
         li.select((col("l_orderkey") * 2).as("src"),

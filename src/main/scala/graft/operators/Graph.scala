@@ -434,6 +434,75 @@ object Graph {
     out
   }
 
+  /** One co-bucketed hash-min + pointer-jump CC round (exposed for plan
+    * inspection): neighbor-min is a bucket join [0 Exchange] + one
+    * node-sized agg on dst [Exchange 1, = the next label table's bucket
+    * layout]; the candidate merge is bucket-aligned on id [0]; the
+    * pointer jump joins candidate labels against the label table on
+    * LABEL = id — the bucketed side stays in place, the candidate side
+    * re-clusters [Exchange 2]. The `__changed` flag rides along for the
+    * caller's convergence check. Edge rows never move. */
+  def ccCoBucketedRound(spark: SparkSession, edgesTable: String,
+      labelsTable: String): DataFrame = {
+    val labels = spark.table(labelsTable).select("id", "label")
+    val neighborMin = spark.table(edgesTable)
+      .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+      .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+    val cand = labels.join(neighborMin, Seq("id"), "left")
+      .select(col("id"), col("label").as("__old"),
+        least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    val parent = labels.select(col("id").as("__pid"), col("label").as("__plabel"))
+    cand.join(parent, cand("label") === parent("__pid"), "left")
+      .select(cand("id"),
+        least(cand("label"), coalesce(col("__plabel"), cand("label"))).as("label"),
+        (least(cand("label"), coalesce(col("__plabel"), cand("label"))) <
+          col("__old")).as("__changed"))
+  }
+
+  /** Big-graph connected components — the bucketed-table regime of the
+    * hash-min/pointer-jump loop in `Dedup.duplicateClusters` (the dedup
+    * clustering backbone): edges bucketed by src once, the label table
+    * rewritten bucketed by id per round. Per-round Exchange count: 2,
+    * BOTH node-sized (the neighbor-min agg and the pointer-jump
+    * re-cluster) — the edge table never re-shuffles, where the plain
+    * distributed loop re-shuffles the edge rows every round
+    * (plan-asserted in GraphSpec). Same integer hash-min math ⇒
+    * bit-identical labels (parity-tested). O(log diameter) rounds via
+    * the pointer jump.
+    *
+    * @param edges symmetric directed pairs (u→v AND v→u), like the
+    *              doubled edge set duplicateClusters builds
+    * @return (id, label) for every node appearing as a src; label is the
+    *         component's minimum id */
+  def connectedComponentsCoBucketed(edges: DataFrame,
+      maxIterations: Int = 20, numBuckets: Int = 32,
+      tablePrefix: String = "graft_cc"): DataFrame = {
+    val spark = edges.sparkSession
+    val edgesTbl = s"${tablePrefix}_edges"
+    def lblTbl(i: Int) = s"${tablePrefix}_labels_$i"
+    graft.io.Bucketing.writeBucketed(
+      edges.select(col("src").cast("long"), col("dst").cast("long")),
+      edgesTbl, Seq("src"), numBuckets)
+    graft.io.Bucketing.writeBucketed(
+      spark.table(edgesTbl).select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")),
+      lblTbl(0), Seq("id"), numBuckets)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      it += 1
+      graft.io.Bucketing.writeBucketed(
+        ccCoBucketedRound(spark, edgesTbl, lblTbl(it - 1)),
+        lblTbl(it), Seq("id"), numBuckets)
+      converged = spark.table(lblTbl(it))
+        .filter(col("__changed")).limit(1).count() == 0
+    }
+    val out = spark.table(lblTbl(it)).select(col("id"), col("label"))
+      .localCheckpoint(true)
+    dropTables(spark, edgesTbl +: (0 to it).map(lblTbl): _*)
+    out
+  }
+
   /** One co-bucketed BFS expansion round (exposed for plan inspection):
     * bucket join against the frontier [0 Exchange] → repartition+distinct
     * on dst [the round's 1 Exchange, numBuckets partitions so the

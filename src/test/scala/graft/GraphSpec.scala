@@ -162,6 +162,42 @@ class GraphSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graftspec_kc_keep_1"))
   }
 
+  test("co-bucketed CC matches duplicateClusters' distributed regime") {
+    val e = symGraph // already symmetric (both directions present)
+    import org.apache.spark.sql.functions.col
+    val nodes = e.select(col("src").as("doc_id")).distinct()
+    val pairs = e.filter(col("src") < col("dst"))
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    val want = operators.Dedup.duplicateClusters(nodes, "doc_id", pairs,
+      localEdgeThreshold = 0L)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val got = Graph.connectedComponentsCoBucketed(e,
+      numBuckets = 4, tablePrefix = "graftspec_cc")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(!spark.catalog.tableExists("graftspec_cc_edges"))
+    assert(!spark.catalog.tableExists("graftspec_cc_labels_1"))
+  }
+
+  test("co-bucketed CC round plans exactly two node-sized Exchanges") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+      io.Bucketing.writeBucketed(e, "graftspec_ccr_edges", Seq("src"), 4)
+      io.Bucketing.writeBucketed(
+        e.select(col("src").as("id")).distinct().withColumn("label", col("id")),
+        "graftspec_ccr_labels", Seq("id"), 4)
+      val plan = Graph.ccCoBucketedRound(spark, "graftspec_ccr_edges",
+        "graftspec_ccr_labels").queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).length == 2, plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graftspec_ccr_edges")
+      spark.sql("DROP TABLE IF EXISTS graftspec_ccr_labels")
+    }
+  }
+
   test("co-bucketed LPA/BFS/k-core rounds plan exactly one Exchange each") {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
