@@ -412,12 +412,13 @@ object Dedup {
     // Adaptive strategy, same idea as the broadcast-join threshold: a
     // dedup pair graph is usually a sliver of the corpus. Below the
     // threshold, collect the edge list and run union-find on the driver
-    // (exact, O(E α(E)), no per-round job overhead); above it, fall
-    // through to the distributed hash-min/pointer-jump loop. For graphs
-    // whose per-round edge re-shuffle dominates, the bucketed-table
-    // regime [[graft.operators.Graph.connectedComponentsCoBucketed]]
-    // computes bit-identical labels with the edge table shuffled once at
-    // layout (measured 1.7x faster at 10x sf0.1 — see ARCHITECTURE.md).
+    // (exact, O(E α(E)), no per-round job overhead); above it, the
+    // bucketed-table hash-min/pointer-jump loop
+    // [[graft.operators.Graph.connectedComponentsCoBucketed]] — edges
+    // shuffled once at layout, 2 node-sized Exchanges per round. It
+    // replaced the plain shuffle loop in round 5 after measuring
+    // 10.7 s vs 20.2 s (1x) and 18.7 s vs 31.3 s (10x) on the sf0.1
+    // co-order graph — the per-round edge re-shuffle dominated.
     val edgeCount = edges.count()
     if (edgeCount <= localEdgeThreshold) {
       val spark = ids.sparkSession
@@ -442,36 +443,10 @@ object Dedup {
         .select(col("id").as(idCol),
           coalesce(col("label"), col("id")).as("cluster_id"))
     }
-    // iterate ONLY over nodes that participate in a pair — in a dedup
-    // graph that's a small fraction of the corpus; untouched nodes are
-    // singleton clusters and join back at the end
-    val active = edges.select(col("src").as("id")).distinct()
-    // localCheckpoint each round: iterative self-joins otherwise nest the
-    // plan exponentially (the analyzer, not the data, runs out of heap)
-    var labels = active.withColumn("label", col("id")).localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIterations) {
-      // min label among self + neighbors, then a pointer-jump
-      // (label ← label-of-label) so label chains halve every round:
-      // converges in O(log diameter) rounds instead of O(diameter)
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
-      val cand = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      val parent = labels.select(col("id").as("__pid"), col("label").as("__plabel"))
-      val next = cand.join(parent, cand("label") === parent("__pid"), "left")
-        .select(cand("id"),
-          least(cand("label"), coalesce(col("__plabel"), cand("label"))).as("label"),
-          (least(cand("label"), coalesce(col("__plabel"), cand("label"))) <
-            col("__old")).as("__changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__changed")).limit(1).count() == 0
-      labels = next.drop("__changed")
-      iter += 1
-    }
+    // nodes not in any pair are singleton clusters and join back at the
+    // end; the co-bucketed loop labels exactly the pair-participating set
+    val labels = graft.operators.Graph.connectedComponentsCoBucketed(
+      edges, maxIterations, tablePrefix = "graft_cc_dedup")
     nodes.join(labels, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("label"), col("id")).as("cluster_id"))
