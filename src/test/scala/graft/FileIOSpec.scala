@@ -9,6 +9,30 @@ import java.nio.file.Files
 class FileIOSpec extends SparkSpec {
   import spark.implicits._
 
+  test("Tables.events adapts to both ts representations identically") {
+    // The driver regenerated events.parquet between rounds and its ts
+    // column flipped from TIMESTAMP(NANOS) (read as LongType nanos via
+    // nanosAsLong) to plain timestamp[us] — this pins BOTH branches of
+    // the schema-adaptive reader to the same (ts, ts_ns) output.
+    val dir = Files.createTempDirectory("evts").toString
+    val micros = Seq(1600000000000000L, 1600000123456789L, 1700000000000001L)
+    // LongType branch: ts arrives as epoch NANOS in a long column
+    micros.map(us => (us * 1000L, 1L))
+      .toDF("ts", "event_id").write.parquet(s"$dir/nanos/events.parquet")
+    // Timestamp branch: ts arrives as timestamp[us] (NTZ or LTZ)
+    spark.sql(s"SELECT timestamp_micros(col) AS ts, 2L AS event_id FROM VALUES " +
+      micros.map(u => s"($u)").mkString(", ") + " t(col)")
+      .write.parquet(s"$dir/micros/events.parquet")
+    val a = Tables.events(spark, s"$dir/nanos")
+      .select("ts", "ts_ns").orderBy("ts_ns")
+      .collect().map(_.toSeq).toSeq
+    val b = Tables.events(spark, s"$dir/micros")
+      .select("ts", "ts_ns").orderBy("ts_ns")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.map(_(1)) == micros.map(_ * 1000L))
+  }
+
   test("CSVWithNames / JSONEachRow / Parquet round-trip preserves data") {
     val dir = Files.createTempDirectory("fio").toString
     val src = Tables.nation(spark, sfDir)
