@@ -450,10 +450,13 @@ object Scale {
     time("bfs_cobucket_1x") { bfsBucketShape(li1, "a") }
     time(s"bfs_cobucket_${mult}x") { bfsBucketShape(liT, "b") }
 
-    // connected components (dedup-clustering backbone): distributed
-    // hash-min/pointer-jump (edges re-shuffle per round) vs the
-    // co-bucketed regime (edges shuffle once at layout; 2 node-sized
-    // exchanges per round)
+    // connected components (dedup-clustering backbone): the PLAIN
+    // shuffle loop (edges re-shuffle every round — the pre-round-5
+    // distributed regime, inlined here as the measured-and-replaced
+    // baseline; duplicateClusters now routes through the co-bucketed
+    // loop, so timing it would be a self-comparison) vs the co-bucketed
+    // regime (edges shuffle once at layout; 2 node-sized exchanges per
+    // round)
     def ccEdges(li: DataFrame): DataFrame = {
       val canon = Graph.coOccurrenceEdges(
         li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
@@ -461,16 +464,34 @@ object Scale {
       canon.unionByName(
         canon.select(col("dst").as("src"), col("src").as("dst")))
     }
-    def ccShape(li: DataFrame): Long = {
-      val e = ccEdges(li)
-      val nodes = e.select(col("src").as("doc_id")).distinct()
-      val pairs = e.filter(col("src") < col("dst"))
-        .select(col("src").as("id_a"), col("dst").as("id_b"))
-      Dedup.duplicateClusters(nodes, "doc_id", pairs,
-        localEdgeThreshold = 0L).count()
+    def ccShuffleLoopShape(li: DataFrame): Long = {
+      val edges = ccEdges(li).localCheckpoint(true)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+        val cand = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("__old"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        val parent = labels.select(col("id").as("__pid"), col("label").as("__plabel"))
+        val next = cand.join(parent, cand("label") === parent("__pid"), "left")
+          .select(cand("id"),
+            least(cand("label"), coalesce(col("__plabel"), cand("label"))).as("label"),
+            (least(cand("label"), coalesce(col("__plabel"), cand("label"))) <
+              col("__old")).as("__changed"))
+          .localCheckpoint(true)
+        converged = next.filter(col("__changed")).limit(1).count() == 0
+        labels = next.drop("__changed")
+        iter += 1
+      }
+      labels.count()
     }
-    time("cc_1x") { ccShape(li1) }
-    time(s"cc_${mult}x") { ccShape(liT) }
+    time("cc_shuffleloop_1x") { ccShuffleLoopShape(li1) }
+    time(s"cc_shuffleloop_${mult}x") { ccShuffleLoopShape(liT) }
     def ccBucketShape(li: DataFrame, tag: String): Long =
       Graph.connectedComponentsCoBucketed(ccEdges(li), numBuckets = 32,
         tablePrefix = s"graft_scale_cc_$tag").count()

@@ -48,7 +48,15 @@ case class GramUpperTriangleAgg(
       s"gramUpperTriangle: vector length $d != first seen ${b(0)}")
     val q = new Array[Long](d)
     var i = 0
-    while (i < d) { q(i) = arr.getLong(i); i += 1 }
+    while (i < d) {
+      // fail loudly, never mis-accumulate: a null element has no sound
+      // 0-substitution (SQL semantics would null the product out of the
+      // sum, not zero it)
+      require(!arr.isNullAt(i),
+        s"gramUpperTriangle: null element at index $i — clean or filter " +
+        "nullable vectors before aggregating")
+      q(i) = arr.getLong(i); i += 1
+    }
     var k = 1
     i = 0
     while (i < d) {

@@ -469,17 +469,21 @@ object Dedup {
   /** Empty `blockCols` means a TRUE cross product — n² pairs with no
     * blocking to bound it. That is only sane for small inputs (unit
     * tests, a pre-filtered candidate set), so the unblocked path counts
-    * the input and refuses above `maxUnblockedRows`: at scale the caller
-    * must either pass blocking keys or use [[prefixJaccardPairs]]. The
-    * count is one cheap action over the already-cached shingle table. */
+    * the join input — rows with a non-empty shingle set, exactly the n
+    * that gets squared — and refuses above `maxUnblockedRows`: at scale
+    * the caller must either pass blocking keys or use
+    * [[prefixJaccardPairs]]. The count is one action over the
+    * already-cached shingle table, so the guard runs EAGERLY at call
+    * time on the unblocked path (the blocked path stays fully lazy). */
   private def guardUnblocked(base: DataFrame, blockCols: Seq[String],
       maxUnblockedRows: Long, fn: String): Unit =
     if (blockCols.isEmpty) {
       val n = base.count()
       require(n <= maxUnblockedRows,
-        s"$fn called with no blocking columns on $n rows (> $maxUnblockedRows): " +
-        "an unblocked cross join is O(n^2). Pass blockCols (e.g. lang, length " +
-        "bucket), use prefixJaccardPairs, or raise maxUnblockedRows explicitly.")
+        s"$fn called with no blocking columns on $n non-empty-shingle rows " +
+        s"(> $maxUnblockedRows): an unblocked cross join is O(n^2). Pass " +
+        "blockCols (e.g. lang, length bucket), use prefixJaccardPairs, or " +
+        "raise maxUnblockedRows explicitly.")
     }
 
   def ngramContainmentPairs(

@@ -265,34 +265,35 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     require(iterations >= 1, "co-bucketed loop needs >= 1 iteration")
     val spark = edges.sparkSession
-    val edgesTbl = s"${tablePrefix}_edges"
-    def rankTbl(i: Int) = s"${tablePrefix}_ranks_$i"
-    // Layout: ONE shuffle on src fuses the degree window and the bucket
-    // placement; every later round reads this table in place.
-    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
-    graft.io.Bucketing.writeBucketed(ew, edgesTbl, Seq("src"), numBuckets)
-    val base = scale - dampingScaled
-    // Round 1 propagates the constant flat rank — no join needed.
-    graft.io.Bucketing.writeBucketed(
-      spark.table(edgesTbl)
-        .select(col("dst"), expr(s"$scale div deg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-        .select(col("dst").as("src"),
-          (lit(base) + expr(s"($dampingScaled * s) div $scale")).as("rank")),
-      rankTbl(1), Seq("src"), numBuckets)
-    var it = 1
-    while (it < iterations) {
-      it += 1
-      graft.io.Bucketing.writeBucketed(
-        coBucketedRound(spark, edgesTbl, rankTbl(it - 1), scale, dampingScaled),
-        rankTbl(it), Seq("src"), numBuckets)
-    }
-    val out = spark.table(rankTbl(it))
-      .select(col("src").as("id"), col("rank")).localCheckpoint(true)
-    (1 to it).foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${rankTbl(i)}"))
-    spark.sql(s"DROP TABLE IF EXISTS $edgesTbl")
-    out
+    val pfx = unique(tablePrefix)
+    val edgesTbl = s"${pfx}_edges"
+    def rankTbl(i: Int) = s"${pfx}_ranks_$i"
+    val wt = new WorkTables(spark, numBuckets)
+    try {
+      // Layout: ONE shuffle on src fuses the degree window and the bucket
+      // placement; every later round reads this table in place.
+      val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
+      wt.write(ew, edgesTbl, Seq("src"))
+      val base = scale - dampingScaled
+      // Round 1 propagates the constant flat rank — no join needed.
+      wt.write(
+        spark.table(edgesTbl)
+          .select(col("dst"), expr(s"$scale div deg").as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s"))
+          .select(col("dst").as("src"),
+            (lit(base) + expr(s"($dampingScaled * s) div $scale")).as("rank")),
+        rankTbl(1), Seq("src"))
+      var it = 1
+      while (it < iterations) {
+        it += 1
+        wt.write(
+          coBucketedRound(spark, edgesTbl, rankTbl(it - 1), scale, dampingScaled),
+          rankTbl(it), Seq("src"))
+      }
+      spark.table(rankTbl(it))
+        .select(col("src").as("id"), col("rank")).localCheckpoint(true)
+    } finally wt.dropAll()
   }
 
   /** One co-bucketed propagation round (exposed for plan inspection):
@@ -309,6 +310,25 @@ object Graph {
 
   private def dropTables(spark: SparkSession, tables: String*): Unit =
     tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+
+  /** Work-table registry for a co-bucketed loop: every bucketed write is
+    * recorded so `dropAll` (called from the loop's `finally`) removes
+    * exactly what was created — a mid-round failure can no longer leak
+    * catalog entries or warehouse files. `unique` appends a
+    * per-invocation random suffix to the caller's prefix so concurrent
+    * invocations (two jobs on one metastore, two threads in one session)
+    * never overwrite each other's intermediate tables. */
+  private class WorkTables(spark: SparkSession, numBuckets: Int) {
+    private val created = scala.collection.mutable.ArrayBuffer[String]()
+    def write(df: DataFrame, table: String, bucketCols: Seq[String]): Unit = {
+      graft.io.Bucketing.writeBucketed(df, table, bucketCols, numBuckets)
+      created += table
+    }
+    def dropAll(): Unit = dropTables(spark, created.toSeq: _*)
+  }
+
+  private def unique(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
 
   /** One co-bucketed LPA round (exposed for plan inspection): the
     * edges⋈labels join is bucket-to-bucket (no Exchange); the single
@@ -340,29 +360,31 @@ object Graph {
       numBuckets: Int = 32, tablePrefix: String = "graft_lpa"): DataFrame = {
     require(iterations >= 1, "co-bucketed loop needs >= 1 iteration")
     val spark = edges.sparkSession
-    val edgesTbl = s"${tablePrefix}_edges"
-    def lblTbl(i: Int) = s"${tablePrefix}_labels_$i"
-    graft.io.Bucketing.writeBucketed(
-      edges.select(col("src").cast("long"), col("dst").cast("long")),
-      edgesTbl, Seq("src"), numBuckets)
-    // initial labels: own id; distinct-on-src is a bucket-aligned agg
-    // (zero Exchange) over the just-written edge table
-    graft.io.Bucketing.writeBucketed(
-      spark.table(edgesTbl).select(col("src")).distinct()
-        .withColumn("lbl", col("src")),
-      lblTbl(0), Seq("src"), numBuckets)
-    var it = 0
-    while (it < iterations) {
-      it += 1
-      graft.io.Bucketing.writeBucketed(
-        lpaCoBucketedRound(spark, edgesTbl, lblTbl(it - 1), numBuckets),
-        lblTbl(it), Seq("src"), numBuckets)
-    }
-    val out = spark.table(lblTbl(it))
-      .select(col("src").as("id"), col("lbl").as("label"))
-      .localCheckpoint(true)
-    dropTables(spark, edgesTbl +: (0 to it).map(lblTbl): _*)
-    out
+    val pfx = unique(tablePrefix)
+    val edgesTbl = s"${pfx}_edges"
+    def lblTbl(i: Int) = s"${pfx}_labels_$i"
+    val wt = new WorkTables(spark, numBuckets)
+    try {
+      wt.write(
+        edges.select(col("src").cast("long"), col("dst").cast("long")),
+        edgesTbl, Seq("src"))
+      // initial labels: own id; distinct-on-src is a bucket-aligned agg
+      // (zero Exchange) over the just-written edge table
+      wt.write(
+        spark.table(edgesTbl).select(col("src")).distinct()
+          .withColumn("lbl", col("src")),
+        lblTbl(0), Seq("src"))
+      var it = 0
+      while (it < iterations) {
+        it += 1
+        wt.write(
+          lpaCoBucketedRound(spark, edgesTbl, lblTbl(it - 1), numBuckets),
+          lblTbl(it), Seq("src"))
+      }
+      spark.table(lblTbl(it))
+        .select(col("src").as("id"), col("lbl").as("label"))
+        .localCheckpoint(true)
+    } finally wt.dropAll()
   }
 
   /** One co-bucketed HITS half-round (exposed for plan inspection):
@@ -391,47 +413,47 @@ object Graph {
       numBuckets: Int = 32, tablePrefix: String = "graft_hits"): DataFrame = {
     require(iterations >= 1, "HITS needs at least one round")
     val spark = edges.sparkSession
-    val eSrcTbl = s"${tablePrefix}_esrc"
-    val eDstTbl = s"${tablePrefix}_edst"
-    def authTbl(i: Int) = s"${tablePrefix}_auth_$i"
-    def hubTbl(i: Int) = s"${tablePrefix}_hub_$i"
-    graft.io.Bucketing.writeBucketed(
-      edges.select(col("src").cast("long"), col("dst").cast("long")),
-      eSrcTbl, Seq("src"), numBuckets)
-    graft.io.Bucketing.writeBucketed(
-      spark.table(eSrcTbl), eDstTbl, Seq("dst"), numBuckets)
-    graft.io.Bucketing.writeBucketed(
-      spark.table(eDstTbl).groupBy(col("dst").as("id"))
-        .agg(count(lit(1)).as("auth")),
-      authTbl(1), Seq("id"), numBuckets)
-    graft.io.Bucketing.writeBucketed(
-      hitsCoBucketedHalfRound(spark, eDstTbl, authTbl(1), "dst", "src",
-        "auth", "hub"),
-      hubTbl(1), Seq("id"), numBuckets)
-    var it = 1
-    while (it < iterations) {
-      it += 1
-      graft.io.Bucketing.writeBucketed(
-        hitsCoBucketedHalfRound(spark, eSrcTbl, hubTbl(it - 1), "src", "dst",
-          "hub", "auth"),
-        authTbl(it), Seq("id"), numBuckets)
-      graft.io.Bucketing.writeBucketed(
-        hitsCoBucketedHalfRound(spark, eDstTbl, authTbl(it), "dst", "src",
+    val pfx = unique(tablePrefix)
+    val eSrcTbl = s"${pfx}_esrc"
+    val eDstTbl = s"${pfx}_edst"
+    def authTbl(i: Int) = s"${pfx}_auth_$i"
+    def hubTbl(i: Int) = s"${pfx}_hub_$i"
+    val wt = new WorkTables(spark, numBuckets)
+    try {
+      wt.write(
+        edges.select(col("src").cast("long"), col("dst").cast("long")),
+        eSrcTbl, Seq("src"))
+      wt.write(spark.table(eSrcTbl), eDstTbl, Seq("dst"))
+      wt.write(
+        spark.table(eDstTbl).groupBy(col("dst").as("id"))
+          .agg(count(lit(1)).as("auth")),
+        authTbl(1), Seq("id"))
+      wt.write(
+        hitsCoBucketedHalfRound(spark, eDstTbl, authTbl(1), "dst", "src",
           "auth", "hub"),
-        hubTbl(it), Seq("id"), numBuckets)
-    }
-    val nodes = spark.table(eSrcTbl).select(col("src").as("id"))
-      .unionByName(spark.table(eDstTbl).select(col("dst").as("id"))).distinct()
-    val out = nodes
-      .join(spark.table(hubTbl(it)), Seq("id"), "left")
-      .join(spark.table(authTbl(it)), Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("hub"), lit(0L)).as("hub"),
-        coalesce(col("auth"), lit(0L)).as("auth"))
-      .localCheckpoint(true)
-    dropTables(spark,
-      Seq(eSrcTbl, eDstTbl) ++ (1 to it).map(authTbl) ++ (1 to it).map(hubTbl): _*)
-    out
+        hubTbl(1), Seq("id"))
+      var it = 1
+      while (it < iterations) {
+        it += 1
+        wt.write(
+          hitsCoBucketedHalfRound(spark, eSrcTbl, hubTbl(it - 1), "src", "dst",
+            "hub", "auth"),
+          authTbl(it), Seq("id"))
+        wt.write(
+          hitsCoBucketedHalfRound(spark, eDstTbl, authTbl(it), "dst", "src",
+            "auth", "hub"),
+          hubTbl(it), Seq("id"))
+      }
+      val nodes = spark.table(eSrcTbl).select(col("src").as("id"))
+        .unionByName(spark.table(eDstTbl).select(col("dst").as("id"))).distinct()
+      nodes
+        .join(spark.table(hubTbl(it)), Seq("id"), "left")
+        .join(spark.table(authTbl(it)), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("hub"), lit(0L)).as("hub"),
+          coalesce(col("auth"), lit(0L)).as("auth"))
+        .localCheckpoint(true)
+    } finally wt.dropAll()
   }
 
   /** One co-bucketed hash-min + pointer-jump CC round (exposed for plan
@@ -478,29 +500,31 @@ object Graph {
       maxIterations: Int = 20, numBuckets: Int = 32,
       tablePrefix: String = "graft_cc"): DataFrame = {
     val spark = edges.sparkSession
-    val edgesTbl = s"${tablePrefix}_edges"
-    def lblTbl(i: Int) = s"${tablePrefix}_labels_$i"
-    graft.io.Bucketing.writeBucketed(
-      edges.select(col("src").cast("long"), col("dst").cast("long")),
-      edgesTbl, Seq("src"), numBuckets)
-    graft.io.Bucketing.writeBucketed(
-      spark.table(edgesTbl).select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")),
-      lblTbl(0), Seq("id"), numBuckets)
-    var converged = false
-    var it = 0
-    while (!converged && it < maxIterations) {
-      it += 1
-      graft.io.Bucketing.writeBucketed(
-        ccCoBucketedRound(spark, edgesTbl, lblTbl(it - 1)),
-        lblTbl(it), Seq("id"), numBuckets)
-      converged = spark.table(lblTbl(it))
-        .filter(col("__changed")).limit(1).count() == 0
-    }
-    val out = spark.table(lblTbl(it)).select(col("id"), col("label"))
-      .localCheckpoint(true)
-    dropTables(spark, edgesTbl +: (0 to it).map(lblTbl): _*)
-    out
+    val pfx = unique(tablePrefix)
+    val edgesTbl = s"${pfx}_edges"
+    def lblTbl(i: Int) = s"${pfx}_labels_$i"
+    val wt = new WorkTables(spark, numBuckets)
+    try {
+      wt.write(
+        edges.select(col("src").cast("long"), col("dst").cast("long")),
+        edgesTbl, Seq("src"))
+      wt.write(
+        spark.table(edgesTbl).select(col("src").as("id")).distinct()
+          .withColumn("label", col("id")),
+        lblTbl(0), Seq("id"))
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIterations) {
+        it += 1
+        wt.write(
+          ccCoBucketedRound(spark, edgesTbl, lblTbl(it - 1)),
+          lblTbl(it), Seq("id"))
+        converged = spark.table(lblTbl(it))
+          .filter(col("__changed")).limit(1).count() == 0
+      }
+      spark.table(lblTbl(it)).select(col("id"), col("label"))
+        .localCheckpoint(true)
+    } finally wt.dropAll()
   }
 
   /** One co-bucketed BFS expansion round (exposed for plan inspection):
@@ -534,35 +558,35 @@ object Graph {
       tablePrefix: String = "graft_bfs"): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val spark = edges.sparkSession
-    val edgesTbl = s"${tablePrefix}_edges"
-    def frontTbl(i: Int) = s"${tablePrefix}_frontier_$i"
-    def visTbl(i: Int) = s"${tablePrefix}_visited_$i"
-    graft.io.Bucketing.writeBucketed(
-      edges.select(col("src").cast("long"), col("dst").cast("long")),
-      edgesTbl, Seq("src"), numBuckets)
-    val seed0 = seeds.select(col("id").cast("long").as("src"),
-      lit(0L).as("dist")).distinct()
-    graft.io.Bucketing.writeBucketed(seed0, frontTbl(0), Seq("src"), numBuckets)
-    graft.io.Bucketing.writeBucketed(
-      spark.table(frontTbl(0)), visTbl(0), Seq("src"), numBuckets)
-    var hop = 0
-    var frontierSize = spark.table(frontTbl(0)).count()
-    while (hop < maxHops && frontierSize > 0) {
-      hop += 1
-      graft.io.Bucketing.writeBucketed(
-        bfsCoBucketedRound(spark, edgesTbl, frontTbl(hop - 1), visTbl(hop - 1),
-          numBuckets, hop),
-        frontTbl(hop), Seq("src"), numBuckets)
-      graft.io.Bucketing.writeBucketed(
-        spark.table(visTbl(hop - 1)).unionByName(spark.table(frontTbl(hop))),
-        visTbl(hop), Seq("src"), numBuckets)
-      frontierSize = spark.table(frontTbl(hop)).count()
-    }
-    val out = spark.table(visTbl(hop))
-      .select(col("src").as("id"), col("dist")).localCheckpoint(true)
-    dropTables(spark,
-      edgesTbl +: ((0 to hop).map(frontTbl) ++ (0 to hop).map(visTbl)): _*)
-    out
+    val pfx = unique(tablePrefix)
+    val edgesTbl = s"${pfx}_edges"
+    def frontTbl(i: Int) = s"${pfx}_frontier_$i"
+    def visTbl(i: Int) = s"${pfx}_visited_$i"
+    val wt = new WorkTables(spark, numBuckets)
+    try {
+      wt.write(
+        edges.select(col("src").cast("long"), col("dst").cast("long")),
+        edgesTbl, Seq("src"))
+      val seed0 = seeds.select(col("id").cast("long").as("src"),
+        lit(0L).as("dist")).distinct()
+      wt.write(seed0, frontTbl(0), Seq("src"))
+      wt.write(spark.table(frontTbl(0)), visTbl(0), Seq("src"))
+      var hop = 0
+      var frontierSize = spark.table(frontTbl(0)).count()
+      while (hop < maxHops && frontierSize > 0) {
+        hop += 1
+        wt.write(
+          bfsCoBucketedRound(spark, edgesTbl, frontTbl(hop - 1), visTbl(hop - 1),
+            numBuckets, hop),
+          frontTbl(hop), Seq("src"))
+        wt.write(
+          spark.table(visTbl(hop - 1)).unionByName(spark.table(frontTbl(hop))),
+          visTbl(hop), Seq("src"))
+        frontierSize = spark.table(frontTbl(hop)).count()
+      }
+      spark.table(visTbl(hop))
+        .select(col("src").as("id"), col("dist")).localCheckpoint(true)
+    } finally wt.dropAll()
   }
 
   /** One co-bucketed k-core survivor filter (exposed for plan
@@ -594,14 +618,16 @@ object Graph {
   def kCoreCoBucketed(edges: DataFrame, k: Int, maxRounds: Int,
       numBuckets: Int = 32, tablePrefix: String = "graft_kcore"): DataFrame = {
     val spark = edges.sparkSession
-    def srcTbl(i: Int) = s"${tablePrefix}_esrc_$i"
-    def dstTbl(i: Int) = s"${tablePrefix}_edst_$i"
-    def keepTbl(i: Int) = s"${tablePrefix}_keep_$i"
+    val pfx = unique(tablePrefix)
+    def srcTbl(i: Int) = s"${pfx}_esrc_$i"
+    def dstTbl(i: Int) = s"${pfx}_edst_$i"
+    def keepTbl(i: Int) = s"${pfx}_keep_$i"
+    val wt = new WorkTables(spark, numBuckets)
+    try {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst")).distinct()
-    graft.io.Bucketing.writeBucketed(e0, srcTbl(0), Seq("src"), numBuckets)
-    graft.io.Bucketing.writeBucketed(
-      spark.table(srcTbl(0)), dstTbl(0), Seq("dst"), numBuckets)
+    wt.write(e0, srcTbl(0), Seq("src"))
+    wt.write(spark.table(srcTbl(0)), dstTbl(0), Seq("dst"))
     // degrees with zero Exchange: out-half aggregated on the src-bucketed
     // copy, in-half on the dst-bucketed copy, merged bucket-to-bucket
     def degrees(i: Int): DataFrame = {
@@ -619,24 +645,20 @@ object Graph {
     var done = m == 0L
     while (!done && round < maxRounds) {
       round += 1
-      graft.io.Bucketing.writeBucketed(
+      wt.write(
         degrees(round - 1).filter(col("deg") >= k).select("id"),
-        keepTbl(round), Seq("id"), numBuckets)
-      graft.io.Bucketing.writeBucketed(
+        keepTbl(round), Seq("id"))
+      wt.write(
         kCoreCoBucketedFilter(spark, srcTbl(round - 1), keepTbl(round)),
-        dstTbl(round), Seq("dst"), numBuckets)
-      graft.io.Bucketing.writeBucketed(
-        spark.table(dstTbl(round)), srcTbl(round), Seq("src"), numBuckets)
+        dstTbl(round), Seq("dst"))
+      wt.write(spark.table(dstTbl(round)), srcTbl(round), Seq("src"))
       val m2 = spark.table(srcTbl(round)).count()
       done = m2 == m
       m = m2
     }
-    val out = degrees(round).filter(col("deg") > 0)
+    degrees(round).filter(col("deg") > 0)
       .select(col("id"), col("deg")).localCheckpoint(true)
-    dropTables(spark,
-      (0 to round).flatMap(i => Seq(srcTbl(i), dstTbl(i))) ++
-        (1 to round).map(keepTbl): _*)
-    out
+    } finally wt.dropAll()
   }
 
   /** Co-occurrence edge generation straight from a (group, item) fact
@@ -908,8 +930,12 @@ object Graph {
     // could not broadcast anyway.
     val (oriented, tris) =
       if (nEdges <= broadcastEdgeLimit) {
+        // cached: BOTH broadcast legs build from adj (their plans differ
+        // by a projection, so ReuseExchange cannot merge them) — without
+        // the cache the node-sized adjacency agg would run twice
         val adj = orientedBase.groupBy(col("u"))
           .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+          .cache()
         val t = orientedBase
           .join(broadcast(adj), Seq("u"))
           .join(broadcast(adj.select(col("u").as("v"),
@@ -917,7 +943,7 @@ object Graph {
           .select(col("u"), col("v"),
             explode(graft.expressions.SortedArrays.intersectSorted(
               col("nbrs"), col("nbrs_v"))).as("w"))
-        (None, t)
+        (Some(adj), t)
       } else {
         val o = orientedBase.repartition(col("u")).cache()
         val wedges = o.join(o.withColumnRenamed("v", "w"), Seq("u"))

@@ -194,6 +194,12 @@ class ExpressionsSpec extends SparkSpec {
         .agg(GramAggregate.gramUpperTriangle(col("q")).as("c")).collect())
     assert(e.getMessage.contains("vector length") ||
       Option(e.getCause).exists(_.getMessage.contains("vector length")))
+    // null ELEMENTS fail loudly too (no sound 0-substitution exists)
+    val en = intercept[Exception](
+      Seq(Seq(Some(1L), None), Seq(Some(2L), Some(3L))).toDF("q").repartition(1)
+        .agg(GramAggregate.gramUpperTriangle(col("q")).as("c")).collect())
+    assert(en.getMessage.contains("null element") ||
+      Option(en.getCause).exists(_.getMessage.contains("null element")))
   }
 
   test("intersectSorted: merge-scan matches array_intersect on sorted input") {

@@ -49,8 +49,8 @@ class GraphSpec extends SparkSpec {
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == want)
     // work tables are dropped on exit
-    assert(!spark.catalog.tableExists("graftspec_pr_edges"))
-    assert(!spark.catalog.tableExists("graftspec_pr_ranks_1"))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graftspec_pr")))
   }
 
   test("co-bucketed round plans exactly one Exchange (the dst agg), none for the join") {
@@ -100,8 +100,8 @@ class GraphSpec extends SparkSpec {
       numBuckets = 4, tablePrefix = "graftspec_lpa")
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == want)
-    assert(!spark.catalog.tableExists("graftspec_lpa_edges"))
-    assert(!spark.catalog.tableExists("graftspec_lpa_labels_1"))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graftspec_lpa")))
   }
 
   test("co-bucketed BFS matches the frontier regime") {
@@ -113,8 +113,8 @@ class GraphSpec extends SparkSpec {
       numBuckets = 4, tablePrefix = "graftspec_bfs")
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == want)
-    assert(!spark.catalog.tableExists("graftspec_bfs_edges"))
-    assert(!spark.catalog.tableExists("graftspec_bfs_visited_1"))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graftspec_bfs")))
   }
 
   test("co-bucketed HITS matches the broadcast regime bit-for-bit") {
@@ -125,8 +125,8 @@ class GraphSpec extends SparkSpec {
       numBuckets = 4, tablePrefix = "graftspec_hits")
       .orderBy("id").as[(Long, Long, Long)].collect().toSeq
     assert(got == want)
-    assert(!spark.catalog.tableExists("graftspec_hits_esrc"))
-    assert(!spark.catalog.tableExists("graftspec_hits_hub_1"))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graftspec_hits")))
   }
 
   test("co-bucketed HITS half-round plans exactly one Exchange") {
@@ -158,25 +158,29 @@ class GraphSpec extends SparkSpec {
       numBuckets = 4, tablePrefix = "graftspec_kc")
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == want)
-    assert(!spark.catalog.tableExists("graftspec_kc_esrc_0"))
-    assert(!spark.catalog.tableExists("graftspec_kc_keep_1"))
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graftspec_kc")))
   }
 
-  test("co-bucketed CC matches duplicateClusters' distributed regime") {
+  test("co-bucketed CC matches the independent driver union-find") {
     val e = symGraph // already symmetric (both directions present)
     import org.apache.spark.sql.functions.col
     val nodes = e.select(col("src").as("doc_id")).distinct()
     val pairs = e.filter(col("src") < col("dst"))
       .select(col("src").as("id_a"), col("dst").as("id_b"))
-    val want = operators.Dedup.duplicateClusters(nodes, "doc_id", pairs,
-      localEdgeThreshold = 0L)
+    // default threshold → the DRIVER union-find path: a genuinely
+    // separate implementation (duplicateClusters' distributed regime now
+    // delegates to connectedComponentsCoBucketed, so comparing against
+    // THAT would be a self-comparison)
+    val want = operators.Dedup.duplicateClusters(nodes, "doc_id", pairs)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     val got = Graph.connectedComponentsCoBucketed(e,
       numBuckets = 4, tablePrefix = "graftspec_cc")
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(got == want)
-    assert(!spark.catalog.tableExists("graftspec_cc_edges"))
-    assert(!spark.catalog.tableExists("graftspec_cc_labels_1"))
+    // work tables are per-invocation unique AND dropped — none survive
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graftspec_cc")))
   }
 
   test("co-bucketed CC round plans exactly two node-sized Exchanges") {
