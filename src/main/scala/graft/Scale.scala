@@ -450,13 +450,14 @@ object Scale {
     time("bfs_cobucket_1x") { bfsBucketShape(li1, "a") }
     time(s"bfs_cobucket_${mult}x") { bfsBucketShape(liT, "b") }
 
-    // connected components (dedup-clustering backbone): the PLAIN
-    // shuffle loop (edges re-shuffle every round — the pre-round-5
-    // distributed regime, inlined here as the measured-and-replaced
-    // baseline; duplicateClusters now routes through the co-bucketed
-    // loop, so timing it would be a self-comparison) vs the co-bucketed
-    // regime (edges shuffle once at layout; 2 node-sized exchanges per
-    // round)
+    // connected components (dedup-clustering backbone): the plain
+    // shuffle loop (duplicateClusters' distributed regime — inlined so
+    // the A/B stays honest regardless of how duplicateClusters routes)
+    // vs the co-bucketed regime (edges shuffle once at layout; 2
+    // node-sized exchanges per round). Warm interleaved A/B: the
+    // shuffle loop wins at local[32] scales; the co-bucketed loop's
+    // case is cluster-scale edge tables whose per-round re-shuffle is
+    // the bottleneck.
     def ccEdges(li: DataFrame): DataFrame = {
       val canon = Graph.coOccurrenceEdges(
         li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),

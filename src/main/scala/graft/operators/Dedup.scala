@@ -412,13 +412,18 @@ object Dedup {
     // Adaptive strategy, same idea as the broadcast-join threshold: a
     // dedup pair graph is usually a sliver of the corpus. Below the
     // threshold, collect the edge list and run union-find on the driver
-    // (exact, O(E α(E)), no per-round job overhead); above it, the
-    // bucketed-table hash-min/pointer-jump loop
-    // [[graft.operators.Graph.connectedComponentsCoBucketed]] — edges
-    // shuffled once at layout, 2 node-sized Exchanges per round. It
-    // replaced the plain shuffle loop in round 5 after measuring
-    // 10.7 s vs 20.2 s (1x) and 18.7 s vs 31.3 s (10x) on the sf0.1
-    // co-order graph — the per-round edge re-shuffle dominated.
+    // (exact, O(E α(E)), no per-round job overhead); above it, fall
+    // through to the distributed hash-min/pointer-jump loop. A round-5
+    // warm interleaved A/B vs the bucketed-table regime
+    // ([[graft.operators.Graph.connectedComponentsCoBucketed]]) measured
+    // the shuffle loop FASTER at local[32] scales (6.4 s vs 7.8 s at
+    // 1.06M edges, 14.9 s vs 17.0 s at 10x — the co-bucketed layout's
+    // table writes cost more than the edge re-shuffles they save at
+    // this size); an earlier cold-JVM reading that favored co-bucketed
+    // 1.7x was run-order bias. The co-bucketed loop remains the
+    // explicit choice for graphs whose per-round edge shuffle is the
+    // bottleneck (its per-round exchanges are 2 node-sized, edges move
+    // once at layout).
     val edgeCount = edges.count()
     if (edgeCount <= localEdgeThreshold) {
       val spark = ids.sparkSession
@@ -443,10 +448,36 @@ object Dedup {
         .select(col("id").as(idCol),
           coalesce(col("label"), col("id")).as("cluster_id"))
     }
-    // nodes not in any pair are singleton clusters and join back at the
-    // end; the co-bucketed loop labels exactly the pair-participating set
-    val labels = graft.operators.Graph.connectedComponentsCoBucketed(
-      edges, maxIterations, tablePrefix = "graft_cc_dedup")
+    // iterate ONLY over nodes that participate in a pair — in a dedup
+    // graph that's a small fraction of the corpus; untouched nodes are
+    // singleton clusters and join back at the end
+    val active = edges.select(col("src").as("id")).distinct()
+    // localCheckpoint each round: iterative self-joins otherwise nest the
+    // plan exponentially (the analyzer, not the data, runs out of heap)
+    var labels = active.withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // min label among self + neighbors, then a pointer-jump
+      // (label ← label-of-label) so label chains halve every round:
+      // converges in O(log diameter) rounds instead of O(diameter)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+      val cand = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      val parent = labels.select(col("id").as("__pid"), col("label").as("__plabel"))
+      val next = cand.join(parent, cand("label") === parent("__pid"), "left")
+        .select(cand("id"),
+          least(cand("label"), coalesce(col("__plabel"), cand("label"))).as("label"),
+          (least(cand("label"), coalesce(col("__plabel"), cand("label"))) <
+            col("__old")).as("__changed"))
+        .localCheckpoint(true)
+      converged = next.filter(col("__changed")).limit(1).count() == 0
+      labels = next.drop("__changed")
+      iter += 1
+    }
     nodes.join(labels, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("label"), col("id")).as("cluster_id"))

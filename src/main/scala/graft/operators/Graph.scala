@@ -624,40 +624,40 @@ object Graph {
     def keepTbl(i: Int) = s"${pfx}_keep_$i"
     val wt = new WorkTables(spark, numBuckets)
     try {
-    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst")).distinct()
-    wt.write(e0, srcTbl(0), Seq("src"))
-    wt.write(spark.table(srcTbl(0)), dstTbl(0), Seq("dst"))
-    // degrees with zero Exchange: out-half aggregated on the src-bucketed
-    // copy, in-half on the dst-bucketed copy, merged bucket-to-bucket
-    def degrees(i: Int): DataFrame = {
-      val out = spark.table(srcTbl(i)).groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("od"))
-      val in = spark.table(dstTbl(i)).groupBy(col("dst").as("id"))
-        .agg(count(lit(1)).as("in_d"))
-      out.join(in, Seq("id"), "full_outer")
-        .select(col("id"),
-          (coalesce(col("od"), lit(0L)) + coalesce(col("in_d"), lit(0L)))
-            .as("deg"))
-    }
-    var m = spark.table(srcTbl(0)).count()
-    var round = 0
-    var done = m == 0L
-    while (!done && round < maxRounds) {
-      round += 1
-      wt.write(
-        degrees(round - 1).filter(col("deg") >= k).select("id"),
-        keepTbl(round), Seq("id"))
-      wt.write(
-        kCoreCoBucketedFilter(spark, srcTbl(round - 1), keepTbl(round)),
-        dstTbl(round), Seq("dst"))
-      wt.write(spark.table(dstTbl(round)), srcTbl(round), Seq("src"))
-      val m2 = spark.table(srcTbl(round)).count()
-      done = m2 == m
-      m = m2
-    }
-    degrees(round).filter(col("deg") > 0)
-      .select(col("id"), col("deg")).localCheckpoint(true)
+      val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src") =!= col("dst")).distinct()
+      wt.write(e0, srcTbl(0), Seq("src"))
+      wt.write(spark.table(srcTbl(0)), dstTbl(0), Seq("dst"))
+      // degrees with zero Exchange: out-half aggregated on the src-bucketed
+      // copy, in-half on the dst-bucketed copy, merged bucket-to-bucket
+      def degrees(i: Int): DataFrame = {
+        val out = spark.table(srcTbl(i)).groupBy(col("src").as("id"))
+          .agg(count(lit(1)).as("od"))
+        val in = spark.table(dstTbl(i)).groupBy(col("dst").as("id"))
+          .agg(count(lit(1)).as("in_d"))
+        out.join(in, Seq("id"), "full_outer")
+          .select(col("id"),
+            (coalesce(col("od"), lit(0L)) + coalesce(col("in_d"), lit(0L)))
+              .as("deg"))
+      }
+      var m = spark.table(srcTbl(0)).count()
+      var round = 0
+      var done = m == 0L
+      while (!done && round < maxRounds) {
+        round += 1
+        wt.write(
+          degrees(round - 1).filter(col("deg") >= k).select("id"),
+          keepTbl(round), Seq("id"))
+        wt.write(
+          kCoreCoBucketedFilter(spark, srcTbl(round - 1), keepTbl(round)),
+          dstTbl(round), Seq("dst"))
+        wt.write(spark.table(dstTbl(round)), srcTbl(round), Seq("src"))
+        val m2 = spark.table(srcTbl(round)).count()
+        done = m2 == m
+        m = m2
+      }
+      degrees(round).filter(col("deg") > 0)
+        .select(col("id"), col("deg")).localCheckpoint(true)
     } finally wt.dropAll()
   }
 

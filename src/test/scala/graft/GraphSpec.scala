@@ -169,9 +169,8 @@ class GraphSpec extends SparkSpec {
     val pairs = e.filter(col("src") < col("dst"))
       .select(col("src").as("id_a"), col("dst").as("id_b"))
     // default threshold → the DRIVER union-find path: a genuinely
-    // separate implementation (duplicateClusters' distributed regime now
-    // delegates to connectedComponentsCoBucketed, so comparing against
-    // THAT would be a self-comparison)
+    // separate implementation (not the distributed hash-min loop, which
+    // shares its round math with the co-bucketed variant)
     val want = operators.Dedup.duplicateClusters(nodes, "doc_id", pairs)
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     val got = Graph.connectedComponentsCoBucketed(e,
