@@ -39,35 +39,46 @@ object Bench {
     // read a cache built above — even when the target SF IS sf0.001.
     // (Janino's generated-code cache is JVM-level and survives this.)
     spark.catalog.clearCache()
-    // Per-query time = min over reps: one-off JIT/GC hiccups otherwise
-    // masquerade as plan regressions between rounds.
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    // Per-query time = min over reps (3 by default): one-off JIT/GC
+    // hiccups otherwise masquerade as plan regressions between rounds.
+    // The per-query SPREAD (max - min over reps) is emitted alongside so
+    // a load-contaminated run is distinguishable from a regression: a
+    // genuine plan regression reproduces across reps (small spread,
+    // higher min); ambient load inflates some reps only (large spread).
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     // A throwing query must NOT clock a fake fail-fast time (round 4's
     // artifact recorded 43 broken queries at ~0.05 s, flattering the
-    // total): it is reported as "err" and excluded from the total.
-    val results: Seq[(String, Option[Double])] = selected.map { case (name, fn) =>
-      var failed = false
-      val t = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { exec(fn(spark, sfDir)) }
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // total): it is reported as JSON null (type-stable for numeric
+    // consumers, unlike the old "err" string) and excluded from the
+    // total; the error itself goes to stderr.
+    val results: Seq[(String, Option[(Double, Double)])] =
+      selected.map { case (name, fn) =>
+        var failed = false
+        val ts = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { exec(fn(spark, sfDir)) }
+          catch { case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      name -> (if (failed) None else Some(t))
-    }
-    val qs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.map(_.toString).getOrElse("\"err\"")
+        name -> (if (failed) None else Some((ts.min, ts.max - ts.min)))
+      }
+    def fmt(sel: ((Double, Double)) => Double): String = results.map {
+      case (k, v) =>
+        "\"" + k + "\":" + v.map(t =>
+          "%.4f".formatLocal(java.util.Locale.ROOT, sel(t))).getOrElse("null")
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
+    val total = results.flatMap(_._2.map(_._1)).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"spread":${fmt(_._2)},"reps":$reps,"sf":"$sfDir"}"""
+    // The JSON line goes out FIRST and flushed — before spark.stop()'s
+    // shutdown chatter — because two prior rounds' driver-side parse of
+    // stdout came back null (tail truncation). It is also persisted as a
+    // file artifact, which is the authoritative copy.
     println(line)
-    // Both prior rounds' driver-side bench JSON parsed null (log-prefix /
-    // tail truncation on stdout), so the line is persisted as a file
-    // artifact too.
+    System.out.flush()
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()

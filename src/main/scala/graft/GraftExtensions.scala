@@ -66,6 +66,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }))
     register("rademacher_buckets", args =>
       RademacherBuckets(args(0), intArg(args(1), "nBits"), intArg(args(2), "nTables")))
+    // sorted-array merge-scan family (dedup/containment joins)
+    register("containment_sorted", args => ContainmentSorted(args(0), args(1)))
+    register("intersect_sorted", args => IntersectSortedLongs(args(0), args(1)))
+    register("adjacent_pairs", args => AdjacentPairsExpr(args(0)))
+    // sketch constructor: the portable 32-bit uniform hash every sketch
+    // in operators/Sketch builds on (KMV bottom-k via topk_pairs; HLL
+    // bucket/rho via built-in shiftright/bin) — registering the hash
+    // makes the whole KMV/HLL construction writable in pure SQL. The
+    // tree mirrors Sketch.md5Uniform32 exactly:
+    // conv(substring(md5(cast(cast(x as string) as binary)), 1, 8), 16, 10)::long
+    register("md5_uniform32", args => {
+      import org.apache.spark.sql.catalyst.expressions.{Conv, Md5, Substring}
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+      Cast(
+        Conv(
+          Substring(
+            Md5(Cast(Cast(args(0), StringType), BinaryType)),
+            Literal(1), Literal(8)),
+          Literal(16), Literal(10)),
+        LongType)
+    })
+    // int8-embedding Gram accumulator (q140's TypedImperativeAggregate)
+    register("gram_upper_triangle", args =>
+      GramUpperTriangleAgg(args(0)).toAggregateExpression(isDistinct = false))
     register("topk_pairs", args =>
       TopKPairsAgg(args(0), args(1), intArg(args(2), "k"))
         .toAggregateExpression(isDistinct = false))

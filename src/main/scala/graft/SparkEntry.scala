@@ -475,26 +475,31 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // Multimodal metadata projection (binary payload + typed meta struct).
+    // Multimodal metadata via GENUINE decode: one real PNG per doc_id
+    // (Multimodal.syntheticPng, closed-form pixels), dimensions read by
+    // actually decoding the payload header with javax.imageio — the
+    // mislabeled/corrupt-media check of a real ingest pipeline. The
+    // oracle predicts width/height from the id-only dims function.
     "q37_media_meta" -> ((s, dir) =>
-      multimodal.Multimodal.fromDocuments(Tables.documents(s, dir))
-        .select(col("media_id"), col("meta.kind").as("kind"),
-          col("meta.format").as("format"), col("meta.n_bytes").as("n_bytes"))
+      multimodal.Multimodal.imageMeta(
+        multimodal.Multimodal.fromSyntheticImages(Tables.documents(s, dir)))
         .orderBy("media_id")),
 
     // Multimodal decode→feature-extract via per-partition mapPartitions
-    // (stub codec; the mapPartitions plumbing is the product). Output is
-    // the byte-nibble histogram recovered to exact integer counts — the
-    // array<float> feature vector itself stays internal so the result is
-    // scalar-typed and oracle-checkable (text is ASCII ⇒ byte = ascii()).
+    // with the REAL ImageIO codec: PNG payloads are decoded to pixels and
+    // histogrammed (bin = red >> 4). The pixel function is closed-form in
+    // media_id, so the oracle recomputes every bin count in SQL — a real
+    // encode→decode round trip, hash-checked. Counts are recovered from
+    // the normalized float features via round(f · n_pixels).
     "q38_media_features" -> ((s, dir) => {
       val feats = multimodal.Multimodal.extractFeatures(
-        multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)),
-        () => new multimodal.Multimodal.StubCodec)
+        multimodal.Multimodal.fromSyntheticImages(Tables.documents(s, dir)),
+        () => new multimodal.Multimodal.ImageIOCodec)
+      val npix = ((col("media_id") % 9) + 8) * ((col("media_id") % 7) + 8)
       val counts = (0 until 16).map(i =>
-        round(element_at(col("features"), i + 1) * col("n_bytes"))
+        round(element_at(col("features"), i + 1) * npix)
           .cast("bigint").as(f"c$i%02d"))
-      feats.select(col("media_id") +: col("n_bytes") +: counts: _*)
+      feats.select(col("media_id") +: npix.cast("bigint").as("n_pixels") +: counts: _*)
         .orderBy("media_id")
     }),
 
@@ -2776,24 +2781,31 @@ object SparkEntry {
         | least(max(event_id) - 50, 2000) > 0 AS should_run
         |FROM events""".stripMargin,
 
+    // Dims are the id-only closed form shared with Multimodal.syntheticDims;
+    // the Spark side reads them by genuinely decoding the PNG header.
     "q37_media_meta" ->
-      """SELECT doc_id AS media_id, 'image' AS kind, 'raw' AS format,
-        | CAST(length(text) AS BIGINT) AS n_bytes
+      """SELECT doc_id AS media_id,
+        | CAST(8 + doc_id % 9 AS INT) AS width,
+        | CAST(8 + doc_id % 7 AS INT) AS height,
+        | CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_pixels
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    // StubCodec features = byte-nibble histogram / n_bytes; the query
-    // recovers exact counts (round(f·n)), and ASCII text ⇒ byte value =
-    // ascii(char), so the histogram is computable per character in SQL.
+    // ImageIOCodec features = red-channel histogram (bin = r >> 4) over a
+    // PNG whose gray pixel(x,y) = ((id%1000003)·31 + x·7 + y·13) % 256 —
+    // PNG is lossless, so the SQL recomputation of the pixel function
+    // must equal what the real decoder recovered, bin for bin.
     "q38_media_features" -> {
       val cs = (0 until 16).map(k =>
-        s" CAST(len(list_filter(nibs, x -> x = $k)) AS BIGINT) AS c${"%02d".format(k)}")
+        s" CAST(len(list_filter(bins, x -> x = $k)) AS BIGINT) AS c${"%02d".format(k)}")
         .mkString(",\n")
       s"""WITH n AS (
-         |  SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
-         |    list_transform(range(length(text)),
-         |      i -> ascii(substr(text, CAST(i + 1 AS INT), 1)) % 16) AS nibs
+         |  SELECT doc_id AS media_id,
+         |    CAST((8 + doc_id % 9) * (8 + doc_id % 7) AS BIGINT) AS n_pixels,
+         |    list_transform(range((8 + doc_id % 9) * (8 + doc_id % 7)),
+         |      i -> (((doc_id % 1000003) * 31 + (i % (8 + doc_id % 9)) * 7
+         |             + (i // (8 + doc_id % 9)) * 13) % 256) // 16) AS bins
          |  FROM documents)
-         |SELECT media_id, n_bytes,
+         |SELECT media_id, n_pixels,
          |$cs
          |FROM n ORDER BY media_id""".stripMargin
     },

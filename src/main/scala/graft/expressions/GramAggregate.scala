@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -30,7 +30,13 @@ import org.apache.spark.sql.types._
 case class GramUpperTriangleAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with ExpectsInputTypes {
+
+  // ArrayData storage is physical: getLong on array<int>/array<double>
+  // would silently read garbage, so anything but array<long> must fail
+  // at analysis time, not mis-accumulate at run time (return type
+  // inferred — AbstractDataType itself is private[sql]).
+  override def inputTypes = Seq(ArrayType(LongType))
 
   override def createAggregationBuffer(): Array[Long] = Array(0L)
 

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -47,7 +47,11 @@ object SortedArrays {
   * code calls the static merge directly, staying inside whole-stage
   * codegen like the TextHash sorted-merge family. */
 case class IntersectSortedLongs(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // getLong on non-long ArrayData storage mis-reads silently; require
+  // array<long> at analysis time (return type inferred —
+  // AbstractDataType itself is private[sql])
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any, b: Any): Any =
     SortedArrays.intersectSorted(

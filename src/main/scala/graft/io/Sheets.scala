@@ -172,20 +172,29 @@ class Sheets(
     * 10M CELLS per spreadsheet), so the collect is inherently bounded —
     * but an unguarded `df.collect()` on an accidentally-huge frame would
     * OOM the driver long before the API rejected it. The collect is
-    * therefore capped: `limit(maxRows + 1)` bounds what ever reaches the
+    * therefore capped: the effective row cap is
+    * `min(maxRows, maxCells / columns)` — a CELL budget, because a
+    * 200-column frame blows the ~10M-cell grid limit long before a pure
+    * row cap would fire — `limit(cap + 1)` bounds what ever reaches the
     * driver, and one extra row beyond the cap fails fast with a clear
     * message instead of half-appending. */
   def appendDataFrame(
       df: DataFrame, gid: Long, columnTill: Option[String] = None,
-      maxRows: Int = 100000): Unit = {
+      maxRows: Int = 100000, maxCells: Long = 5000000L): Unit = {
     val s = sheet(gid)
     val range =
       s"${s.title}!A1:${columnTill.getOrElse(columnLetters(s.columnCount))}"
-    val collected = df.limit(maxRows + 1).collect()
-    require(collected.length <= maxRows,
-      s"appendDataFrame: input exceeds maxRows=$maxRows (a spreadsheet " +
-      "holds at most ~10M cells); aggregate or sample before appending, " +
-      "or raise maxRows explicitly")
+    val cols = math.max(1, df.columns.length)
+    val rowCap = math.min(maxRows.toLong, maxCells / cols).toInt
+    require(rowCap > 0,
+      s"appendDataFrame: $cols columns exceed the maxCells=$maxCells " +
+      "budget before a single row fits")
+    val collected = df.limit(rowCap + 1).collect()
+    require(collected.length <= rowCap,
+      s"appendDataFrame: input exceeds the cap of $rowCap rows " +
+      s"(min of maxRows=$maxRows and maxCells=$maxCells / $cols columns; " +
+      "a spreadsheet holds at most ~10M cells); aggregate or sample " +
+      "before appending, or raise the caps explicitly")
     val values = collected.toSeq.map(_.toSeq.map {
       case null => ""
       case v => v.toString

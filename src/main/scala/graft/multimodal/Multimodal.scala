@@ -47,6 +47,69 @@ object Multimodal {
     def sampleFrames(payload: Array[Byte], everyMs: Long): Seq[Array[Byte]]
   }
 
+  /** REAL image codec on the JDK's own `javax.imageio` — no external
+    * dependency. `decodeImage` decodes the payload (PNG/JPEG/GIF/BMP —
+    * whatever the JVM's registered readers handle) and emits a 16-bin
+    * red-channel histogram normalized by pixel count: bin = r >> 4, the
+    * image-domain analog of [[StubCodec]]'s byte-nibble histogram, so the
+    * feature shape is identical and downstream plumbing doesn't care
+    * which codec ran. `resize` is a `Graphics2D` bilinear redraw
+    * re-encoded as PNG (lossless, so resize→decode chains stay exact).
+    * Video `sampleFrames` remains the stub stride-slice — the JDK ships
+    * no video decoder; a real deployment swaps in ffmpeg behind the same
+    * method. One codec instance per partition, like every [[MediaCodec]]:
+    * ImageIO reader lookup is per-call but JVM-cached. */
+  class ImageIOCodec extends MediaCodec {
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageIOCodec: payload is not a decodable image")
+      img
+    }
+    def decodeImage(payload: Array[Byte]): Array[Float] = {
+      val img = read(payload)
+      val w = img.getWidth
+      val h = img.getHeight
+      val hist = new Array[Float](16)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          hist(((img.getRGB(x, y) >> 16) & 0xFF) >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < 16) { hist(i) /= n; i += 1 }
+      hist
+    }
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = read(payload)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    def imageSize(payload: Array[Byte]): (Int, Int) = {
+      val img = read(payload)
+      (img.getWidth, img.getHeight)
+    }
+    def sampleFrames(payload: Array[Byte], everyMs: Long): Seq[Array[Byte]] = {
+      val stride = math.max(1, everyMs.toInt)
+      payload.grouped(stride).take(8).toSeq
+    }
+  }
+
   /** Deterministic fake codec: "features" are a byte histogram, "resize"
     * re-hashes to the requested size, "frames" are fixed-stride slices.
     * Real decode is environment-dependent; the contract and batch shape
@@ -98,6 +161,78 @@ object Multimodal {
         lit(null).cast("long").as("duration_ms"),
         col("length").as("n_bytes")).as("meta"),
       col("path"))
+  }
+
+  /** Deterministic synthetic image: gray pixel(x, y) =
+    * ((id mod 1000003)·31 + x·7 + y·13) mod 256 in all three channels,
+    * PNG-encoded via ImageIO. The pixel function is closed-form on
+    * purpose — an external engine (the DuckDB oracle) can predict every
+    * decoded feature from `id` alone, which is what makes a REAL
+    * encode→decode round trip hash-checkable. PNG is lossless, so the
+    * decoder must recover these exact values. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val base = (id % 1000003L) * 31L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((base + x * 7L + y * 13L) % 256L).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthetic-image dimensions as a pure function of the id — tiny and
+    * varied (8-16 × 8-14) so a corpus mixes shapes without bloating the
+    * fixture. Shared by the Scala generator and the SQL oracle. */
+  def syntheticDims(id: Long): (Int, Int) =
+    ((8 + id % 9).toInt, (8 + id % 7).toInt)
+
+  /** Media frame with REAL PNG payloads, one per source doc_id:
+    * the [[syntheticPng]] fixture generated in the scan stage
+    * (mapPartitions — encoding is the codec boundary, same as decode).
+    * media_id = doc_id so oracles can reason about the pixel function. */
+  def fromSyntheticImages(docs: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    docs.select(col("doc_id").cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = syntheticDims(id)
+        val payload = syntheticPng(id, w, h)
+        Row(id, payload,
+          Row("image", "png", w, h, null, payload.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Decode-side metadata: width/height read by genuinely decoding the
+    * payload (ImageIO), NOT trusted from the meta struct — the check a
+    * real ingest pipeline runs to catch mislabeled or corrupt media.
+    * Output: (media_id, width, height, n_pixels). */
+  def imageMeta(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_pixels", LongType, nullable = true))))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      val c = new ImageIOCodec
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        if (p == null) Row(r.getAs[Long]("media_id"), null, null, null)
+        else {
+          val (w, h) = c.imageSize(p)
+          Row(r.getAs[Long]("media_id"), w, h, w.toLong * h)
+        }
+      }
+    }(enc)
   }
 
   /** Wrap a source table into the media schema (payload synthesized from

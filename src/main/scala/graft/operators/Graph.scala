@@ -259,16 +259,20 @@ object Graph {
     * materialized first.
     */
   def pageRankCoBucketed(edges: DataFrame, iterations: Int,
-      numBuckets: Int = 32, scale: Long = 1000000L,
+      numBuckets: Int = 0, scale: Long = 1000000L,
       dampingScaled: Long = 850000L,
       tablePrefix: String = "graft_pr"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(iterations >= 1, "co-bucketed loop needs >= 1 iteration")
     val spark = edges.sparkSession
+    // numBuckets <= 0 derives from shuffle.partitions: the bucket count
+    // pins every round's Exchange width, so it must scale with cores
+    // (Bucketing.resolveBuckets), not sit at a literal.
+    val nb = graft.io.Bucketing.resolveBuckets(spark, numBuckets)
     val pfx = unique(tablePrefix)
     val edgesTbl = s"${pfx}_edges"
     def rankTbl(i: Int) = s"${pfx}_ranks_$i"
-    val wt = new WorkTables(spark, numBuckets)
+    val wt = new WorkTables(spark, nb)
     try {
       // Layout: ONE shuffle on src fuses the degree window and the bucket
       // placement; every later round reads this table in place.
@@ -357,13 +361,14 @@ object Graph {
     * integer math; parity-tested). Contract: symmetric edge set, like
     * the broadcast variant. */
   def labelPropagationCoBucketed(edges: DataFrame, iterations: Int,
-      numBuckets: Int = 32, tablePrefix: String = "graft_lpa"): DataFrame = {
+      numBuckets: Int = 0, tablePrefix: String = "graft_lpa"): DataFrame = {
     require(iterations >= 1, "co-bucketed loop needs >= 1 iteration")
     val spark = edges.sparkSession
+    val nb = graft.io.Bucketing.resolveBuckets(spark, numBuckets)
     val pfx = unique(tablePrefix)
     val edgesTbl = s"${pfx}_edges"
     def lblTbl(i: Int) = s"${pfx}_labels_$i"
-    val wt = new WorkTables(spark, numBuckets)
+    val wt = new WorkTables(spark, nb)
     try {
       wt.write(
         edges.select(col("src").cast("long"), col("dst").cast("long")),
@@ -378,7 +383,7 @@ object Graph {
       while (it < iterations) {
         it += 1
         wt.write(
-          lpaCoBucketedRound(spark, edgesTbl, lblTbl(it - 1), numBuckets),
+          lpaCoBucketedRound(spark, edgesTbl, lblTbl(it - 1), nb),
           lblTbl(it), Seq("src"))
       }
       spark.table(lblTbl(it))
@@ -410,15 +415,16 @@ object Graph {
     * bucket-aligned agg with zero Exchange. Bit-identical to [[hits]]
     * (same unnormalized integer fixed point; parity-tested). */
   def hitsCoBucketed(edges: DataFrame, iterations: Int,
-      numBuckets: Int = 32, tablePrefix: String = "graft_hits"): DataFrame = {
+      numBuckets: Int = 0, tablePrefix: String = "graft_hits"): DataFrame = {
     require(iterations >= 1, "HITS needs at least one round")
     val spark = edges.sparkSession
+    val nb = graft.io.Bucketing.resolveBuckets(spark, numBuckets)
     val pfx = unique(tablePrefix)
     val eSrcTbl = s"${pfx}_esrc"
     val eDstTbl = s"${pfx}_edst"
     def authTbl(i: Int) = s"${pfx}_auth_$i"
     def hubTbl(i: Int) = s"${pfx}_hub_$i"
-    val wt = new WorkTables(spark, numBuckets)
+    val wt = new WorkTables(spark, nb)
     try {
       wt.write(
         edges.select(col("src").cast("long"), col("dst").cast("long")),
@@ -497,13 +503,14 @@ object Graph {
     * @return (id, label) for every node appearing as a src; label is the
     *         component's minimum id */
   def connectedComponentsCoBucketed(edges: DataFrame,
-      maxIterations: Int = 20, numBuckets: Int = 32,
+      maxIterations: Int = 20, numBuckets: Int = 0,
       tablePrefix: String = "graft_cc"): DataFrame = {
     val spark = edges.sparkSession
+    val nb = graft.io.Bucketing.resolveBuckets(spark, numBuckets)
     val pfx = unique(tablePrefix)
     val edgesTbl = s"${pfx}_edges"
     def lblTbl(i: Int) = s"${pfx}_labels_$i"
-    val wt = new WorkTables(spark, numBuckets)
+    val wt = new WorkTables(spark, nb)
     try {
       wt.write(
         edges.select(col("src").cast("long"), col("dst").cast("long")),
@@ -554,15 +561,16 @@ object Graph {
     * the edge table never re-shuffles. Results equal
     * [[bfsDistances]] (parity-tested). */
   def bfsDistancesCoBucketed(edges: DataFrame, seeds: DataFrame,
-      maxHops: Int, numBuckets: Int = 32,
+      maxHops: Int, numBuckets: Int = 0,
       tablePrefix: String = "graft_bfs"): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
     val spark = edges.sparkSession
+    val nb = graft.io.Bucketing.resolveBuckets(spark, numBuckets)
     val pfx = unique(tablePrefix)
     val edgesTbl = s"${pfx}_edges"
     def frontTbl(i: Int) = s"${pfx}_frontier_$i"
     def visTbl(i: Int) = s"${pfx}_visited_$i"
-    val wt = new WorkTables(spark, numBuckets)
+    val wt = new WorkTables(spark, nb)
     try {
       wt.write(
         edges.select(col("src").cast("long"), col("dst").cast("long")),
@@ -577,7 +585,7 @@ object Graph {
         hop += 1
         wt.write(
           bfsCoBucketedRound(spark, edgesTbl, frontTbl(hop - 1), visTbl(hop - 1),
-            numBuckets, hop),
+            nb, hop),
           frontTbl(hop), Seq("src"))
         wt.write(
           spark.table(visTbl(hop - 1)).unionByName(spark.table(frontTbl(hop))),
@@ -616,13 +624,14 @@ object Graph {
     * (parity-tested). Input contract: canonical undirected edges, like
     * [[kCore]] (dedup + self-loop drop applied here too). */
   def kCoreCoBucketed(edges: DataFrame, k: Int, maxRounds: Int,
-      numBuckets: Int = 32, tablePrefix: String = "graft_kcore"): DataFrame = {
+      numBuckets: Int = 0, tablePrefix: String = "graft_kcore"): DataFrame = {
     val spark = edges.sparkSession
+    val nb = graft.io.Bucketing.resolveBuckets(spark, numBuckets)
     val pfx = unique(tablePrefix)
     def srcTbl(i: Int) = s"${pfx}_esrc_$i"
     def dstTbl(i: Int) = s"${pfx}_edst_$i"
     def keepTbl(i: Int) = s"${pfx}_keep_$i"
-    val wt = new WorkTables(spark, numBuckets)
+    val wt = new WorkTables(spark, nb)
     try {
       val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
         .filter(col("src") =!= col("dst")).distinct()

@@ -45,6 +45,50 @@ class SyncSpec extends SparkSpec {
     assert(landed.select("event_id").distinct().count() == total)
   }
 
+  test("crash between sink write and state commit: restart replays the " +
+      "uncommitted range, key-dedup restores exactly-once (T4/T5)") {
+    val dir = Files.createTempDirectory("mbcrash").toString
+    val sink = s"$dir/sink"
+    val events = Tables.events(spark, sfDir).select("event_id", "event_type", "value")
+    val total = events.count()
+    val maxId = events.agg(max("event_id")).head().getLong(0)
+    val state = new SyncState(s"$dir/state")
+    val key = "crash_sync"
+
+    // CRASHED attempt: the runner's step 4 (sink write) lands for the
+    // first range, then the process dies BEFORE step 5's state commit —
+    // the state store still has no entry (last_synced = -1).
+    val (latest1, go) = SyncState.advance(-1L, maxId, streamingLag = 0, batchSize = 150)
+    assert(go)
+    events.filter(col("event_id") > -1L && col("event_id") <= latest1)
+      .withColumn("tagged", lit(1))
+      .write.mode("append").parquet(sink)
+    assert(state.get(key).isEmpty) // the crash: write landed, commit did not
+
+    // RESTART: the loop re-derives its offset from the COMMITTED state,
+    // so it must replay the first range (at-least-once into the sink) —
+    // never skip past uncommitted work (that would lose data if the
+    // crashed write had failed halfway).
+    val res = MicroBatchRunner.run(spark, events, "event_id", state, key,
+      streamingLag = 0, batchSize = 150,
+      pipeline = df => df.withColumn("tagged", lit(1)), sinkPath = sink)
+    assert(res.ranges.head == ((-1L, latest1)), "first range must replay")
+    assert(res.batchesRun == math.ceil((maxId + 1) / 150.0).toInt)
+    val landed = spark.read.parquet(sink)
+    val firstRangeRows =
+      events.filter(col("event_id") <= latest1).count()
+    // pre-dedup the sink holds exactly one duplicate copy of range 1...
+    assert(landed.count() == total + firstRangeRows)
+
+    // ...and T5 key-dedup restores exactly-once: no duplicates, no gaps.
+    assert(landed.dropDuplicates("event_id").count() == total)
+    assert(events.select("event_id")
+      .join(landed.select("event_id"), Seq("event_id"), "left_anti").isEmpty,
+      "no gaps: every source event must be present after restart")
+    // and the committed watermark reached the head
+    assert(state.get(key).get.lastSyncedBlock == maxId)
+  }
+
   test("stateful dedup suppresses replayed keys across micro-batches (T5)") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StatefulDedup
