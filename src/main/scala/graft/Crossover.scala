@@ -1,0 +1,202 @@
+package graft
+
+import graft.operators.Graph
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Co-bucketed-regime crossover measurement: the evidence harness that
+  * turns the big-graph regime thresholds from hand-set literals into
+  * measured (or measured-bounded) constants.
+  *
+  * For each multiplier M it materializes the amplified sf0.1 graph ONCE
+  * (eager localCheckpoint — every variant times the algorithm, not the
+  * input build), then runs the competing regimes warm and INTERLEAVED
+  * (rep-major order, so machine drift hits all variants equally — the
+  * round-5 lesson that a cold-JVM A/B reads 1.7× run-order bias):
+  *
+  *  - pr:  broadcast loop (forced) vs shuffle loop (forced) vs
+  *         [[Graph.pageRankCoBucketed]] — hub-skew amplification
+  *         (orderkeys shift, parts shared), the Scale convention.
+  *  - lpa: broadcast vs shuffle [[Graph.labelPropagation]] vs
+  *         [[Graph.labelPropagationCoBucketed]] — disjoint graph copies.
+  *  - cc:  the plain hash-min+pointer-jump shuffle loop (the
+  *         duplicateClusters distributed regime, inlined so the A/B is
+  *         honest regardless of routing) vs
+  *         [[Graph.connectedComponentsCoBucketed]].
+  *
+  * Output: one `XOVER` line per (mult, algo, variant, rep) and one
+  * `XOVER_SUMMARY` per (mult, algo) with the min-of-reps seconds; the
+  * whole grid is also appended to CROSSOVER.json for the record.
+  *
+  * Usage: runMain graft.Crossover [mults] [algos]
+  *   e.g.  runMain graft.Crossover 30,60,100 pr,cc,lpa
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *      SPARK_GRAFT_REPS (default 2), SPARK_DRIVER_MEM (give it 48g).
+  */
+object Crossover {
+  def main(args: Array[String]): Unit = {
+    val mults = args.headOption.filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(30, 60, 100))
+    val algos = args.drop(1).headOption.filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set("pr", "cc", "lpa"))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = GraftSession.local("crossover", 32)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").cache()
+    li.count()
+
+    // Amplify via ONE scan + explode(sequence) — the same key-shift
+    // semantics as Scale.amplify without its M-way union plan.
+    def amplified(mult: Int, shiftParts: Boolean): DataFrame = {
+      val a = li.withColumn("i", explode(sequence(lit(0L), lit(mult - 1L))))
+      a.select((col("l_orderkey") + col("i") * 100000000L).as("o"),
+        (if (shiftParts) col("l_partkey") + col("i") * 100000000L
+         else col("l_partkey")).as("p"))
+    }
+
+    // PR graph: bipartite order↔part with hub skew (parts shared across
+    // copies ⇒ part degree grows M×), symmetric-doubled.
+    def prEdges(mult: Int): DataFrame = {
+      val pairs = amplified(mult, shiftParts = false)
+        .select((col("o") * 2).as("o"), (col("p") * 2 + 1).as("p")).distinct()
+      pairs.select(col("o").as("src"), col("p").as("dst"))
+        .unionByName(pairs.select(col("p").as("src"), col("o").as("dst")))
+        .localCheckpoint(true)
+    }
+
+    // CC/LPA graph: M disjoint copies of the co-order part graph
+    // (coOccurrenceEdges cap 8), symmetric-doubled — the q114/q48 shape.
+    def coEdges(mult: Int): DataFrame = {
+      val canon = Graph.coOccurrenceEdges(
+        amplified(mult, shiftParts = true), "o", "p", maxGroupSize = 8)
+        .distinct()
+      canon.unionByName(
+          canon.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+    }
+
+    // duplicateClusters' distributed regime: hash-min + pointer jump,
+    // edges re-join the label table every round (3 shuffles/round on the
+    // edge side) — the loop the co-bucketed layout is meant to beat.
+    def ccShuffleLoop(edges: DataFrame): Long = {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("label")).as("nlabel"))
+        val cand = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("label").as("__old"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        val parent = labels.select(col("id").as("__pid"), col("label").as("__plabel"))
+        val next = cand.join(parent, cand("label") === parent("__pid"), "left")
+          .select(cand("id"),
+            least(cand("label"), coalesce(col("__plabel"), cand("label"))).as("label"),
+            (least(cand("label"), coalesce(col("__plabel"), cand("label"))) <
+              col("__old")).as("__changed"))
+          .localCheckpoint(true)
+        converged = next.filter(col("__changed")).limit(1).count() == 0
+        labels = next.drop("__changed")
+        iter += 1
+      }
+      labels.count()
+    }
+
+    final case class Cell(mult: Int, algo: String, variant: String,
+        secs: Vector[Double])
+    val results = scala.collection.mutable.ArrayBuffer[Cell]()
+
+    def runGrid(mult: Int, algo: String, edges: DataFrame, nodes: Long,
+        variants: Seq[(String, DataFrame => Long)]): Unit = {
+      val m = edges.count()
+      val times = scala.collection.mutable.Map[String, Vector[Double]]()
+        .withDefaultValue(Vector.empty)
+      for (rep <- 1 to reps; (vname, f) <- variants) {
+        val t0 = System.nanoTime()
+        val n = f(edges)
+        val sec = (System.nanoTime() - t0) / 1e9
+        times(vname) = times(vname) :+ sec
+        println(f"XOVER mult=$mult algo=$algo variant=$vname rep=$rep " +
+          f"sec=$sec%.2f rows=$n%d")
+      }
+      val summary = variants.map { case (vname, _) =>
+        f"$vname=${times(vname).min}%.2f" }.mkString(" ")
+      println(f"XOVER_SUMMARY mult=$mult algo=$algo edges=$m%d " +
+        f"nodes=$nodes%d $summary")
+      variants.foreach { case (vname, _) =>
+        results += Cell(mult, algo, vname, times(vname)) }
+    }
+
+    // Warm every code path once on a tiny graph so rep 1 of the real
+    // grid is steady-state (codegen + bucketed-write paths compiled).
+    {
+      val wPr = prEdges(1)
+      val wCo = coEdges(1)
+      if (algos("pr")) {
+        Graph.pageRankFixedPoint(wPr, 3, broadcastNodeLimit = Long.MaxValue,
+          symmetric = true).count()
+        Graph.pageRankFixedPoint(wPr, 3, broadcastNodeLimit = 0,
+          symmetric = true).count()
+        Graph.pageRankCoBucketed(wPr, 3, tablePrefix = "graft_xw_pr").count()
+      }
+      if (algos("lpa")) {
+        Graph.labelPropagation(wCo, 3, broadcastNodeLimit = Long.MaxValue).count()
+        Graph.labelPropagation(wCo, 3, broadcastNodeLimit = 0).count()
+        Graph.labelPropagationCoBucketed(wCo, 3,
+          tablePrefix = "graft_xw_lpa").count()
+      }
+      if (algos("cc")) {
+        ccShuffleLoop(wCo)
+        Graph.connectedComponentsCoBucketed(wCo,
+          tablePrefix = "graft_xw_cc").count()
+      }
+      wPr.unpersist(); wCo.unpersist()
+      println("XOVER warmup done")
+    }
+
+    for (mult <- mults) {
+      if (algos("pr")) {
+        val e = prEdges(mult)
+        val nodes = e.select("src").distinct().count()
+        runGrid(mult, "pr", e, nodes, Seq(
+          "bcast" -> ((ed: DataFrame) => Graph.pageRankFixedPoint(ed, 3,
+            broadcastNodeLimit = Long.MaxValue, symmetric = true).count()),
+          "shuffle" -> ((ed: DataFrame) => Graph.pageRankFixedPoint(ed, 3,
+            broadcastNodeLimit = 0, symmetric = true).count()),
+          "cobucket" -> ((ed: DataFrame) => Graph.pageRankCoBucketed(ed, 3,
+            tablePrefix = s"graft_x_pr_$mult").count())))
+        e.unpersist()
+      }
+      if (algos("cc") || algos("lpa")) {
+        val e = coEdges(mult)
+        val nodes = e.select("src").distinct().count()
+        if (algos("lpa")) runGrid(mult, "lpa", e, nodes, Seq(
+          "bcast" -> ((ed: DataFrame) => Graph.labelPropagation(ed, 3,
+            broadcastNodeLimit = Long.MaxValue).count()),
+          "shuffle" -> ((ed: DataFrame) => Graph.labelPropagation(ed, 3,
+            broadcastNodeLimit = 0).count()),
+          "cobucket" -> ((ed: DataFrame) => Graph.labelPropagationCoBucketed(
+            ed, 3, tablePrefix = s"graft_x_lpa_$mult").count())))
+        if (algos("cc")) runGrid(mult, "cc", e, nodes, Seq(
+          "shuffle" -> ((ed: DataFrame) => ccShuffleLoop(ed)),
+          "cobucket" -> ((ed: DataFrame) =>
+            Graph.connectedComponentsCoBucketed(ed,
+              tablePrefix = s"graft_x_cc_$mult").count())))
+        e.unpersist()
+      }
+    }
+
+    val json = results.map { c =>
+      s"""{"mult":${c.mult},"algo":"${c.algo}","variant":"${c.variant}",""" +
+        s""""secs":[${c.secs.map(s => f"$s%.3f").mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get("CROSSOVER.json"),
+      json.getBytes("UTF-8"))
+    println(s"XOVER wrote CROSSOVER.json with ${results.size} cells")
+    spark.stop()
+  }
+}

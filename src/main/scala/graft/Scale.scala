@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * runtime grows ~linearly with input is cluster-ready; superlinear
   * growth exposes a plan that would not survive 100 TB.
   *
-  * Usage: runMain graft.Scale [multiplier]  (default 10)
+  * Usage: runMain graft.Scale [multiplier] [shapePrefixes]
+  *   (default 10; an optional comma list like `triangles,kcore,rolling`
+  *   runs only the shapes whose name starts with a listed prefix —
+  *   everything else is skipped lazily, nothing is materialized)
   */
 object Scale {
   def main(args: Array[String]): Unit = {
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val only: Set[String] = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     val spark = GraftSession.local("scale", 32)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -25,11 +31,13 @@ object Scale {
           d.withColumn(k, col(k) + lit(i.toLong * 100000000L)) }
       }.reduce(_ unionByName _)
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALE $name rows=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.nonEmpty && !only.exists(name.startsWith)) ()
+      else {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"SCALE $name rows=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
 
     val li1 = Tables.lineitem(spark, dir)
     val liN = amplify(li1, Seq("l_orderkey"))
