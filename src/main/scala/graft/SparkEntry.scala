@@ -2066,7 +2066,23 @@ object SparkEntry {
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
           expr("CAST(round(l_quantity) AS BIGINT)").as("qty")),
         Seq("l_returnflag"), "price_c", "qty")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // REAL video frame sampling: animated-GIF payloads (closed-form
+    // per-frame pixels, one 100 ms GraphicControlExtension delay per
+    // frame) sampled at 150 ms by genuinely reading the GIF frame
+    // delays; each sampled frame is decoded and summed. The oracle
+    // recomputes sample count, sampled frame index and pixel sum from
+    // the id-only synthetic functions — an encode→sample→decode round
+    // trip through a true multi-frame container, hash-checked.
+    "q143_video_frames" -> ((s, dir) =>
+      multimodal.Multimodal.frameGraySums(
+        multimodal.Multimodal.fromSyntheticVideos(Tables.documents(s, dir)),
+        everyMs = 150L)
+        .select(col("media_id"),
+          col("sample_idx").cast("bigint").as("sample_idx"),
+          col("gray_sum"))
+        .orderBy("media_id", "sample_idx"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -4175,6 +4191,29 @@ object SparkEntry {
         |  FROM pv)
         |SELECT l_returnflag, min(v) AS w_median, max(tw) AS total_w
         |FROM c WHERE cw * 2 >= tw
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // syntheticGif frame f: gray pixel(x,y) = (base + 7x + 13y + 17f)
+    // % 256 with base = (id % 1000003)·31; nf = 1 + id % 6 frames of
+    // 100 ms each; sampling at 150 ms takes t = 0, 150, … < nf·100 and
+    // shows frame t // 100 at each stamp.
+    "q143_video_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(1 + doc_id % 6 AS BIGINT) AS nf,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS h,
+        |    (doc_id % 1000003) * 31 AS base
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, w, h, base, CAST(t.i AS BIGINT) AS sample_idx,
+        |    (CAST(t.i AS BIGINT) * 150) // 100 AS f
+        |  FROM v, unnest(range(CAST(ceil(nf * 100 / 150.0) AS BIGINT)))
+        |    AS t(i))
+        |SELECT media_id, sample_idx,
+        |  CAST(list_sum(list_transform(range(w * h),
+        |    p -> (base + (p % w) * 7 + (p // w) * 13 + f * 17) % 256))
+        |    AS BIGINT) AS gray_sum
+        |FROM s ORDER BY media_id, sample_idx""".stripMargin
   )
 }

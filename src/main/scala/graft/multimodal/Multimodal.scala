@@ -55,10 +55,15 @@ object Multimodal {
     * feature shape is identical and downstream plumbing doesn't care
     * which codec ran. `resize` is a `Graphics2D` bilinear redraw
     * re-encoded as PNG (lossless, so resize→decode chains stay exact).
-    * Video `sampleFrames` remains the stub stride-slice — the JDK ships
-    * no video decoder; a real deployment swaps in ffmpeg behind the same
-    * method. One codec instance per partition, like every [[MediaCodec]]:
-    * ImageIO reader lookup is per-call but JVM-cached. */
+    * Video `sampleFrames` is REAL for animated GIF (the one multi-frame
+    * container the JDK decodes natively): per-frame delays are read from
+    * each frame's GraphicControlExtension metadata, sample timestamps are
+    * walked at `everyMs`, and each sampled frame is decoded once and
+    * re-encoded as PNG. Non-GIF payloads fall back to the stub's
+    * stride-slice (a byte stream has no frame structure to honor); a real
+    * deployment swaps in ffmpeg behind the same method for mp4/webm. One
+    * codec instance per partition, like every [[MediaCodec]]: ImageIO
+    * reader lookup is per-call but JVM-cached. */
   class ImageIOCodec extends MediaCodec {
     private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(
@@ -104,9 +109,64 @@ object Multimodal {
       val img = read(payload)
       (img.getWidth, img.getHeight)
     }
+    /** True when the payload carries a GIF87a/GIF89a signature. */
+    private def isGif(p: Array[Byte]): Boolean =
+      p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
+
     def sampleFrames(payload: Array[Byte], everyMs: Long): Seq[Array[Byte]] = {
-      val stride = math.max(1, everyMs.toInt)
-      payload.grouped(stride).take(8).toSeq
+      if (!isGif(payload)) { // frameless byte stream: stride-slice fallback
+        val stride = math.max(1, everyMs.toInt)
+        return payload.grouped(stride).take(8).toSeq
+      }
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "ImageIOCodec: no GIF reader registered")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        // Per-frame display duration from the GIF89a GraphicControlExtension
+        // (delayTime is in centiseconds; absent/zero → the conventional
+        // 100 ms players substitute).
+        val delays = (0 until n).map { i =>
+          val root = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = root.getElementsByTagName("GraphicControlExtension")
+          val cs = if (gce.getLength == 0) 0L
+            else gce.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              .getAttribute("delayTime").toLong
+          if (cs <= 0L) 100L else cs * 10L
+        }
+        val starts = delays.scanLeft(0L)(_ + _) // frame i shows [starts(i), starts(i+1))
+        val total = starts.last
+        val step = math.max(1L, everyMs)
+        val stamps = Iterator.iterate(0L)(_ + step).takeWhile(_ < total)
+          .take(8).toVector
+        // Decode each needed frame ONCE even when several sample
+        // timestamps land on it, then emit per-sample in order.
+        val frameIdx = stamps.map { t =>
+          var i = 0
+          while (i + 1 < n && starts(i + 1) <= t) i += 1
+          i
+        }
+        val decoded = frameIdx.distinct.map { i =>
+          // Re-encode via an explicit TYPE_INT_RGB copy: the JDK's PNG
+          // writer mis-encodes the GIF reader's TYPE_BYTE_INDEXED images
+          // (palette round-trip corrupts sample values — measured 23→85),
+          // while the RGB copy is exact by construction.
+          val src = reader.read(i)
+          val rgb = new java.awt.image.BufferedImage(src.getWidth,
+            src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = rgb.createGraphics()
+          try g.drawImage(src, 0, 0, null) finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(rgb, "png", bos)
+          i -> bos.toByteArray
+        }.toMap
+        frameIdx.map(decoded)
+      } finally { reader.dispose(); iis.close() }
     }
   }
 
@@ -208,6 +268,138 @@ object Multimodal {
         val payload = syntheticPng(id, w, h)
         Row(id, payload,
           Row("image", "png", w, h, null, payload.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic VIDEO: an animated GIF whose frame `f` has
+    * gray pixel(x, y) = ((id mod 1000003)·31 + x·7 + y·13 + f·17) mod 256
+    * — [[syntheticPng]]'s closed-form pixel function extended by a frame
+    * term, so an external engine predicts every pixel of every frame from
+    * `id` alone. Frames are written TYPE_BYTE_INDEXED over an identity
+    * 256-gray palette: the GIF color table IS the gray ramp, so encoding
+    * is exactly lossless (no quantizer involved). Every frame carries a
+    * GraphicControlExtension with `frameMs` display time, which is what
+    * [[ImageIOCodec.sampleFrames]] honors when sampling. */
+  def syntheticGif(id: Long, w: Int, h: Int, nFrames: Int,
+      frameMs: Int): Array[Byte] = {
+    val ramp = Array.tabulate[Byte](256)(i => i.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      val base = (id % 1000003L) * 31L
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((base + x * 7L + y * 13L + f * 17L) % 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val param = writer.getDefaultWriteParam
+        // No interlacing: the JDK reader honors the frame's declared row
+        // order, but an interlaced write permutes rows for no benefit in
+        // a synthetic fixture — and makes pixel positions non-obvious.
+        if (param.canWriteProgressive)
+          param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        val meta = writer.getDefaultImageMetadata(
+          new javax.imageio.ImageTypeSpecifier(img), param)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = meta.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val desc = root.getElementsByTagName("ImageDescriptor")
+        if (desc.getLength > 0)
+          desc.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            .setAttribute("interlaceFlag", "FALSE")
+        val gce = {
+          val existing = root.getElementsByTagName("GraphicControlExtension")
+          if (existing.getLength > 0)
+            existing.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          else {
+            val n = new javax.imageio.metadata.IIOMetadataNode(
+              "GraphicControlExtension")
+            root.appendChild(n)
+            n
+          }
+        }
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", (frameMs / 10).toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        meta.setFromTree(fmt, root)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Frame count of the synthetic video as a pure function of the id —
+    * 1 to 6 frames. Shared by the generator and the SQL oracle. */
+  def syntheticFrameCount(id: Long): Int = (1 + id % 6).toInt
+
+  /** Media frame with REAL animated-GIF payloads, one per source doc_id:
+    * [[syntheticGif]] with [[syntheticDims]] dimensions,
+    * [[syntheticFrameCount]] frames, 100 ms per frame. Generated in the
+    * scan stage like [[fromSyntheticImages]]. */
+  def fromSyntheticVideos(docs: DataFrame, frameMs: Int = 100): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    docs.select(col("doc_id").cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = syntheticDims(id)
+        val nf = syntheticFrameCount(id)
+        val payload = syntheticGif(id, w, h, nf, frameMs)
+        Row(id, payload,
+          Row("video", "gif", w, h, nf.toLong * frameMs, payload.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Frame-sample each video payload at `everyMs` and decode every
+    * sampled frame to its gray-value sum — the per-frame scalar feature
+    * an oracle can recompute when payloads are [[syntheticGif]]s.
+    * Decode of the sampled PNG frames reuses the same codec. Output:
+    * (media_id, sample_idx, gray_sum). */
+  def frameGraySums(media: DataFrame, everyMs: Long): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_idx", IntegerType, nullable = false),
+      StructField("gray_sum", LongType, nullable = false))))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      val c = new ImageIOCodec
+      rows.flatMap { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        if (p == null) Iterator.empty
+        else c.sampleFrames(p, everyMs).iterator.zipWithIndex.map {
+          case (png, i) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(png))
+            var s = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                s += (img.getRGB(x, y) >> 16) & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getAs[Long]("media_id"), i, s)
+        }
       }
     }(enc)
   }

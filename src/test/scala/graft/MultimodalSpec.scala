@@ -106,6 +106,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageMeta(m).count() == m.count())
   }
 
+  // --- real video codec (animated GIF via javax.imageio) ---
+
+  test("syntheticGif sampleFrames honors GIF frame delays, recovers exact pixels") {
+    val (id, w, h, nf) = (9L, 5, 4, 4)
+    val gif = Multimodal.syntheticGif(id, w, h, nf, frameMs = 100)
+    assert(gif(0) == 'G'.toByte && gif(1) == 'I'.toByte) // real container
+    val c = new Multimodal.ImageIOCodec
+    // 4 frames × 100 ms sampled at 150 ms → stamps 0,150,300 showing
+    // frames 0,1,3 (frame = t div 100)
+    val frames = c.sampleFrames(gif, everyMs = 150)
+    assert(frames.length == 3)
+    val base = (id % 1000003L) * 31L
+    for ((png, i) <- frames.zipWithIndex) {
+      val f = Seq(0, 1, 3)(i)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = ((base + x * 7L + y * 13L + f * 17L) % 256L).toInt
+        assert(((img.getRGB(x, y) >> 16) & 0xFF) == expect,
+          s"sample $i frame $f pixel ($x,$y)")
+      }
+    }
+    // everyMs = 100 hits every frame once
+    assert(c.sampleFrames(gif, everyMs = 100).length == nf)
+  }
+
+  test("ImageIOCodec sampleFrames falls back to stride-slice off-GIF") {
+    val c = new Multimodal.ImageIOCodec
+    val raw = Array.tabulate[Byte](300)(_.toByte)
+    val fr = c.sampleFrames(raw, everyMs = 64)
+    assert(fr.length == math.min(math.ceil(300 / 64.0).toInt, 8))
+    assert(fr.head.toSeq == raw.take(64).toSeq)
+  }
+
+  test("frameGraySums matches the closed form for every sampled frame") {
+    val docs = Seq(0L, 3L, 11L, 123456L).toDF("doc_id")
+    val got = Multimodal.frameGraySums(
+      Multimodal.fromSyntheticVideos(docs), everyMs = 150)
+      .orderBy("media_id", "sample_idx")
+      .as[(Long, Int, Long)].collect()
+    val expect = for {
+      id <- Seq(0L, 3L, 11L, 123456L).sorted
+      (w, h) = Multimodal.syntheticDims(id)
+      nf = Multimodal.syntheticFrameCount(id)
+      (t, i) <- (0L until nf * 100L by 150L).zipWithIndex
+    } yield {
+      val f = t / 100
+      val base = (id % 1000003L) * 31L
+      val s = (for (y <- 0 until h; x <- 0 until w)
+        yield (base + x * 7L + y * 13L + f * 17L) % 256L).sum
+      (id, i, s)
+    }
+    assert(got.toSeq == expect)
+  }
+
   // --- real-file ingestion (spark.read.format("binaryFile")) ---
 
   /** Mixed-size file tree: a handful of "4K videos" 100× the size of a
