@@ -41,7 +41,16 @@ object Crossover {
     val algos = args.drop(1).headOption.filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set("pr", "cc", "lpa"))
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    val spark = GraftSession.local("crossover", 32)
+    // maxResultSize: broadcast materialization arrives at the driver as
+    // task results; a 100x amplified run legitimately broadcasts
+    // >1 GiB tables into the 48g driver, and the 1g default killed the
+    // first 60x CC attempt mid-grid.
+    val spark = {
+      val s = GraftSession.builder("crossover", "32").master("local[32]")
+        .config("spark.driver.maxResultSize", "8g").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey").cache()
@@ -117,18 +126,38 @@ object Crossover {
         .withDefaultValue(Vector.empty)
       for (rep <- 1 to reps; (vname, f) <- variants) {
         val t0 = System.nanoTime()
-        val n = f(edges)
-        val sec = (System.nanoTime() - t0) / 1e9
-        times(vname) = times(vname) :+ sec
-        println(f"XOVER mult=$mult algo=$algo variant=$vname rep=$rep " +
-          f"sec=$sec%.2f rows=$n%d")
+        try {
+          val n = f(edges)
+          val sec = (System.nanoTime() - t0) / 1e9
+          times(vname) = times(vname) :+ sec
+          println(f"XOVER mult=$mult algo=$algo variant=$vname rep=$rep " +
+            f"sec=$sec%.2f rows=$n%d")
+        } catch { case e: Throwable =>
+          // a blown cell (OOM, result-size cap) must not kill the grid —
+          // record nothing for this rep and keep measuring
+          println(s"XOVER mult=$mult algo=$algo variant=$vname rep=$rep " +
+            s"ERR ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")
+        }
       }
       val summary = variants.map { case (vname, _) =>
-        f"$vname=${times(vname).min}%.2f" }.mkString(" ")
+        if (times(vname).isEmpty) s"$vname=err"
+        else f"$vname=${times(vname).min}%.2f" }.mkString(" ")
       println(f"XOVER_SUMMARY mult=$mult algo=$algo edges=$m%d " +
         f"nodes=$nodes%d $summary")
       variants.foreach { case (vname, _) =>
         results += Cell(mult, algo, vname, times(vname)) }
+      // crash-resilient record: append each grid's cells as JSONL the
+      // moment they exist (the first 60x attempt died mid-run and left
+      // no artifact at all)
+      val lines = variants.map { case (vname, _) =>
+        s"""{"mult":$mult,"algo":"$algo","variant":"$vname","edges":$m,""" +
+          s""""nodes":$nodes,"secs":[${times(vname).map(s => f"$s%.3f")
+            .mkString(",")}]}""" + "\n"
+      }.mkString
+      java.nio.file.Files.write(java.nio.file.Paths.get("CROSSOVER.jsonl"),
+        lines.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
 
     // Warm every code path once on a tiny graph so rep 1 of the real

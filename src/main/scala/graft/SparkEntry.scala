@@ -2082,7 +2082,17 @@ object SparkEntry {
         .select(col("media_id"),
           col("sample_idx").cast("bigint").as("sample_idx"),
           col("gray_sum"))
-        .orderBy("media_id", "sample_idx"))
+        .orderBy("media_id", "sample_idx")),
+
+    // REAL audio decode: RIFF/WAVE PCM16 payloads (closed-form samples)
+    // pushed through the JDK's javax.sound.sampled reader and reduced to
+    // integer-exact features (sum|s|, max|s|) — the oracle recomputes
+    // them from the id-only sample function. Completes the
+    // image/audio/video triple on genuine JDK codecs.
+    "q144_audio_features" -> ((s, dir) =>
+      multimodal.Multimodal.audioFeatures(
+        multimodal.Multimodal.fromSyntheticAudio(Tables.documents(s, dir)))
+        .orderBy("media_id"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -4214,6 +4224,23 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(range(w * h),
         |    p -> (base + (p % w) * 7 + (p // w) * 13 + f * 17) % 256))
         |    AS BIGINT) AS gray_sum
-        |FROM s ORDER BY media_id, sample_idx""".stripMargin
+        |FROM s ORDER BY media_id, sample_idx""".stripMargin,
+
+    // syntheticWav sample(i) = ((id % 1000003)·31 + i·7919) % 65536
+    // − 32768 over n = 500 + id % 1000 PCM16 samples at 8 kHz.
+    "q144_audio_features" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(500 + doc_id % 1000 AS BIGINT) AS n_samples,
+        |    list_transform(range(500 + doc_id % 1000),
+        |      i -> ((doc_id % 1000003) * 31 + i * 7919) % 65536
+        |           - 32768) AS s
+        |  FROM documents)
+        |SELECT media_id, n_samples, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(list_aggregate(list_transform(s, x -> abs(x)), 'sum')
+        |    AS BIGINT) AS sum_abs,
+        |  CAST(list_aggregate(list_transform(s, x -> abs(x)), 'max')
+        |    AS BIGINT) AS max_abs
+        |FROM v ORDER BY media_id""".stripMargin
   )
 }

@@ -404,6 +404,101 @@ object Multimodal {
     }(enc)
   }
 
+  /** Deterministic synthetic AUDIO: a canonical 44-byte RIFF/WAVE header
+    * + little-endian PCM16 mono samples with
+    * sample(i) = ((id mod 1000003)·31 + i·7919) mod 65536 − 32768 —
+    * closed-form like [[syntheticPng]], so an external engine predicts
+    * every decoded sample from `id` alone. 7919 (prime) keeps adjacent
+    * samples decorrelated without any RNG. */
+  def syntheticWav(id: Long, nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val base = (id % 1000003L) * 31L
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((base + i * 7919L) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Sample count of the synthetic audio as a pure function of the id —
+    * 500 to 1499 samples. Shared by the generator and the SQL oracle. */
+  def syntheticSampleCount(id: Long): Int = (500 + id % 1000).toInt
+
+  /** Media frame with REAL WAV payloads, one per source doc_id. */
+  def fromSyntheticAudio(docs: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    docs.select(col("doc_id").cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = syntheticSampleCount(id)
+        val payload = syntheticWav(id, n)
+        Row(id, payload,
+          Row("audio", "wav", null, null, n.toLong * 1000L / 8000L,
+            payload.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Audio decode → integer-exact features via the JDK's own
+    * `javax.sound.sampled` (a REAL audio codec path: the payload goes
+    * through AudioSystem's WAV reader, not a hand-rolled header skip).
+    * Features are integer-exact on purpose — sum|s| and max|s| over the
+    * PCM16 samples plus the frame count and rate — so a SQL oracle
+    * recomputes them without float drift. One decode per row in the scan
+    * stage; payloads never shuffle (same discipline as [[imageMeta]]). */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("sum_abs", LongType, nullable = true),
+      StructField("max_abs", LongType, nullable = true))))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        if (p == null) Row(r.getAs[Long]("media_id"), null, null, null, null)
+        else {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(p)))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getSampleSizeInBits == 16,
+              s"audioFeatures expects PCM16, got $fmt")
+            val bytes = in.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            var sumAbs = 0L
+            var maxAbs = 0L
+            val n = bytes.length / 2
+            var i = 0
+            while (i < n) {
+              val v = math.abs(bb.getShort(i * 2).toLong)
+              sumAbs += v
+              if (v > maxAbs) maxAbs = v
+              i += 1
+            }
+            Row(r.getAs[Long]("media_id"), n.toLong,
+              math.round(fmt.getSampleRate), sumAbs, maxAbs)
+          } finally in.close()
+        }
+      }
+    }(enc)
+  }
+
   /** Decode-side metadata: width/height read by genuinely decoding the
     * payload (ImageIO), NOT trusted from the meta struct — the check a
     * real ingest pipeline runs to catch mislabeled or corrupt media.

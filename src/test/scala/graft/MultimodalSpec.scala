@@ -162,6 +162,28 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == expect)
   }
 
+  // --- real audio codec (javax.sound.sampled — no external dependency) ---
+
+  test("syntheticWav decodes through AudioSystem to the closed-form features") {
+    val id = 17L
+    val n = Multimodal.syntheticSampleCount(id)
+    val wav = Multimodal.syntheticWav(id, n)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    // genuine decode path: AudioSystem parses the container
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleRate == 8000f)
+    assert(in.getFrameLength == n)
+    in.close()
+    val base = (id % 1000003L) * 31L
+    val samples = (0 until n).map(i => (base + i * 7919L) % 65536L - 32768L)
+    val feats = Multimodal.audioFeatures(
+      Multimodal.fromSyntheticAudio(Seq(id).toDF("doc_id")))
+      .as[(Long, Long, Int, Long, Long)].head()
+    assert(feats == ((id, n.toLong, 8000, samples.map(math.abs).sum,
+      samples.map(math.abs).max)))
+  }
+
   // --- real-file ingestion (spark.read.format("binaryFile")) ---
 
   /** Mixed-size file tree: a handful of "4K videos" 100× the size of a
