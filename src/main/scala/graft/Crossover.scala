@@ -26,8 +26,10 @@ import org.apache.spark.sql.functions._
   *         [[Graph.connectedComponentsCoBucketed]].
   *
   * Output: one `XOVER` line per (mult, algo, variant, rep) and one
-  * `XOVER_SUMMARY` per (mult, algo) with the min-of-reps seconds; the
-  * whole grid is also appended to CROSSOVER.json for the record.
+  * `XOVER_SUMMARY` per (mult, algo) with the min-of-reps seconds; every
+  * grid's cells are appended to CROSSOVER.jsonl as they complete
+  * (crash-resilient). The curated cross-run record — method, derived
+  * thresholds, all cells — is CROSSOVER.json.
   *
   * Usage: runMain graft.Crossover [mults] [algos]
   *   e.g.  runMain graft.Crossover 30,60,100 pr,cc,lpa
@@ -169,12 +171,13 @@ object Crossover {
         Graph.pageRankFixedPoint(wPr, 3, broadcastNodeLimit = Long.MaxValue,
           symmetric = true).count()
         Graph.pageRankFixedPoint(wPr, 3, broadcastNodeLimit = 0,
-          symmetric = true).count()
+          symmetric = true, coBucketEdgeThreshold = Long.MaxValue).count()
         Graph.pageRankCoBucketed(wPr, 3, tablePrefix = "graft_xw_pr").count()
       }
       if (algos("lpa")) {
         Graph.labelPropagation(wCo, 3, broadcastNodeLimit = Long.MaxValue).count()
-        Graph.labelPropagation(wCo, 3, broadcastNodeLimit = 0).count()
+        Graph.labelPropagation(wCo, 3, broadcastNodeLimit = 0,
+          coBucketAboveBroadcast = false).count()
         Graph.labelPropagationCoBucketed(wCo, 3,
           tablePrefix = "graft_xw_lpa").count()
       }
@@ -195,7 +198,8 @@ object Crossover {
           "bcast" -> ((ed: DataFrame) => Graph.pageRankFixedPoint(ed, 3,
             broadcastNodeLimit = Long.MaxValue, symmetric = true).count()),
           "shuffle" -> ((ed: DataFrame) => Graph.pageRankFixedPoint(ed, 3,
-            broadcastNodeLimit = 0, symmetric = true).count()),
+            broadcastNodeLimit = 0, symmetric = true,
+            coBucketEdgeThreshold = Long.MaxValue).count()),
           "cobucket" -> ((ed: DataFrame) => Graph.pageRankCoBucketed(ed, 3,
             tablePrefix = s"graft_x_pr_$mult").count())))
         e.unpersist()
@@ -207,7 +211,7 @@ object Crossover {
           "bcast" -> ((ed: DataFrame) => Graph.labelPropagation(ed, 3,
             broadcastNodeLimit = Long.MaxValue).count()),
           "shuffle" -> ((ed: DataFrame) => Graph.labelPropagation(ed, 3,
-            broadcastNodeLimit = 0).count()),
+            broadcastNodeLimit = 0, coBucketAboveBroadcast = false).count()),
           "cobucket" -> ((ed: DataFrame) => Graph.labelPropagationCoBucketed(
             ed, 3, tablePrefix = s"graft_x_lpa_$mult").count())))
         if (algos("cc")) runGrid(mult, "cc", e, nodes, Seq(
@@ -219,13 +223,10 @@ object Crossover {
       }
     }
 
-    val json = results.map { c =>
-      s"""{"mult":${c.mult},"algo":"${c.algo}","variant":"${c.variant}",""" +
-        s""""secs":[${c.secs.map(s => f"$s%.3f").mkString(",")}]}"""
-    }.mkString("[", ",", "]")
-    java.nio.file.Files.write(java.nio.file.Paths.get("CROSSOVER.json"),
-      json.getBytes("UTF-8"))
-    println(s"XOVER wrote CROSSOVER.json with ${results.size} cells")
+    // Cells were already appended to CROSSOVER.jsonl per grid (crash-
+    // resilient); the curated cross-run summary lives in CROSSOVER.json
+    // and is assembled from the JSONL — do NOT clobber it here.
+    println(s"XOVER done: ${results.size} cells appended to CROSSOVER.jsonl")
     spark.stop()
   }
 }

@@ -404,26 +404,35 @@ object Dedup {
   def duplicateClusters(
       ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIterations: Int = 20,
-      localEdgeThreshold: Long = 1L << 21): DataFrame = {
+      localEdgeThreshold: Long = 1L << 21,
+      coBucketEdgeThreshold: Long = 24000000L): DataFrame = {
     val nodes = ids.select(col(idCol).as("id")).distinct().cache()
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().localCheckpoint(true)
-    // Adaptive strategy, same idea as the broadcast-join threshold: a
-    // dedup pair graph is usually a sliver of the corpus. Below the
-    // threshold, collect the edge list and run union-find on the driver
-    // (exact, O(E α(E)), no per-round job overhead); above it, fall
-    // through to the distributed hash-min/pointer-jump loop. A round-5
-    // warm interleaved A/B vs the bucketed-table regime
-    // ([[graft.operators.Graph.connectedComponentsCoBucketed]]) measured
-    // the shuffle loop FASTER at local[32] scales (6.4 s vs 7.8 s at
-    // 1.06M edges, 14.9 s vs 17.0 s at 10x — the co-bucketed layout's
-    // table writes cost more than the edge re-shuffles they save at
-    // this size); an earlier cold-JVM reading that favored co-bucketed
-    // 1.7x was run-order bias. The co-bucketed loop remains the
-    // explicit choice for graphs whose per-round edge shuffle is the
-    // bottleneck (its per-round exchanges are 2 node-sized, edges move
-    // once at layout).
+    // Three measured regimes, split by edge count (the same statistic
+    // the fixpoint test already needs):
+    //  - ≤ localEdgeThreshold: collect the edge list and union-find on
+    //    the driver (exact, O(E α(E)), no per-round job overhead).
+    //  - ≤ coBucketEdgeThreshold: the distributed hash-min/pointer-jump
+    //    shuffle loop. Round-5 warm interleaved A/B: faster than the
+    //    bucketed-table regime at 6.4 s vs 7.8 s / 1.06M edges and
+    //    14.9 s vs 17.0 s / 21M edges (the co-bucketed layout's table
+    //    writes cost more than the edge re-shuffles they save there);
+    //    an earlier cold-JVM reading that favored co-bucketed 1.7x was
+    //    run-order bias.
+    //  - above: [[graft.operators.Graph.connectedComponentsCoBucketed]].
+    //    The round-6 crossover grid (graft.Crossover, CROSSOVER.json;
+    //    warm, interleaved, min-of-2) measured the shuffle loop LOSING
+    //    4.2x at 32M edges (49.1 s vs 11.7 s), 5.1x at 42M (96.2 s vs
+    //    18.7 s), 6.7x at 64M (125.7 s vs 18.6 s), 7.8x at 128M
+    //    (240.2 s vs 30.8 s), and FAILING OUTRIGHT at 213M edges
+    //    (broadcast-build OOM inside the loop's planned joins) where
+    //    co-bucketed finished in 50 s — per-round edge re-shuffles are
+    //    the bottleneck exactly as the exchange profile predicts (2
+    //    node-sized exchanges/round vs 3 edge-sized). The 24M default
+    //    sits between the last measured shuffle-loop win (21M) and the
+    //    first measured co-bucketed win (32M).
     val edgeCount = edges.count()
     if (edgeCount <= localEdgeThreshold) {
       val spark = ids.sparkSession
@@ -445,6 +454,13 @@ object Dedup {
         .map(x => x -> find(x)).toMap
       val labelsDf = labelMap.toSeq.toDF("id", "label")
       return nodes.join(broadcast(labelsDf), Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("label"), col("id")).as("cluster_id"))
+    }
+    if (edgeCount > coBucketEdgeThreshold) {
+      val labels = graft.operators.Graph
+        .connectedComponentsCoBucketed(edges, maxIterations)
+      return nodes.join(labels, Seq("id"), "left")
         .select(col("id").as(idCol),
           coalesce(col("label"), col("id")).as("cluster_id"))
     }

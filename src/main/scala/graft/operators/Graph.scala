@@ -52,8 +52,33 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, iterations: Int,
       scale: Long = 1000000L, dampingScaled: Long = 850000L,
       broadcastNodeLimit: Long = 2000000L,
-      symmetric: Boolean = false): DataFrame = {
+      symmetric: Boolean = false,
+      coBucketEdgeThreshold: Long = 40000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Big-graph routing (symmetric graphs — the co-bucketed contract):
+    // when the node table is too big to broadcast AND the edge table is
+    // big enough that re-shuffling it every round dominates, the
+    // bucketed-table regime wins. Round-6 crossover grid
+    // (graft.Crossover, CROSSOVER.json; warm, interleaved, min-of-2):
+    // at 36M edges / 4.4M nodes the shuffle loop still won (9.6 s vs
+    // 11.3 s); at 54M / 6.6M co-bucketed won 2.4x (15.8 s vs 38.5 s);
+    // at 72M / 8.9M won 1.3x (23.7 s vs 30.2 s); at 120M / 14.7M the
+    // two loops tied within noise. The 40M default sits between the
+    // measured 36M shuffle win and the 54M co-bucketed win. (Local-mode
+    // broadcast is one in-process copy, so the bcast column of the grid
+    // understates cluster broadcast cost — broadcastNodeLimit stays at
+    // the conservative 2M.)
+    val symStats =
+      if (symmetric && iterations >= 1)
+        Some(edges.agg(count(lit(1)).as("m"),
+          approx_count_distinct(col("src")).as("n")).first())
+      else None
+    symStats.foreach { st =>
+      if (st.getLong(1) > broadcastNodeLimit &&
+          st.getLong(0) >= coBucketEdgeThreshold)
+        return pageRankCoBucketed(edges, iterations, scale = scale,
+          dampingScaled = dampingScaled)
+    }
     // Degree is loop-invariant, so attach it in the SAME pass that
     // materializes the working edge table: a count window over src fuses
     // scan + degree + attach into one shuffle, where agg-then-join would
@@ -74,7 +99,8 @@ object Graph {
     // a broadcast threshold — skip the corpus-sized distinct entirely.
     val nodes = if (symmetric) None else Some(allNodes.cache())
     val small = nodes.map(_.count()).getOrElse(
-      ew.agg(approx_count_distinct(col("src")).as("n")).first().getLong(0)
+      symStats.map(_.getLong(1)).getOrElse(
+        ew.agg(approx_count_distinct(col("src")).as("n")).first().getLong(0))
     ) <= broadcastNodeLimit
     // Adaptive plan, same idea as the CC edge threshold: the rank table
     // is node-sized; below the limit broadcast it so the edge table
@@ -808,10 +834,24 @@ object Graph {
     * shuffle, and a per-dst argmax via min_by on the (-count, label)
     * struct (deterministic: the ordering key contains the value).
     * localCheckpoint per round keeps the plan flat, same discipline as
-    * the PageRank/CC loops. Above `broadcastNodeLimit` use
-    * [[labelPropagationCoBucketed]]. */
+    * the PageRank/CC loops.
+    *
+    * Above `broadcastNodeLimit` the big-graph regime IS
+    * [[labelPropagationCoBucketed]] (routed here): the round-6
+    * crossover grid (graft.Crossover, CROSSOVER.json; warm,
+    * interleaved, min-of-2) measured the co-bucketed loop beating the
+    * degraded shuffle-join rounds at every scale where broadcast is
+    * off the table — 31.9 s vs 44.2 s at 64M edges, 36.7 s vs 52.6 s
+    * at 128M, 96.9 s vs 169.3 s at 213M (1.4-1.7x) — so the shuffle
+    * fallback survives only behind `coBucketAboveBroadcast = false`
+    * (the A/B harness needs it; production callers should not). */
   def labelPropagation(edges: DataFrame, iterations: Int,
-      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+      broadcastNodeLimit: Long = 2000000L,
+      coBucketAboveBroadcast: Boolean = true): DataFrame = {
+    val est = edges.agg(approx_count_distinct(col("src")).as("n"))
+      .first().getLong(0)
+    if (est > broadcastNodeLimit && coBucketAboveBroadcast)
+      return labelPropagationCoBucketed(edges, iterations)
     // Partition the edge table by DST, not src: the per-round join is a
     // BROADCAST of the label table (no src co-location needed), and
     // hash(dst) satisfies the clustering requirement of BOTH round aggs
@@ -824,8 +864,7 @@ object Graph {
     // rounds exchange-free.
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("dst")).cache()
-    val nNodes = ew.agg(approx_count_distinct(col("src")).as("n"))
-      .first().getLong(0)
+    val nNodes = est
     def maybeB(df: DataFrame): DataFrame =
       if (nNodes <= broadcastNodeLimit) broadcast(df) else df
     var labels = ew.select(col("src").as("id")).distinct()

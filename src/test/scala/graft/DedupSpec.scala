@@ -104,6 +104,12 @@ class DedupSpec extends SparkSpec {
     val dist = Dedup.duplicateClusters(ids, "doc_id", pairs,
       localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
     assert(dist == expected)
+    // force the big-graph co-bucketed route (round-6 measured regime);
+    // must agree bit-for-bit too
+    val cb = Dedup.duplicateClusters(ids, "doc_id", pairs,
+      localEdgeThreshold = 0L, coBucketEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(cb == expected)
   }
 
   test("duplicateClusters: local and distributed paths agree on a random graph") {
@@ -119,6 +125,10 @@ class DedupSpec extends SparkSpec {
     val dist = Dedup.duplicateClusters(ids, "doc_id", pairs,
       localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
     assert(local == dist)
+    val cb = Dedup.duplicateClusters(ids, "doc_id", pairs,
+      localEdgeThreshold = 0L, coBucketEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == cb)
   }
 
   test("unblocked ngram pair joins refuse oversized inputs") {

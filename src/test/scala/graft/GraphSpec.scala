@@ -104,6 +104,25 @@ class GraphSpec extends SparkSpec {
       .exists(_.name.startsWith("graftspec_lpa")))
   }
 
+  test("big-graph routing agrees with the small-graph regimes bit-for-bit") {
+    val e = symGraph
+    // LPA above broadcastNodeLimit now ROUTES to the co-bucketed loop
+    // (round-6 crossover measurement); same labels either way
+    val lpaWant = Graph.labelPropagation(e, iterations = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val lpaRouted = Graph.labelPropagation(e, iterations = 3,
+      broadcastNodeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(lpaRouted == lpaWant)
+    // symmetric PageRank above both thresholds routes to co-bucketed
+    val prWant = Graph.pageRankFixedPoint(e, iterations = 3, symmetric = true)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val prRouted = Graph.pageRankFixedPoint(e, iterations = 3,
+      symmetric = true, broadcastNodeLimit = 0L, coBucketEdgeThreshold = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(prRouted == prWant)
+  }
+
   test("co-bucketed BFS matches the frontier regime") {
     val e = symGraph
     val seeds = Seq(100L).toDF("id")
