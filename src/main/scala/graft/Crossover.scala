@@ -24,6 +24,8 @@ import org.apache.spark.sql.functions._
   *         duplicateClusters distributed regime, inlined so the A/B is
   *         honest regardless of routing) vs
   *         [[Graph.connectedComponentsCoBucketed]].
+  *  - bfs / hits: broadcast vs shuffle vs co-bucketed, q136/q131
+  *         shapes (not in the default algo set — select explicitly).
   *
   * Output: one `XOVER` line per (mult, algo, variant, rep) and one
   * `XOVER_SUMMARY` per (mult, algo) with the min-of-reps seconds; every
@@ -87,6 +89,23 @@ object Crossover {
           canon.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint(true)
     }
+
+    // BFS graph (q136 shape): disjoint doubled bipartite copies with
+    // per-copy seed sets; HITS graph (q131 shape): the directed
+    // bipartite without doubling.
+    def bfsEdges(mult: Int): DataFrame = {
+      val fwd = amplified(mult, shiftParts = true)
+        .select((col("o") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(true)
+    }
+    def bfsSeeds(mult: Int): DataFrame =
+      amplified(mult, shiftParts = true).filter(col("p") % 97 === 0)
+        .select((col("p") * 2 + 1).as("id")).distinct().localCheckpoint(true)
+    def hitsEdges(mult: Int): DataFrame =
+      amplified(mult, shiftParts = true)
+        .select((col("o") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        .distinct().localCheckpoint(true)
 
     // duplicateClusters' distributed regime: hash-min + pointer jump,
     // edges re-join the label table every round (3 shuffles/round on the
@@ -186,6 +205,21 @@ object Crossover {
         Graph.connectedComponentsCoBucketed(wCo,
           tablePrefix = "graft_xw_cc").count()
       }
+      if (algos("bfs")) {
+        val e = bfsEdges(1); val sd = bfsSeeds(1)
+        Graph.bfsDistances(e, sd, 4, broadcastNodeLimit = Long.MaxValue).count()
+        Graph.bfsDistances(e, sd, 4, broadcastNodeLimit = 0).count()
+        Graph.bfsDistancesCoBucketed(e, sd, 4,
+          tablePrefix = "graft_xw_bfs").count()
+        e.unpersist(); sd.unpersist()
+      }
+      if (algos("hits")) {
+        val e = hitsEdges(1)
+        Graph.hits(e, 2, broadcastNodeLimit = Long.MaxValue).count()
+        Graph.hits(e, 2, broadcastNodeLimit = 0).count()
+        Graph.hitsCoBucketed(e, 2, tablePrefix = "graft_xw_hits").count()
+        e.unpersist()
+      }
       wPr.unpersist(); wCo.unpersist()
       println("XOVER warmup done")
     }
@@ -219,6 +253,31 @@ object Crossover {
           "cobucket" -> ((ed: DataFrame) =>
             Graph.connectedComponentsCoBucketed(ed,
               tablePrefix = s"graft_x_cc_$mult").count())))
+        e.unpersist()
+      }
+      if (algos("bfs")) {
+        val e = bfsEdges(mult)
+        val sd = bfsSeeds(mult)
+        val nodes = e.select("src").distinct().count()
+        runGrid(mult, "bfs", e, nodes, Seq(
+          "bcast" -> ((ed: DataFrame) => Graph.bfsDistances(ed, sd, 4,
+            broadcastNodeLimit = Long.MaxValue).count()),
+          "shuffle" -> ((ed: DataFrame) => Graph.bfsDistances(ed, sd, 4,
+            broadcastNodeLimit = 0).count()),
+          "cobucket" -> ((ed: DataFrame) => Graph.bfsDistancesCoBucketed(
+            ed, sd, 4, tablePrefix = s"graft_x_bfs_$mult").count())))
+        e.unpersist(); sd.unpersist()
+      }
+      if (algos("hits")) {
+        val e = hitsEdges(mult)
+        val nodes = e.select("src").distinct().count()
+        runGrid(mult, "hits", e, nodes, Seq(
+          "bcast" -> ((ed: DataFrame) => Graph.hits(ed, 2,
+            broadcastNodeLimit = Long.MaxValue).count()),
+          "shuffle" -> ((ed: DataFrame) => Graph.hits(ed, 2,
+            broadcastNodeLimit = 0).count()),
+          "cobucket" -> ((ed: DataFrame) => Graph.hitsCoBucketed(ed, 2,
+            tablePrefix = s"graft_x_hits_$mult").count())))
         e.unpersist()
       }
     }

