@@ -208,7 +208,8 @@ object Crossover {
       if (algos("bfs")) {
         val e = bfsEdges(1); val sd = bfsSeeds(1)
         Graph.bfsDistances(e, sd, 4, broadcastNodeLimit = Long.MaxValue).count()
-        Graph.bfsDistances(e, sd, 4, broadcastNodeLimit = 0).count()
+        Graph.bfsDistances(e, sd, 4, broadcastNodeLimit = 0,
+          coBucketAboveBroadcast = false).count()
         Graph.bfsDistancesCoBucketed(e, sd, 4,
           tablePrefix = "graft_xw_bfs").count()
         e.unpersist(); sd.unpersist()
@@ -216,7 +217,8 @@ object Crossover {
       if (algos("hits")) {
         val e = hitsEdges(1)
         Graph.hits(e, 2, broadcastNodeLimit = Long.MaxValue).count()
-        Graph.hits(e, 2, broadcastNodeLimit = 0).count()
+        Graph.hits(e, 2, broadcastNodeLimit = 0,
+          coBucketAboveBroadcast = false).count()
         Graph.hitsCoBucketed(e, 2, tablePrefix = "graft_xw_hits").count()
         e.unpersist()
       }
@@ -263,7 +265,7 @@ object Crossover {
           "bcast" -> ((ed: DataFrame) => Graph.bfsDistances(ed, sd, 4,
             broadcastNodeLimit = Long.MaxValue).count()),
           "shuffle" -> ((ed: DataFrame) => Graph.bfsDistances(ed, sd, 4,
-            broadcastNodeLimit = 0).count()),
+            broadcastNodeLimit = 0, coBucketAboveBroadcast = false).count()),
           "cobucket" -> ((ed: DataFrame) => Graph.bfsDistancesCoBucketed(
             ed, sd, 4, tablePrefix = s"graft_x_bfs_$mult").count())))
         e.unpersist(); sd.unpersist()
@@ -275,7 +277,7 @@ object Crossover {
           "bcast" -> ((ed: DataFrame) => Graph.hits(ed, 2,
             broadcastNodeLimit = Long.MaxValue).count()),
           "shuffle" -> ((ed: DataFrame) => Graph.hits(ed, 2,
-            broadcastNodeLimit = 0).count()),
+            broadcastNodeLimit = 0, coBucketAboveBroadcast = false).count()),
           "cobucket" -> ((ed: DataFrame) => Graph.hitsCoBucketed(ed, 2,
             tablePrefix = s"graft_x_hits_$mult").count())))
         e.unpersist()

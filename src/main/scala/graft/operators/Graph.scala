@@ -161,21 +161,27 @@ object Graph {
     * broadcast join (node-sized score table) + one hash agg whose
     * grouping key equals the cached partitioning — ZERO per-round
     * Exchange on the edge table (plan-asserted in GraphSpec). Above
-    * `broadcastNodeLimit` the joins degrade to shuffles; the bucketed
-    * loop of [[pageRankCoBucketed]] applies the same way if needed.
+    * `broadcastNodeLimit` this ROUTES to [[hitsCoBucketed]].
     *
     * @return (id, hub, auth) for every node of `edges`; sink nodes have
     *         hub = 0, source nodes auth = 0 */
   def hits(edges: DataFrame, iterations: Int,
-      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+      broadcastNodeLimit: Long = 2000000L,
+      coBucketAboveBroadcast: Boolean = true): DataFrame = {
     require(iterations >= 1, "HITS needs at least one round")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val eSrc = e.repartition(col("src")).cache()
-    val eDst = e.repartition(col("dst")).cache()
-    val est = eDst.agg(
+    val est = e.agg(
       approx_count_distinct(col("src")).as("ns"),
       approx_count_distinct(col("dst")).as("nd")).first()
     val small = est.getLong(0) + est.getLong(1) <= broadcastNodeLimit
+    // Above the broadcast limit the big-graph regime IS the bucketed
+    // loop (round-6 crossover grid: co-bucketed beat the shuffle
+    // half-rounds 1.16x at 18M edges and 1.6x at 36M — CROSSOVER.json);
+    // the shuffle fallback stays reachable for the A/B harness only.
+    if (!small && coBucketAboveBroadcast)
+      return hitsCoBucketed(edges, iterations)
+    val eSrc = e.repartition(col("src")).cache()
+    val eDst = e.repartition(col("dst")).cache()
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // round 1 authority = in-degree (h₀ is the constant 1) — no join
     var auth = eDst.groupBy(col("dst").as("id"))
@@ -225,7 +231,7 @@ object Graph {
     * Scale shape per round (broadcast regime): one broadcast join
     * against the dst-partitioned cached edge table + one hash agg on the
     * SAME dst key (exchange-free, the LPA layout argument) + one
-    * broadcast anti-join. Above `broadcastNodeLimit`, use
+    * broadcast anti-join. Above `broadcastNodeLimit` this ROUTES to
     * [[bfsDistancesCoBucketed]] — the bucketed-table regime where the
     * edge table shuffles once at layout and every round plans exactly
     * one Exchange.
@@ -234,12 +240,19 @@ object Graph {
     *              unreached within `maxHops` and are not returned
     * @return (id, dist) with dist ∈ [0, maxHops] */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+      broadcastNodeLimit: Long = 2000000L,
+      coBucketAboveBroadcast: Boolean = true): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
+    val small = edges.agg(approx_count_distinct(col("dst")).as("n"))
+      .first().getLong(0) <= broadcastNodeLimit
+    // Above the broadcast limit the big-graph regime IS the bucketed
+    // loop (round-6 crossover grid: co-bucketed beat the shuffle
+    // rounds 2.1x at 36M edges, 1.1x at 72M — CROSSOVER.json); the
+    // shuffle fallback stays reachable for the A/B harness only.
+    if (!small && coBucketAboveBroadcast)
+      return bfsDistancesCoBucketed(edges, seeds, maxHops)
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("dst")).cache()
-    val small = ew.agg(approx_count_distinct(col("dst")).as("n"))
-      .first().getLong(0) <= broadcastNodeLimit
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val seed0 = seeds.select(col("id").cast("long"), lit(0L).as("dist"))
       .distinct().localCheckpoint(true)

@@ -121,6 +121,19 @@ class GraphSpec extends SparkSpec {
       symmetric = true, broadcastNodeLimit = 0L, coBucketEdgeThreshold = 0L)
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(prRouted == prWant)
+    // BFS and HITS above broadcastNodeLimit route to co-bucketed too
+    val seeds = Seq(100L).toDF("id")
+    val bfsWant = Graph.bfsDistances(e, seeds, maxHops = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val bfsRouted = Graph.bfsDistances(e, seeds, maxHops = 3,
+      broadcastNodeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(bfsRouted == bfsWant)
+    val hitsWant = Graph.hits(e, iterations = 2)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    val hitsRouted = Graph.hits(e, iterations = 2, broadcastNodeLimit = 0L)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    assert(hitsRouted == hitsWant)
   }
 
   test("co-bucketed BFS matches the frontier regime") {
