@@ -270,13 +270,23 @@ object Multimodal {
   def syntheticDims(id: Long): (Int, Int) =
     ((8 + id % 9).toInt, (8 + id % 7).toInt)
 
+  /** Spread the id column across the session's full parallelism before
+    * a generate/encode mapPartitions: a small parquet source arrives as
+    * ONE split, which would serialize the whole codec stage onto one
+    * task (measured: q143's GIF stage ran 8.8 s single-task vs ~1.5 s
+    * spread). The exchange carries only the 8-byte ids — payloads are
+    * generated after it. The real-file analog is
+    * [[repartitionForDecode]], which balances by payload bytes. */
+  private def spreadIds(ids: DataFrame): DataFrame =
+    ids.repartition(ids.sparkSession.sparkContext.defaultParallelism)
+
   /** Media frame with REAL PNG payloads, one per source doc_id:
     * the [[syntheticPng]] fixture generated in the scan stage
     * (mapPartitions — encoding is the codec boundary, same as decode).
     * media_id = doc_id so oracles can reason about the pixel function. */
   def fromSyntheticImages(docs: DataFrame): DataFrame = {
     val enc = Encoders.row(mediaSchema)
-    docs.select(col("doc_id").cast("long").as("media_id")).mapPartitions { rows =>
+    spreadIds(docs.select(col("doc_id").cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val (w, h) = syntheticDims(id)
@@ -372,7 +382,7 @@ object Multimodal {
     * scan stage like [[fromSyntheticImages]]. */
   def fromSyntheticVideos(docs: DataFrame, frameMs: Int = 100): DataFrame = {
     val enc = Encoders.row(mediaSchema)
-    docs.select(col("doc_id").cast("long").as("media_id")).mapPartitions { rows =>
+    spreadIds(docs.select(col("doc_id").cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val (w, h) = syntheticDims(id)
@@ -454,7 +464,7 @@ object Multimodal {
   /** Media frame with REAL WAV payloads, one per source doc_id. */
   def fromSyntheticAudio(docs: DataFrame): DataFrame = {
     val enc = Encoders.row(mediaSchema)
-    docs.select(col("doc_id").cast("long").as("media_id")).mapPartitions { rows =>
+    spreadIds(docs.select(col("doc_id").cast("long").as("media_id"))).mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val n = syntheticSampleCount(id)
