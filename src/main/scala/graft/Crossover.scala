@@ -181,29 +181,35 @@ object Crossover {
         java.nio.file.StandardOpenOption.APPEND)
     }
 
-    // Warm every code path once on a tiny graph so rep 1 of the real
-    // grid is steady-state (codegen + bucketed-write paths compiled).
+    // Warm every SELECTED code path once on a tiny graph so rep 1 of
+    // the real grid is steady-state (codegen + bucketed-write paths
+    // compiled). Graphs are built lazily per algo family — an
+    // unselected family's warm graph must not cost startup jobs.
     {
-      val wPr = prEdges(1)
-      val wCo = coEdges(1)
       if (algos("pr")) {
+        val wPr = prEdges(1)
         Graph.pageRankFixedPoint(wPr, 3, broadcastNodeLimit = Long.MaxValue,
           symmetric = true).count()
         Graph.pageRankFixedPoint(wPr, 3, broadcastNodeLimit = 0,
           symmetric = true, coBucketEdgeThreshold = Long.MaxValue).count()
         Graph.pageRankCoBucketed(wPr, 3, tablePrefix = "graft_xw_pr").count()
+        wPr.unpersist()
       }
-      if (algos("lpa")) {
-        Graph.labelPropagation(wCo, 3, broadcastNodeLimit = Long.MaxValue).count()
-        Graph.labelPropagation(wCo, 3, broadcastNodeLimit = 0,
-          coBucketAboveBroadcast = false).count()
-        Graph.labelPropagationCoBucketed(wCo, 3,
-          tablePrefix = "graft_xw_lpa").count()
-      }
-      if (algos("cc")) {
-        ccShuffleLoop(wCo)
-        Graph.connectedComponentsCoBucketed(wCo,
-          tablePrefix = "graft_xw_cc").count()
+      if (algos("lpa") || algos("cc")) {
+        val wCo = coEdges(1)
+        if (algos("lpa")) {
+          Graph.labelPropagation(wCo, 3, broadcastNodeLimit = Long.MaxValue).count()
+          Graph.labelPropagation(wCo, 3, broadcastNodeLimit = 0,
+            coBucketAboveBroadcast = false).count()
+          Graph.labelPropagationCoBucketed(wCo, 3,
+            tablePrefix = "graft_xw_lpa").count()
+        }
+        if (algos("cc")) {
+          ccShuffleLoop(wCo)
+          Graph.connectedComponentsCoBucketed(wCo,
+            tablePrefix = "graft_xw_cc").count()
+        }
+        wCo.unpersist()
       }
       if (algos("bfs")) {
         val e = bfsEdges(1); val sd = bfsSeeds(1)
@@ -222,7 +228,6 @@ object Crossover {
         Graph.hitsCoBucketed(e, 2, tablePrefix = "graft_xw_hits").count()
         e.unpersist()
       }
-      wPr.unpersist(); wCo.unpersist()
       println("XOVER warmup done")
     }
 

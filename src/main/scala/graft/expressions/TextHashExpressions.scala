@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge.{column, expression}
@@ -340,7 +340,10 @@ object TextHash {
   }
 }
 
-case class AdjacentPairsExpr(child: Expression) extends UnaryExpression {
+case class AdjacentPairsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  // getUTF8String on non-string ArrayData storage crashes or mis-reads
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     TextHash.adjacentPairs(a.asInstanceOf[ArrayData])
@@ -361,7 +364,10 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // getLong on non-long ArrayData storage mis-reads silently; require
+  // array<long> at analysis time (the IntersectSortedLongs discipline)
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHash.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -373,7 +379,10 @@ case class JaccardSorted(left: Expression, right: Expression)
 }
 
 case class ContainmentSorted(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // getLong on non-long ArrayData storage mis-reads silently; require
+  // array<long> at analysis time (the IntersectSortedLongs discipline)
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHash.containment(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -384,7 +393,9 @@ case class ContainmentSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class MinHashFromHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashFromHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     TextHash.minhashFrom(a.asInstanceOf[ArrayData], k)
@@ -395,7 +406,8 @@ case class MinHashFromHashesExpr(child: Expression, k: Int) extends UnaryExpress
 }
 
 case class JaccardSortedGE(left: Expression, right: Expression, t: Double)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     TextHash.jaccardGE(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], t)

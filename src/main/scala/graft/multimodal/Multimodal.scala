@@ -125,14 +125,26 @@ object Multimodal {
       * decoded once even when several sample timestamps land on it) —
       * the shared engine of [[sampleFrames]] and
       * [[Multimodal.frameGraySums]], which avoids a PNG encode→decode
-      * round trip per sample when only pixel math is needed. */
-    def sampleFrameImages(payload: Array[Byte],
-        everyMs: Long): Seq[java.awt.image.BufferedImage] = {
+      * round trip per sample when only pixel math is needed.
+      *
+      * At most `maxSamples` timestamps are emitted — the per-row memory
+      * bound every [[MediaCodec]] honors (a pathological delay table
+      * must not buffer unbounded frames in one task). Callers whose
+      * `everyMs`/duration can exceed the cap must raise it explicitly;
+      * the q143 oracle's closed form (ceil(nf·100/150) ≤ 4) stays
+      * strictly under the default 8. */
+    def sampleFrameImages(payload: Array[Byte], everyMs: Long,
+        maxSamples: Int = 8): Seq[java.awt.image.BufferedImage] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "ImageIOCodec: no GIF reader registered")
-      val reader = readers.next()
+      val reader =
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext,
+            "ImageIOCodec: no registered reader recognizes this payload " +
+              "(corrupt or truncated image header?)")
+          readers.next()
+        } catch { case e: Throwable => iis.close(); throw e }
       try {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
@@ -153,7 +165,7 @@ object Multimodal {
         val total = starts.last
         val step = math.max(1L, everyMs)
         val stamps = Iterator.iterate(0L)(_ + step).takeWhile(_ < total)
-          .take(8).toVector
+          .take(maxSamples).toVector
         val frameIdx = stamps.map { t =>
           var i = 0
           while (i + 1 < n && starts(i + 1) <= t) i += 1
@@ -398,8 +410,11 @@ object Multimodal {
     * sampled frame to its gray-value sum — the per-frame scalar feature
     * an oracle can recompute when payloads are [[syntheticGif]]s.
     * Decode of the sampled PNG frames reuses the same codec. Output:
-    * (media_id, sample_idx, gray_sum). */
-  def frameGraySums(media: DataFrame, everyMs: Long): DataFrame = {
+    * (media_id, sample_idx, gray_sum); at most `maxSamples` samples per
+    * payload (the codec's per-row memory bound — see
+    * [[ImageIOCodec.sampleFrameImages]]). */
+  def frameGraySums(media: DataFrame, everyMs: Long,
+      maxSamples: Int = 8): DataFrame = {
     val enc = Encoders.row(StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("sample_idx", IntegerType, nullable = false),
@@ -409,7 +424,7 @@ object Multimodal {
       rows.flatMap { r =>
         val p = r.getAs[Array[Byte]]("payload")
         if (p == null || !c.isGif(p)) Iterator.empty
-        else c.sampleFrameImages(p, everyMs).iterator.zipWithIndex.map {
+        else c.sampleFrameImages(p, everyMs, maxSamples).iterator.zipWithIndex.map {
           case (img, i) =>
             // sum straight off the decoded frame — no PNG round trip
             var s = 0L
