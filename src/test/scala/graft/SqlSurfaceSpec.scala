@@ -97,5 +97,14 @@ class SqlSurfaceSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "SELECT gram_upper_triangle(v) FROM VALUES (array(1.5D)) AS t(v)").collect())
     assert(e2.getMessage.toLowerCase.contains("type"))
+    // the full ArrayData-consuming family is guarded (round-6 review):
+    // int arrays must not silently mis-read as longs, and adjacent_pairs
+    // must reject non-string arrays
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT containment_sorted(array(1, 2), array(2, 3))").collect())
+    assert(e3.getMessage.toLowerCase.contains("type"))
+    val e4 = intercept[Exception](spark.sql(
+      "SELECT adjacent_pairs(array(1, 2))").collect())
+    assert(e4.getMessage.toLowerCase.contains("type"))
   }
 }
