@@ -17,17 +17,15 @@ object GraftSession {
       .appName(appName)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
-      // Minimum suggested file-split count: a small-but-not-tiny parquet
-      // table (lineitem at sf0.1: 11 MB) is otherwise ONE 128MB-bounded
-      // split, serializing its scan stage onto a single task. Scale-
-      // neutral (a MINIMUM; at 100 TB maxPartitionBytes governs) and
-      // measured bench-neutral at sf0.1 (88.2 vs 85.1 s, within the
-      // ±2 s heavy-query spreads) — kept as the structural guard against
-      // the single-task-scan class. NOTE openCostInBytes (4 MB) still
-      // floors split sizes, so sub-4MB files stay one split — per-row-
-      // expensive stages over tiny sources additionally need an explicit
-      // spread (Multimodal.spreadIds, the q143 lesson: 8.8 s → 1.0 s).
-      .config("spark.sql.files.minPartitionNum", cpus)
+      // Deliberately NOT setting spark.sql.files.minPartitionNum: its
+      // unset fallback is already leafNodeDefaultParallelism (= the
+      // session's defaultParallelism), so pinning it to the core count
+      // is a no-op — verified empirically (lineitem at sf0.1 reads as 3
+      // splits either way; the openCostInBytes 4 MB floor keeps sub-4MB
+      // files at ONE split regardless). Per-row-expensive stages over
+      // tiny sources therefore need an explicit spread — that is
+      // Multimodal.spreadIds (the q143 lesson: 8.8 s → 1.0 s), not a
+      // session knob.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -50,8 +48,6 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.files.minPartitionNum",
-      spark.sparkContext.defaultParallelism)
     spark
   }
 }

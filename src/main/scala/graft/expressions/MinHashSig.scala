@@ -50,7 +50,10 @@ object MinHashSig {
 }
 
 case class SigOverlapExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // getLong on non-long ArrayData storage mis-reads silently
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -75,7 +78,12 @@ case class SigOverlapExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // consumes STRING shingles (getUTF8String), unlike the array<long>
+  // signature family
+  override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     MinHashSig.sig(a.asInstanceOf[ArrayData], k)

@@ -428,7 +428,9 @@ case class ShingleHashes31(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-case class MinHash31Expr(child: Expression, k: Int) extends UnaryExpression {
+case class MinHash31Expr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     TextHash.minhash31From(a.asInstanceOf[ArrayData], k)

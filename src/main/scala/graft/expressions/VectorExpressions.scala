@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge.{column, expression}
@@ -120,7 +120,10 @@ object RademacherSigns {
 }
 
 case class RademacherBuckets(child: Expression, nBits: Int, nTables: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  // getFloat on non-float ArrayData storage mis-reads silently;
+  // implicit cast coerces array<double> literals/columns to float
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     RademacherSigns.buckets(a.asInstanceOf[ArrayData], nBits, nTables)
@@ -197,7 +200,8 @@ object PqKernel {
 }
 
 case class PqCodes(child: Expression, cb: Array[Float], numSubspaces: Int,
-    codebookSize: Int) extends UnaryExpression {
+    codebookSize: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     PqKernel.codes(a.asInstanceOf[ArrayData], cb, numSubspaces, codebookSize)
@@ -211,7 +215,8 @@ case class PqCodes(child: Expression, cb: Array[Float], numSubspaces: Int,
 }
 
 case class PqLut(child: Expression, cb: Array[Float], numSubspaces: Int,
-    codebookSize: Int) extends UnaryExpression {
+    codebookSize: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullSafeEval(a: Any): Any =
     PqKernel.lut(a.asInstanceOf[ArrayData], cb, numSubspaces, codebookSize)
@@ -225,7 +230,9 @@ case class PqLut(child: Expression, cb: Array[Float], numSubspaces: Int,
 }
 
 case class PqAdc(left: Expression, right: Expression, codebookSize: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // left: PQ codes (array<int>), right: the query LUT (array<double>)
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     PqKernel.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
@@ -239,7 +246,8 @@ case class PqAdc(left: Expression, right: Expression, codebookSize: Int)
 }
 
 case class FloatVecDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -264,7 +272,10 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class FloatVecNormSq(child: Expression) extends UnaryExpression {
+case class FloatVecNormSq(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  // getFloat on non-float ArrayData storage mis-reads silently;
+  // implicit cast coerces array<double> literals/columns to float
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -291,7 +302,8 @@ case class FloatVecNormSq(child: Expression) extends UnaryExpression {
 
 /** cosine(a,b) = dot / (|a|·|b|) in one pass. */
 case class FloatVecCosine(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
@@ -326,7 +338,8 @@ case class FloatVecCosine(left: Expression, right: Expression)
 /** [[HyperplaneBucket]] for `nTables` independent families (seed + t):
   * returns array<long> of bucket keys, one per table. */
 case class HyperplaneBuckets(child: Expression, nBits: Int, nTables: Int, seed: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -379,7 +392,8 @@ case class HyperplaneBuckets(child: Expression, nBits: Int, nTables: Int, seed: 
   * components come from a splitmix64 of (seed, bit, dim): deterministic,
   * identical across executors, nothing broadcast. */
 case class HyperplaneBucket(child: Expression, nBits: Int, seed: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(FloatType))
   require(nBits <= 63, "bucket must fit a long")
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any): Any = {

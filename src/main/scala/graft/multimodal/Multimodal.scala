@@ -144,7 +144,11 @@ object Multimodal {
             "ImageIOCodec: no registered reader recognizes this payload " +
               "(corrupt or truncated image header?)")
           readers.next()
-        } catch { case e: Throwable => iis.close(); throw e }
+        } catch { case e: Throwable =>
+          // close() must not mask the real failure
+          try iis.close() catch { case s: Throwable => e.addSuppressed(s) }
+          throw e
+        }
       try {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
