@@ -2093,6 +2093,22 @@ object SparkEntry {
       multimodal.Multimodal.audioFeatures(
         multimodal.Multimodal.fromSyntheticAudio(Tables.documents(s, dir)))
         .orderBy("media_id"))
+        ,
+
+    // q48's clustering FORCED through the big-graph co-bucketed CC
+    // regime (both thresholds 0): the bucketed-table loop that round-6's
+    // crossover grid made the >24M-edge production route runs here under
+    // the driver's own DuckDB oracle — hash-checked end-to-end, not just
+    // parity-tested against its sibling in GraphSpec. Same answer as
+    // q48 by construction (same integer hash-min fixpoint).
+    "q145_cc_cobucket" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang", "source"), threshold = 0.08, shingleSize = 2)
+      Dedup.duplicateClusters(docs, "doc_id", pairs,
+        localEdgeThreshold = 0L, coBucketEdgeThreshold = 0L)
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2731,6 +2747,31 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q48_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang, source,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |    i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+        |         string_split_regex(lower(trim(text)), '\s+')[i+1])) AS tk
+        | FROM documents),
+        |j AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.tk, b.tk))) >= 0.08),
+        |edges AS (
+        | SELECT id_a AS src, id_b AS dst FROM j
+        | UNION SELECT id_b, id_a FROM j),
+        |reach(id, comp) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(comp) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // identical semantics to q48 — the Spark side routes through the
+    // co-bucketed big-graph CC regime instead of the small-graph paths
+    "q145_cc_cobucket" ->
       """WITH RECURSIVE t AS (SELECT doc_id, lang, source,
         |  list_distinct(list_transform(
         |    generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
