@@ -8,6 +8,27 @@ object Bench {
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Queries that deliberately FORCE a scale regime the fixture doesn't
+    * warrant (oracle coverage of the big-graph code path, not a
+    * representative workload). They stay in `value`/`queries` but are
+    * excluded from `core_value`, so round-over-round totals compare
+    * without a mental footnote. */
+  private[graft] val forcedRegime: Set[String] = Set("q145_cc_cobucket")
+
+  /** Families whose first rep at the TARGET SF pays one-time costs the
+    * sf0.001 warm-up can't burn: codec/mapPartitions queries JIT their
+    * per-row decode loops only after thousands of invocations (sf0.001
+    * has ~600 docs), and the iterative-graph loops JIT per-round
+    * codegen + checkpoint paths. One untimed target-SF rep each, so the
+    * timed min/spread measure the plan, not C2 compilation (round-7
+    * verdict: q143 spread 7.8 s on a 0.76 s min). */
+  private[graft] val warmAtTargetSf: Set[String] = Set(
+    "q37_media_meta", "q38_media_features", "q39_frame_counts",
+    "q143_video_frames", "q144_audio_features",
+    "q48_dup_clusters", "q65_pagerank", "q111_triangles",
+    "q114_label_prop", "q122_kcore", "q125_ppr", "q131_hits",
+    "q136_bfs", "q145_cc_cobucket")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,6 +55,13 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     selected.foreach { case (_, fn) =>
       try exec(fn(spark, warmDir)) catch { case _: Throwable => }
+    }
+    // One untimed TARGET-SF rep for the codec and iterative-graph
+    // families (see warmAtTargetSf) — their dominant one-time cost is
+    // data-volume-dependent JIT that the tiny-SF pass cannot reach.
+    selected.foreach { case (name, fn) =>
+      if (warmAtTargetSf.contains(name))
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => }
     }
     // Drop every warm-up InMemoryRelation so the timed loop can never
     // read a cache built above — even when the target SF IS sf0.001.
@@ -71,8 +99,15 @@ object Bench {
           "%.4f".formatLocal(java.util.Locale.ROOT, sel(t))).getOrElse("null")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2.map(_._1)).sum
+    // core_value excludes the deliberately-forced-regime queries so
+    // round-over-round totals are comparable without footnotes; `value`
+    // stays the all-in total for continuity with earlier rounds.
+    val coreTotal = results.collect {
+      case (name, Some((t, _))) if !forcedRegime.contains(name) => t }.sum
+    val forced = forcedRegime.intersect(selected.map(_._1).toSet)
+      .toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(_._1)},"spread":${fmt(_._2)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"core_value":$coreTotal,"forced_regime":$forced,"unit":"sec","queries":${fmt(_._1)},"spread":${fmt(_._2)},"reps":$reps,"sf":"$sfDir"}"""
     // The JSON line goes out FIRST and flushed — before spark.stop()'s
     // shutdown chatter — because two prior rounds' driver-side parse of
     // stdout came back null (tail truncation). It is also persisted as a

@@ -39,6 +39,17 @@ import org.apache.spark.sql.functions._
   *      SPARK_GRAFT_REPS (default 2), SPARK_DRIVER_MEM (give it 48g).
   */
 object Crossover {
+
+  /** One CROSSOVER.jsonl cell, locale-pinned: an `f"$s%.3f"` under a
+    * comma-decimal default locale (fr_FR, de_DE, …) writes `1,234`
+    * inside the secs array — invalid JSON. Every numeric format in a
+    * machine-readable artifact goes through Locale.ROOT. */
+  private[graft] def jsonCell(mult: Int, algo: String, variant: String,
+      edges: Long, nodes: Long, secs: Seq[Double]): String =
+    s"""{"mult":$mult,"algo":"$algo","variant":"$variant","edges":$edges,""" +
+      s""""nodes":$nodes,"secs":[${secs.map(s =>
+        "%.3f".formatLocal(java.util.Locale.ROOT, s)).mkString(",")}]}"""
+
   def main(args: Array[String]): Unit = {
     val mults = args.headOption.filter(_.nonEmpty)
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(30, 60, 100))
@@ -171,9 +182,7 @@ object Crossover {
       // moment they exist (the first 60x attempt died mid-run and left
       // no artifact at all)
       val lines = variants.map { case (vname, _) =>
-        s"""{"mult":$mult,"algo":"$algo","variant":"$vname","edges":$m,""" +
-          s""""nodes":$nodes,"secs":[${times(vname).map(s => f"$s%.3f")
-            .mkString(",")}]}""" + "\n"
+        jsonCell(mult, algo, vname, m, nodes, times(vname)) + "\n"
       }.mkString
       java.nio.file.Files.write(java.nio.file.Paths.get("CROSSOVER.jsonl"),
         lines.getBytes("UTF-8"),

@@ -4247,7 +4247,10 @@ object SparkEntry {
     // syntheticGif frame f: gray pixel(x,y) = (base + 7x + 13y + 17f)
     // % 256 with base = (id % 1000003)·31; nf = 1 + id % 6 frames of
     // 100 ms each; sampling at 150 ms takes t = 0, 150, … < nf·100 and
-    // shows frame t // 100 at each stamp.
+    // shows frame t // 100 at each stamp. LEAST(…, 8) is the codec's
+    // maxSamples per-row memory cap — encoded here so the oracle states
+    // the full contract (the fixture's ceil(nf·100/150) ≤ 4 never hits
+    // it, but parity must hold by construction, not coincidence).
     "q143_video_frames" ->
       """WITH v AS (
         |  SELECT doc_id AS media_id,
@@ -4259,7 +4262,8 @@ object SparkEntry {
         |s AS (
         |  SELECT media_id, w, h, base, CAST(t.i AS BIGINT) AS sample_idx,
         |    (CAST(t.i AS BIGINT) * 150) // 100 AS f
-        |  FROM v, unnest(range(CAST(ceil(nf * 100 / 150.0) AS BIGINT)))
+        |  FROM v, unnest(range(LEAST(
+        |    CAST(ceil(nf * 100 / 150.0) AS BIGINT), 8)))
         |    AS t(i))
         |SELECT media_id, sample_idx,
         |  CAST(list_sum(list_transform(range(w * h),

@@ -407,9 +407,18 @@ object Dedup {
       localEdgeThreshold: Long = 1L << 21,
       coBucketEdgeThreshold: Long = 24000000L): DataFrame = {
     val nodes = ids.select(col(idCol).as("id")).distinct().cache()
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edgesPlan = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct()
+    // Job-free regime fast path: when Catalyst plan statistics already
+    // bound the (pre-checkpoint) edge plan under the local threshold,
+    // skip the exact-count job — the bound over-counts rows, so the
+    // driver collect it licenses stays within the threshold. A join-
+    // heavy `pairs` plan reports multiplicative (huge) sizes and falls
+    // back to the exact count, which is also what the fixpoint regimes
+    // use. Provenance is logged either way.
+    val edgeBound = GraphTuning.rowUpperBound(edgesPlan)
+    val edges = edgesPlan.localCheckpoint(true)
     // Three measured regimes, split by edge count (the same statistic
     // the fixpoint test already needs):
     //  - ≤ localEdgeThreshold: collect the edge list and union-find on
@@ -433,7 +442,18 @@ object Dedup {
     //    node-sized exchanges/round vs 3 edge-sized). The 24M default
     //    sits between the last measured shuffle-loop win (21M) and the
     //    first measured co-bucketed win (32M).
-    val edgeCount = edges.count()
+    val (edgeCount, edgeCountSource) = edgeBound match {
+      case Some((u, s)) if u <= localEdgeThreshold => (u, s)
+      case _ => (edges.count(), "exact-count")
+    }
+    GraphTuning.logRouting(
+      s"[graft.graph] duplicateClusters regime=" +
+        (if (edgeCount <= localEdgeThreshold) "driver-union-find"
+         else if (edgeCount > coBucketEdgeThreshold) "co-bucketed-cc"
+         else "hash-min-shuffle") +
+        s" edges=$edgeCount($edgeCountSource)" +
+        s" localThreshold=$localEdgeThreshold" +
+        s" coBucketThreshold=$coBucketEdgeThreshold")
     if (edgeCount <= localEdgeThreshold) {
       val spark = ids.sparkSession
       import spark.implicits._

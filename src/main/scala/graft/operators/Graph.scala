@@ -51,10 +51,12 @@ object Graph {
     *         common simplification; consistent with the oracle). */
   def pageRankFixedPoint(edges: DataFrame, iterations: Int,
       scale: Long = 1000000L, dampingScaled: Long = 850000L,
-      broadcastNodeLimit: Long = 2000000L,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
       symmetric: Boolean = false,
       coBucketEdgeThreshold: Long = 40000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
     // Big-graph routing (symmetric graphs — the co-bucketed contract):
     // when the node table is too big to broadcast AND the edge table is
     // big enough that re-shuffling it every round dominates, the
@@ -64,20 +66,33 @@ object Graph {
     // 11.3 s); at 54M / 6.6M co-bucketed won 2.4x (15.8 s vs 38.5 s);
     // at 72M / 8.9M won 1.3x (23.7 s vs 30.2 s); at 120M / 14.7M the
     // two loops tied within noise. The 40M default sits between the
-    // measured 36M shuffle win and the 54M co-bucketed win. (Local-mode
-    // broadcast is one in-process copy, so the bcast column of the grid
-    // understates cluster broadcast cost — broadcastNodeLimit stays at
-    // the conservative 2M.)
+    // measured 36M shuffle win and the 54M co-bucketed win. The
+    // broadcast limit itself resolves through [[GraphTuning]] (conf
+    // override + replication cost model — local mode is one in-process
+    // copy, a cluster pays nodeBytes × executors per round).
+    //
+    // Job-free fast path: #nodes <= 2 · #edges, so when the optimized
+    // plan already bounds the edge count low enough that neither the
+    // co-bucket route nor any non-broadcast regime is reachable, skip
+    // the pre-loop stats job entirely (tiny graphs pay zero extra jobs).
+    val edgeUpper = GraphTuning.rowUpperBound(edges)
+    val provablySmall = edgeUpper.exists { case (u, _) =>
+      u <= limit / 2 && u < coBucketEdgeThreshold }
     val symStats =
-      if (symmetric && iterations >= 1)
+      if (symmetric && iterations >= 1 && !provablySmall)
         Some(edges.agg(count(lit(1)).as("m"),
           approx_count_distinct(col("src")).as("n")).first())
       else None
-    symStats.foreach { st =>
-      if (st.getLong(1) > broadcastNodeLimit &&
-          st.getLong(0) >= coBucketEdgeThreshold)
-        return pageRankCoBucketed(edges, iterations, scale = scale,
-          dampingScaled = dampingScaled)
+    val routeCoBucketed = symStats.exists { st =>
+      st.getLong(1) > limit && st.getLong(0) >= coBucketEdgeThreshold }
+    if (routeCoBucketed) {
+      GraphTuning.decide(spark, "pageRankFixedPoint(co-bucket route)",
+        nodeEstimate = symStats.get.getLong(1),
+        nodeEstimateSource = "stats-agg-hll",
+        edgeEstimate = symStats.get.getLong(0),
+        requestedLimit = broadcastNodeLimit)
+      return pageRankCoBucketed(edges, iterations, scale = scale,
+        dampingScaled = dampingScaled)
     }
     // Degree is loop-invariant, so attach it in the SAME pass that
     // materializes the working edge table: a count window over src fuses
@@ -98,10 +113,17 @@ object Graph {
     // need a node COUNT to pick the plan, and an estimate is plenty for
     // a broadcast threshold — skip the corpus-sized distinct entirely.
     val nodes = if (symmetric) None else Some(allNodes.cache())
-    val small = nodes.map(_.count()).getOrElse(
-      symStats.map(_.getLong(1)).getOrElse(
-        ew.agg(approx_count_distinct(col("src")).as("n")).first().getLong(0))
-    ) <= broadcastNodeLimit
+    val (nodeEst, nodeSrc) =
+      if (provablySmall) (2 * edgeUpper.get._1, edgeUpper.get._2)
+      else nodes.map(n => (n.count(), "exact-count")).getOrElse(
+        symStats.map(st => (st.getLong(1), "stats-agg-hll")).getOrElse(
+          (ew.agg(approx_count_distinct(col("src")).as("n"))
+            .first().getLong(0), "hll")))
+    val small = GraphTuning.decide(spark, "pageRankFixedPoint",
+      nodeEst, nodeSrc,
+      edgeEstimate = symStats.map(_.getLong(0))
+        .orElse(edgeUpper.map(_._1)).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit).broadcast
     // Adaptive plan, same idea as the CC edge threshold: the rank table
     // is node-sized; below the limit broadcast it so the edge table
     // NEVER shuffles per iteration. Above it, fall back to shuffle joins
@@ -166,15 +188,28 @@ object Graph {
     * @return (id, hub, auth) for every node of `edges`; sink nodes have
     *         hub = 0, source nodes auth = 0 */
   def hits(edges: DataFrame, iterations: Int,
-      broadcastNodeLimit: Long = 2000000L,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
       coBucketAboveBroadcast: Boolean = true): DataFrame = {
     require(iterations >= 1, "HITS needs at least one round")
+    val spark = edges.sparkSession
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val est = e.agg(
-      approx_count_distinct(col("src")).as("ns"),
-      approx_count_distinct(col("dst")).as("nd")).first()
-    val small = est.getLong(0) + est.getLong(1) <= broadcastNodeLimit
-    // Above the broadcast limit the big-graph regime IS the bucketed
+    // ns + nd <= 2 · #edges: a plan-stats row bound proving the fit
+    // skips the HLL job (no pre-loop stats job for tiny graphs).
+    val edgeUpper = GraphTuning.rowUpperBound(e)
+    val (nodeEst, nodeSrc) = edgeUpper match {
+      case Some((u, s)) if u <= limit / 2 => (2 * u, s)
+      case _ =>
+        val est = e.agg(
+          approx_count_distinct(col("src")).as("ns"),
+          approx_count_distinct(col("dst")).as("nd")).first()
+        (est.getLong(0) + est.getLong(1), "hll")
+    }
+    val d = GraphTuning.decide(spark, "hits", nodeEst, nodeSrc,
+      edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit)
+    val small = d.broadcast
+    // Outside the broadcast regime the big-graph answer IS the bucketed
     // loop (round-6 crossover grid: co-bucketed beat the shuffle
     // half-rounds 1.16x at 18M edges and 1.6x at 36M — CROSSOVER.json);
     // the shuffle fallback stays reachable for the A/B harness only.
@@ -240,12 +275,24 @@ object Graph {
     *              unreached within `maxHops` and are not returned
     * @return (id, dist) with dist ∈ [0, maxHops] */
   def bfsDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int,
-      broadcastNodeLimit: Long = 2000000L,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
       coBucketAboveBroadcast: Boolean = true): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val small = edges.agg(approx_count_distinct(col("dst")).as("n"))
-      .first().getLong(0) <= broadcastNodeLimit
-    // Above the broadcast limit the big-graph regime IS the bucketed
+    val spark = edges.sparkSession
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
+    // distinct dst <= #edge rows: a plan-stats bound proving the fit
+    // skips the HLL job (no pre-loop stats job for tiny graphs).
+    val edgeUpper = GraphTuning.rowUpperBound(edges)
+    val (nodeEst, nodeSrc) = edgeUpper match {
+      case Some((u, s)) if u <= limit => (u, s)
+      case _ => (edges.agg(approx_count_distinct(col("dst")).as("n"))
+        .first().getLong(0), "hll")
+    }
+    val d = GraphTuning.decide(spark, "bfsDistances", nodeEst, nodeSrc,
+      edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit)
+    val small = d.broadcast
+    // Outside the broadcast regime the big-graph answer IS the bucketed
     // loop (round-6 crossover grid: co-bucketed beat the shuffle
     // rounds 2.1x at 36M edges, 1.1x at 72M — CROSSOVER.json); the
     // shuffle fallback stays reachable for the A/B harness only.
@@ -753,8 +800,14 @@ object Graph {
     *         a seed (unreached nodes are implicitly rank 0) */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int, scale: Long = 1000000L, dampingScaled: Long = 850000L,
-      broadcastRankLimit: Long = 2000000L): DataFrame = {
+      broadcastRankLimit: Long = GraphTuning.Auto): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The rank table here is FRONTIER-sized and grows per round, so the
+    // broadcast decision is re-taken each round against the resolved
+    // limit (the per-round count is loop bookkeeping, not an extra
+    // stats pass — the frontier is checkpointed and tiny by contract).
+    val (rankLimit, _) =
+      GraphTuning.resolveNodeLimit(edges.sparkSession, broadcastRankLimit)
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("src")))
       .repartition(col("dst")).cache()
@@ -766,7 +819,7 @@ object Graph {
     var it = 0
     while (it < iterations) {
       it += 1
-      val r = if (nRanks <= broadcastRankLimit) broadcast(ranks) else ranks
+      val r = if (nRanks <= rankLimit) broadcast(ranks) else ranks
       val contrib = ew
         .join(r.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
@@ -801,7 +854,7 @@ object Graph {
     * engine. All-integer, so the loop is oracle-checked bit-for-bit.
     * Above `broadcastNodeLimit` use [[kCoreCoBucketed]]. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int,
-      broadcastNodeLimit: Long = 2000000L): DataFrame = {
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
     var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
@@ -812,8 +865,12 @@ object Graph {
     var m = e.count()
     // #nodes <= 2m, so the edge count (needed anyway for the fixpoint
     // test) decides the regime without a separate distinct-count action.
+    val small = GraphTuning.decide(edges.sparkSession, "kCore",
+      nodeEstimate = if (m > Long.MaxValue / 2) Long.MaxValue else 2 * m,
+      nodeEstimateSource = "edge-count-bound", edgeEstimate = m,
+      requestedLimit = broadcastNodeLimit).broadcast
     def maybeB(df: DataFrame): DataFrame =
-      if (2 * m <= broadcastNodeLimit) broadcast(df) else df
+      if (small) broadcast(df) else df
     var round = 0
     var done = m == 0L
     while (!done && round < maxRounds) {
@@ -859,11 +916,22 @@ object Graph {
     * fallback survives only behind `coBucketAboveBroadcast = false`
     * (the A/B harness needs it; production callers should not). */
   def labelPropagation(edges: DataFrame, iterations: Int,
-      broadcastNodeLimit: Long = 2000000L,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
       coBucketAboveBroadcast: Boolean = true): DataFrame = {
-    val est = edges.agg(approx_count_distinct(col("src")).as("n"))
-      .first().getLong(0)
-    if (est > broadcastNodeLimit && coBucketAboveBroadcast)
+    val spark = edges.sparkSession
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
+    // distinct src <= #edge rows: a plan-stats bound proving the fit
+    // skips the HLL job (no pre-loop stats job for tiny graphs).
+    val edgeUpper = GraphTuning.rowUpperBound(edges)
+    val (nodeEst, nodeSrc) = edgeUpper match {
+      case Some((u, s)) if u <= limit => (u, s)
+      case _ => (edges.agg(approx_count_distinct(col("src")).as("n"))
+        .first().getLong(0), "hll")
+    }
+    val d = GraphTuning.decide(spark, "labelPropagation", nodeEst, nodeSrc,
+      edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit)
+    if (!d.broadcast && coBucketAboveBroadcast)
       return labelPropagationCoBucketed(edges, iterations)
     // Partition the edge table by DST, not src: the per-round join is a
     // BROADCAST of the label table (no src co-location needed), and
@@ -877,9 +945,8 @@ object Graph {
     // rounds exchange-free.
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("dst")).cache()
-    val nNodes = est
     def maybeB(df: DataFrame): DataFrame =
-      if (nNodes <= broadcastNodeLimit) broadcast(df) else df
+      if (d.broadcast) broadcast(df) else df
     var labels = ew.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
     var it = 0
@@ -924,7 +991,7 @@ object Graph {
     * @return (id, triangles) for EVERY node of the graph, zero included
     */
   def triangleCounts(edges: DataFrame,
-      broadcastNodeLimit: Long = 2000000L,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
       broadcastEdgeLimit: Long = 8000000L): DataFrame = {
     val canon = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
@@ -956,7 +1023,9 @@ object Graph {
       .unionByName(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
       .cache()
-    val small = st.getLong(3) <= broadcastNodeLimit
+    val small = GraphTuning.decide(edges.sparkSession, "triangleCounts",
+      nodeEstimate = st.getLong(3), nodeEstimateSource = "hll-sum",
+      edgeEstimate = nEdges, requestedLimit = broadcastNodeLimit).broadcast
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // When ids fit in 31 bits, the wedge-volume closure probe joins on
     // ONE packed long instead of a (long, long) pair — Spark builds a

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Regime selection for the iterative graph operators — ONE resolver for
+  * the broadcast-vs-shuffle/co-bucketed decision every loop in [[Graph]]
+  * and [[Dedup.duplicateClusters]] makes, replacing the per-signature
+  * `2000000L` literals with a conf override + an explicit cost model,
+  * and replacing unconditional pre-loop stats JOBS with a job-free
+  * Catalyst-plan upper bound where the plan can already prove the input
+  * small.
+  *
+  * The decision being priced: the per-round node-sized state table
+  * (ranks / labels / frontier) can be BROADCAST — every executor holds a
+  * copy and the edge table never re-shuffles — or the edge table is
+  * re-shuffled (or pre-bucketed) against a hash-partitioned state table.
+  * Per round that costs
+  *
+  *   broadcast: nodeEstimate × [[StateRowBytes]] × executorCopies
+  *   shuffle:   edgeEstimate × [[EdgeRowBytes]]
+  *
+  * Broadcast is chosen when the state table FITS the per-copy budget
+  * (`nodeEstimate <= limit`) and its replication traffic does not
+  * decisively exceed the edge shuffle it saves. Below [[CostFloorBytes]]
+  * of per-round traffic the byte comparison is noise against fixed
+  * per-round costs (job scheduling, exchange setup), so the fit test
+  * alone decides — which keeps micro-graphs on the cheap broadcast path
+  * and makes local[N] behavior identical to the historical 2M-node
+  * default (one in-process copy: 2M × 32 B = the 64 MB floor exactly).
+  * On a real cluster `executorCopies` is the executor count, so a
+  * 1000-executor broadcast of a near-limit state table is priced at its
+  * honest ~64 GB/round and demoted to the shuffle/co-bucketed regime
+  * unless the edge volume is larger still. Every decision is logged with
+  * all inputs and their provenance ([[RegimeDecision.describe]]).
+  */
+object GraphTuning extends Logging {
+
+  /** Sentinel default for `broadcastNodeLimit`/`broadcastRankLimit`
+    * parameters: resolve from `spark.conf` / the default budget at call
+    * time. Any explicit value >= 0 wins (the Crossover harness forces
+    * regimes with `0` / `Long.MaxValue`). */
+  val Auto: Long = -1L
+
+  /** Session conf overriding the per-copy broadcast node limit. */
+  val NodeLimitKey = "graft.graph.broadcastNodeLimit"
+
+  /** Approximate in-memory bytes of one row of broadcast loop state —
+    * two longs in an UnsafeRow plus HashedRelation page/pointer
+    * overhead. */
+  val StateRowBytes = 32L
+
+  /** Approximate bytes of one (src, dst[, deg]) edge row crossing a
+    * shuffle (UnsafeRow + serialization framing). */
+  val EdgeRowBytes = 24L
+
+  /** Default per-copy broadcast budget. 64 MB / [[StateRowBytes]] keeps
+    * the default node limit at the long-standing (round-6 crossover-grid
+    * era) 2M nodes; the conf key raises it on clusters measured to
+    * tolerate more. */
+  val DefaultBroadcastBytes: Long = 64L << 20
+  val DefaultNodeLimit: Long = DefaultBroadcastBytes / StateRowBytes
+
+  /** Below this much per-round traffic the broadcast-vs-shuffle byte
+    * comparison is dominated by fixed per-round costs and is not allowed
+    * to veto a fitting broadcast. */
+  val CostFloorBytes: Long = 64L << 20
+
+  /** Last decision taken, for specs and postmortems ([[decide]] logs the
+    * same string at INFO). */
+  @volatile private[graft] var lastDecision: Option[RegimeDecision] = None
+
+  /** Last free-form routing message ([[logRouting]]) — the edge-count
+    * regimes (duplicateClusters) that aren't broadcast decisions. */
+  @volatile private[graft] var lastRouting: Option[String] = None
+
+  private[graft] def logRouting(msg: String): Unit = {
+    lastRouting = Some(msg)
+    logInfo(msg)
+  }
+
+  /** (limit, provenance): explicit caller value >= 0, else the session
+    * conf, else the documented default. */
+  def resolveNodeLimit(spark: SparkSession, requested: Long): (Long, String) =
+    if (requested >= 0L) (requested, "explicit")
+    else spark.conf.getOption(NodeLimitKey) match {
+      case Some(v) => (v.toLong, s"conf:$NodeLimitKey")
+      case None    => (DefaultNodeLimit, "default")
+    }
+
+  /** Executor copies a broadcast fans out to: executor count on a
+    * cluster, 1 in local mode (statusTracker lists the driver too). */
+  def executorCopies(spark: SparkSession): Int =
+    math.max(1, spark.sparkContext.statusTracker.getExecutorInfos.length - 1)
+
+  /** Job-free row-count UPPER bound from Catalyst plan statistics.
+    * `rowCount` when the plan carries one; otherwise `sizeInBytes`
+    * itself (every row occupies >= 1 byte in the size estimate, so the
+    * byte count over-counts rows — parquet RLE can in principle beat
+    * 1 B/row, but only on near-constant degenerate inputs, and these
+    * bounds route perf regimes, they don't gate correctness). Returns
+    * None when the plan reports the unknown-size sentinel
+    * (`defaultSizeInBytes`), e.g. an un-analyzed LogicalRDD — callers
+    * fall back to an exact/HLL stats job. */
+  def rowUpperBound(df: DataFrame): Option[(Long, String)] = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    stats.rowCount match {
+      case Some(rc) =>
+        Some((rc.min(BigInt(Long.MaxValue)).toLong, "plan-rowcount"))
+      case None =>
+        val size = stats.sizeInBytes
+        val unknown =
+          BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+        if (size <= 0 || size >= unknown) None
+        else Some((size.min(BigInt(Long.MaxValue)).toLong.max(1L),
+          "plan-size-upper-bound"))
+    }
+  }
+
+  /** One regime decision with every input that produced it.
+    * `broadcast` is the choice; `fits` alone is what co-bucket ROUTING
+    * tests (a non-fitting state table must leave the broadcast loop
+    * entirely; a fitting-but-cost-vetoed one stays on plain shuffle
+    * joins). Estimates of -1 mean "not computed". */
+  final case class RegimeDecision(
+      op: String,
+      broadcast: Boolean,
+      fits: Boolean,
+      nodeEstimate: Long,
+      nodeEstimateSource: String,
+      edgeEstimate: Long,
+      limit: Long,
+      limitSource: String,
+      executorCopies: Int) {
+    def broadcastBytesPerRound: Double =
+      if (nodeEstimate < 0) -1d
+      else nodeEstimate.toDouble * StateRowBytes * executorCopies
+    def shuffleBytesPerRound: Double =
+      if (edgeEstimate < 0) -1d else edgeEstimate.toDouble * EdgeRowBytes
+    def describe: String =
+      f"[graft.graph] $op regime=${if (broadcast) "broadcast" else "shuffle/co-bucketed"} " +
+        f"nodes=$nodeEstimate%d($nodeEstimateSource) edges=$edgeEstimate%d " +
+        f"limit=$limit%d($limitSource) copies=$executorCopies%d " +
+        f"bcastBytes/round=${broadcastBytesPerRound}%.0f " +
+        f"shuffleBytes/round=${shuffleBytesPerRound}%.0f"
+  }
+
+  /** The resolver every graph entry point funnels through: fit test
+    * against the resolved limit, cost veto above the floor, decision
+    * logged with provenance.
+    *
+    * @param nodeEstimate estimated rows of the per-round broadcast state
+    * @param edgeEstimate estimated edge rows re-shuffled per round in
+    *                     the alternative regime; -1 = unknown (cost veto
+    *                     skipped — the fit test alone decides)
+    * @param requestedLimit caller override; [[Auto]] resolves conf/default
+    */
+  def decide(spark: SparkSession, op: String,
+      nodeEstimate: Long, nodeEstimateSource: String,
+      edgeEstimate: Long = -1L,
+      requestedLimit: Long = Auto): RegimeDecision = {
+    val (limit, limitSource) = resolveNodeLimit(spark, requestedLimit)
+    val copies = executorCopies(spark)
+    val fits = nodeEstimate <= limit
+    val bcastBytes = nodeEstimate.toDouble * StateRowBytes * copies
+    val costOk = edgeEstimate < 0 ||
+      bcastBytes <= math.max(edgeEstimate.toDouble * EdgeRowBytes,
+        CostFloorBytes.toDouble)
+    val d = RegimeDecision(op, broadcast = fits && costOk, fits = fits,
+      nodeEstimate, nodeEstimateSource, edgeEstimate, limit, limitSource,
+      copies)
+    lastDecision = Some(d)
+    logInfo(d.describe)
+    d
+  }
+}

@@ -133,12 +133,97 @@ class MultimodalSpec extends SparkSpec {
     assert(c.sampleFrames(gif, everyMs = 100).length == nf)
   }
 
-  test("ImageIOCodec sampleFrames falls back to stride-slice off-GIF") {
+  test("ImageIOCodec sampleFrames THROWS on non-GIF video by default") {
     val c = new Multimodal.ImageIOCodec
+    // a minimal mp4-signature payload: size box + 'ftyp' brand
+    val mp4 = Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p',
+      'i', 's', 'o', 'm') ++ Array.fill[Byte](64)(7)
+    val e = intercept[IllegalArgumentException] {
+      c.sampleFrames(mp4, everyMs = 64)
+    }
+    assert(e.getMessage.contains("allowStubFallback"))
+  }
+
+  test("ImageIOCodec stride-slice stub off-GIF is explicit opt-in only") {
+    val c = new Multimodal.ImageIOCodec(allowStubFallback = true)
     val raw = Array.tabulate[Byte](300)(_.toByte)
     val fr = c.sampleFrames(raw, everyMs = 64)
     assert(fr.length == math.min(math.ceil(300 / 64.0).toInt, 8))
     assert(fr.head.toSeq == raw.take(64).toSeq)
+  }
+
+  test("sampleFrameImages composites partial frames at their offsets") {
+    // frame 0: full 4x4 canvas, gray 10; frame 1: 2x2 patch at (1,1),
+    // gray 200, disposal none — a player shows the patch OVER frame 0,
+    // so sample 1 must be the 4x4 composite, not the raw 2x2 rect
+    import java.awt.image.BufferedImage
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    def grayImg(w: Int, h: Int, v: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, gray(v))
+      img
+    }
+    def writeFrame(img: BufferedImage, x: Int, y: Int): Unit = {
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), param)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val root = meta.getAsTree(fmt)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val desc = root.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      val gce = new javax.imageio.metadata.IIOMetadataNode(
+        "GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10") // 100 ms
+      gce.setAttribute("transparentColorIndex", "0")
+      root.appendChild(gce)
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, meta), param)
+    }
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      writeFrame(grayImg(4, 4, 10), 0, 0)
+      writeFrame(grayImg(2, 2, 200), 1, 1)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val c = new Multimodal.ImageIOCodec
+    val samples = c.sampleFrameImages(bos.toByteArray, everyMs = 100)
+    assert(samples.length == 2)
+    val s1 = samples(1)
+    assert(s1.getWidth == 4 && s1.getHeight == 4) // canvas, not the rect
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val expect = if (x >= 1 && x <= 2 && y >= 1 && y <= 2) 200 else 10
+      assert(((s1.getRGB(x, y) >> 16) & 0xFF) == expect, s"pixel ($x,$y)")
+    }
+    // sample 0 is frame 0 untouched
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(((samples(0).getRGB(x, y) >> 16) & 0xFF) == 10)
+  }
+
+  test("frameGraySums emits a null-feature row for non-GIF payloads") {
+    val rows = Seq(
+      (1L, Multimodal.syntheticGif(1L, 3, 3, 2, 100),
+        ("video", "gif", 3, 3, 200L, 0L)),
+      (2L, Array.tabulate[Byte](50)(_.toByte), // not a GIF
+        ("video", "mp4", 0, 0, 0L, 50L)))
+      .toDF("media_id", "payload", "meta")
+    val got = Multimodal.frameGraySums(rows, everyMs = 100)
+      .orderBy("media_id", "sample_idx")
+      .collect()
+    val byId = got.groupBy(_.getLong(0))
+    assert(byId(1L).forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    assert(byId(2L).length == 1 &&
+      byId(2L).head.isNullAt(1) && byId(2L).head.isNullAt(2))
   }
 
   test("frameGraySums matches the closed form for every sampled frame") {
