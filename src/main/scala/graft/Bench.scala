@@ -79,17 +79,62 @@ object Bench {
     // total): it is reported as JSON null (type-stable for numeric
     // consumers, unlike the old "err" string) and excluded from the
     // total; the error itself goes to stderr.
+    // SPARK_GRAFT_DEBUG=1: per-rep line to stderr with the rep's wall
+    // time and the JVM-wide GC time/count delta across it — the
+    // instrument for outlier-rep forensics (is a recurring slow rep GC,
+    // or genuinely slower work?). Stderr so the stdout JSON contract is
+    // untouched.
+    val debug = sys.env.get("SPARK_GRAFT_DEBUG").exists(_ != "0")
+    val gcBeans =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcNow(): (Long, Long) = {
+      var t = 0L; var c = 0L
+      gcBeans.forEach { b => t += b.getCollectionTime; c += b.getCollectionCount }
+      (t, c)
+    }
+    // Debug task profile: total task-time and the single longest task
+    // per rep — distinguishes one-slow-task skew (taskMax ≈ rep wall,
+    // taskTotal small) from a JVM-wide slowdown (everything inflated).
+    val taskTotalMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskMaxMs = new java.util.concurrent.atomic.AtomicLong(0)
+    val taskN = new java.util.concurrent.atomic.AtomicLong(0)
+    if (debug) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val d = te.taskInfo.duration
+          taskTotalMs.addAndGet(d)
+          taskN.incrementAndGet()
+          taskMaxMs.updateAndGet(m => math.max(m, d))
+          ()
+        }
+      })
     val results: Seq[(String, Option[(Double, Double)])] =
       selected.map { case (name, fn) =>
         var failed = false
-        val ts = (0 until reps).map { _ =>
+        val ts = (0 until reps).map { rep =>
+          if (debug) {
+            Thread.sleep(300) // let the async listener bus drain
+            taskTotalMs.set(0); taskMaxMs.set(0); taskN.set(0)
+          }
+          val (gt0, gc0) = if (debug) gcNow() else (0L, 0L)
           val t0 = System.nanoTime()
           try { exec(fn(spark, sfDir)) }
           catch { case e: Throwable =>
             failed = true
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (debug) {
+            val (gt1, gc1) = gcNow()
+            Thread.sleep(300)
+            System.err.println(
+              f"[bench-debug] $name rep=$rep%d sec=$sec%.3f " +
+                f"gcSec=${(gt1 - gt0) / 1e3}%.3f gcN=${gc1 - gc0}%d " +
+                f"taskTotalSec=${taskTotalMs.get / 1e3}%.3f " +
+                f"taskMaxSec=${taskMaxMs.get / 1e3}%.3f tasks=${taskN.get}%d")
+          }
+          sec
         }
         name -> (if (failed) None else Some((ts.min, ts.max - ts.min)))
       }

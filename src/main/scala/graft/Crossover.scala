@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Graph
+import graft.operators.{Graph, GraphTuning}
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -147,6 +147,20 @@ object Crossover {
       labels.count()
     }
 
+    // Honest-shuffle arm: broadcastNodeLimit=0 removes OUR hint, but
+    // AQE can still convert a sub-threshold build side to a broadcast
+    // join at runtime — so the "shuffle" cells may under-price the
+    // per-round state redistribution a real >10MB-state cluster run
+    // pays. The _nobc variants disable auto-broadcast entirely for the
+    // call, pricing it honestly (round-8 verdict task: validate the
+    // GraphTuning cost constants against these).
+    def noAutoBroadcast[A](body: => A): A = {
+      val k = "spark.sql.autoBroadcastJoinThreshold"
+      val saved = spark.conf.get(k)
+      spark.conf.set(k, "-1")
+      try body finally spark.conf.set(k, saved)
+    }
+
     final case class Cell(mult: Int, algo: String, variant: String,
         secs: Vector[Double])
     val results = scala.collection.mutable.ArrayBuffer[Cell]()
@@ -157,13 +171,20 @@ object Crossover {
       val times = scala.collection.mutable.Map[String, Vector[Double]]()
         .withDefaultValue(Vector.empty)
       for (rep <- 1 to reps; (vname, f) <- variants) {
+        // per-arm regime echo: an arm that silently runs a different
+        // regime than its name claims (the round-8 force-broadcast bug)
+        // is visible in the log, not just wrong in the thresholds
+        GraphTuning.resetLast()
         val t0 = System.nanoTime()
         try {
           val n = f(edges)
           val sec = (System.nanoTime() - t0) / 1e9
           times(vname) = times(vname) :+ sec
+          val regime = GraphTuning.lastDecision.map(d =>
+            s" regime=${if (d.broadcast) "broadcast" else "shuffle/co-bucketed"}" +
+              s"(${d.limitSource})").getOrElse("")
           println(f"XOVER mult=$mult algo=$algo variant=$vname rep=$rep " +
-            f"sec=$sec%.2f rows=$n%d")
+            f"sec=$sec%.2f rows=$n%d$regime")
         } catch { case e: Throwable =>
           // a blown cell (OOM, result-size cap) must not kill the grid —
           // record nothing for this rep and keep measuring
@@ -201,6 +222,9 @@ object Crossover {
           symmetric = true).count()
         Graph.pageRankFixedPoint(wPr, 3, broadcastNodeLimit = 0,
           symmetric = true, coBucketEdgeThreshold = Long.MaxValue).count()
+        noAutoBroadcast(Graph.pageRankFixedPoint(wPr, 3,
+          broadcastNodeLimit = 0, symmetric = true,
+          coBucketEdgeThreshold = Long.MaxValue).count())
         Graph.pageRankCoBucketed(wPr, 3, tablePrefix = "graft_xw_pr").count()
         wPr.unpersist()
       }
@@ -210,6 +234,8 @@ object Crossover {
           Graph.labelPropagation(wCo, 3, broadcastNodeLimit = Long.MaxValue).count()
           Graph.labelPropagation(wCo, 3, broadcastNodeLimit = 0,
             coBucketAboveBroadcast = false).count()
+          noAutoBroadcast(Graph.labelPropagation(wCo, 3,
+            broadcastNodeLimit = 0, coBucketAboveBroadcast = false).count())
           Graph.labelPropagationCoBucketed(wCo, 3,
             tablePrefix = "graft_xw_lpa").count()
         }
@@ -250,6 +276,10 @@ object Crossover {
           "shuffle" -> ((ed: DataFrame) => Graph.pageRankFixedPoint(ed, 3,
             broadcastNodeLimit = 0, symmetric = true,
             coBucketEdgeThreshold = Long.MaxValue).count()),
+          "shuffle_nobc" -> ((ed: DataFrame) => noAutoBroadcast(
+            Graph.pageRankFixedPoint(ed, 3, broadcastNodeLimit = 0,
+              symmetric = true,
+              coBucketEdgeThreshold = Long.MaxValue).count())),
           "cobucket" -> ((ed: DataFrame) => Graph.pageRankCoBucketed(ed, 3,
             tablePrefix = s"graft_x_pr_$mult").count())))
         e.unpersist()
@@ -262,6 +292,9 @@ object Crossover {
             broadcastNodeLimit = Long.MaxValue).count()),
           "shuffle" -> ((ed: DataFrame) => Graph.labelPropagation(ed, 3,
             broadcastNodeLimit = 0, coBucketAboveBroadcast = false).count()),
+          "shuffle_nobc" -> ((ed: DataFrame) => noAutoBroadcast(
+            Graph.labelPropagation(ed, 3, broadcastNodeLimit = 0,
+              coBucketAboveBroadcast = false).count())),
           "cobucket" -> ((ed: DataFrame) => Graph.labelPropagationCoBucketed(
             ed, 3, tablePrefix = s"graft_x_lpa_$mult").count())))
         if (algos("cc")) runGrid(mult, "cc", e, nodes, Seq(

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Aggregations, Corpus, Dedup, Enrichment, Graph, LogIndex, Sessions, Skew}
+import graft.operators.{Aggregations, Corpus, Dedup, Enrichment, Graph, GraphTuning, LogIndex, Sessions, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,12 +31,25 @@ object Scale {
           d.withColumn(k, col(k) + lit(i.toLong * 100000000L)) }
       }.reduce(_ unionByName _)
 
+    // Each SCALE row also records WHICH regime actually ran (the
+    // GraphTuning decision/routing the shape took, with the limit's
+    // provenance) — scaling evidence is only meaningful when the
+    // regime at each multiplier is known, not assumed.
     def time(name: String)(f: => Long): Unit =
       if (only.nonEmpty && !only.exists(name.startsWith)) ()
       else {
+        GraphTuning.resetLast()
         val t0 = System.nanoTime()
         val n = f
-        println(f"SCALE $name rows=$n%d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val regime = GraphTuning.lastDecision.map(d =>
+          s" regime=${if (d.broadcast) "broadcast" else "shuffle/co-bucketed"}" +
+            s" limitSource=${d.limitSource}")
+          .orElse(GraphTuning.lastRouting.map(msg =>
+            " regime=" + msg.split("regime=").lift(1).map(_.takeWhile(_ != ' '))
+              .getOrElse("?") + " limitSource=routing"))
+          .getOrElse("")
+        println(f"SCALE $name rows=$n%d sec=$sec%.2f$regime")
       }
 
     val li1 = Tables.lineitem(spark, dir)

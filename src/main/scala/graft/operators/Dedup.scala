@@ -413,11 +413,16 @@ object Dedup {
     // Job-free regime fast path: when Catalyst plan statistics already
     // bound the (pre-checkpoint) edge plan under the local threshold,
     // skip the exact-count job — the bound over-counts rows, so the
-    // driver collect it licenses stays within the threshold. A join-
-    // heavy `pairs` plan reports multiplicative (huge) sizes and falls
-    // back to the exact count, which is also what the fixpoint regimes
-    // use. Provenance is logged either way.
-    val edgeBound = GraphTuning.rowUpperBound(edgesPlan)
+    // driver collect it licenses stays within the threshold. Because
+    // the bound licenses a DRIVER-SIDE collect (not just a perf
+    // regime), the size-based branch carries an 8× rows-per-byte
+    // margin: a heavily RLE-compressed parquet edge list under 1 B/row
+    // could otherwise pass the threshold with far more rows than it
+    // promises (round-8 advice — driver-memory risk). A join-heavy
+    // `pairs` plan reports multiplicative (huge) sizes and falls back
+    // to the exact count, which is also what the fixpoint regimes use.
+    // Provenance is logged either way.
+    val edgeBound = GraphTuning.rowUpperBound(edgesPlan, rowsPerByteMargin = 8L)
     val edges = edgesPlan.localCheckpoint(true)
     // Three measured regimes, split by edge count (the same statistic
     // the fixpoint test already needs):

@@ -209,11 +209,16 @@ object Graph {
       edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
       requestedLimit = broadcastNodeLimit)
     val small = d.broadcast
-    // Outside the broadcast regime the big-graph answer IS the bucketed
-    // loop (round-6 crossover grid: co-bucketed beat the shuffle
-    // half-rounds 1.16x at 18M edges and 1.6x at 36M — CROSSOVER.json);
-    // the shuffle fallback stays reachable for the A/B harness only.
-    if (!small && coBucketAboveBroadcast)
+    // Routing tests FITS, not the broadcast choice (the RegimeDecision
+    // contract): a state table that can't fit any executor's budget must
+    // leave the broadcast loop for the bucketed one (round-6 crossover
+    // grid: co-bucketed beat the shuffle half-rounds 1.16x at 18M edges
+    // and 1.6x at 36M — CROSSOVER.json), but a FITTING table whose
+    // replication cost merely vetoed broadcast stays here on plain
+    // shuffle joins — its per-round state is small, so the bucketed
+    // layout writes would be pure overhead. The shuffle fallback also
+    // stays reachable for the A/B harness via the flag.
+    if (!d.fits && coBucketAboveBroadcast)
       return hitsCoBucketed(edges, iterations)
     val eSrc = e.repartition(col("src")).cache()
     val eDst = e.repartition(col("dst")).cache()
@@ -292,11 +297,11 @@ object Graph {
       edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
       requestedLimit = broadcastNodeLimit)
     val small = d.broadcast
-    // Outside the broadcast regime the big-graph answer IS the bucketed
-    // loop (round-6 crossover grid: co-bucketed beat the shuffle
-    // rounds 2.1x at 36M edges, 1.1x at 72M — CROSSOVER.json); the
-    // shuffle fallback stays reachable for the A/B harness only.
-    if (!small && coBucketAboveBroadcast)
+    // Routing tests FITS (see [[hits]]): non-fitting state leaves for
+    // the bucketed loop (round-6 crossover grid: co-bucketed beat the
+    // shuffle rounds 2.1x at 36M edges, 1.1x at 72M — CROSSOVER.json);
+    // fitting-but-cost-vetoed stays on plain shuffle joins here.
+    if (!d.fits && coBucketAboveBroadcast)
       return bfsDistancesCoBucketed(edges, seeds, maxHops)
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("dst")).cache()
@@ -847,7 +852,9 @@ object Graph {
     * partial-agg shuffle for degrees, then two SEMI-joins of the edge
     * table against the (node-sized, broadcast below `broadcastNodeLimit`)
     * survivor set — the edge table itself never re-shuffles in broadcast
-    * regime. localCheckpoint per round keeps the plan flat (same
+    * regime. The broadcast decision is re-taken per round against the
+    * shrinking edge count, so a big graph whose core prunes quickly
+    * picks up the broadcast semi-joins mid-run. localCheckpoint per round keeps the plan flat (same
     * discipline as the PageRank/LPA loops); early-exit when an edge
     * count round removes nothing is semantics-preserving for the
     * fixed-unroll oracle because post-fixpoint rounds are no-ops in any
@@ -864,17 +871,29 @@ object Graph {
         .groupBy("id").agg(count(lit(1)).as("deg"))
     var m = e.count()
     // #nodes <= 2m, so the edge count (needed anyway for the fixpoint
-    // test) decides the regime without a separate distinct-count action.
-    val small = GraphTuning.decide(edges.sparkSession, "kCore",
-      nodeEstimate = if (m > Long.MaxValue / 2) Long.MaxValue else 2 * m,
-      nodeEstimateSource = "edge-count-bound", edgeEstimate = m,
+    // test) bounds the keep set without a separate distinct-count
+    // action. The decision is RE-TAKEN every round against the CURRENT
+    // edge count: peeling shrinks the graph, so a run that starts in
+    // the shuffle regime switches to broadcast semi-joins once the
+    // surviving core fits (round-8 advice — a frozen pre-loop decision
+    // lost that mid-run switch the old per-round closure had).
+    // Cost-veto exempt (edgeEstimate left unknown): the 2m node bound
+    // and the per-round shuffle volume are the SAME statistic here, so
+    // the veto would compare 64m against max(24m, floor) and
+    // structurally demote every graph above the floor regardless of
+    // the conf limit — the conf-resolved fit test alone governs.
+    def regime(mNow: Long): Boolean = GraphTuning.decide(
+      edges.sparkSession, "kCore",
+      nodeEstimate = if (mNow > Long.MaxValue / 2) Long.MaxValue else 2 * mNow,
+      nodeEstimateSource = "edge-count-bound",
       requestedLimit = broadcastNodeLimit).broadcast
-    def maybeB(df: DataFrame): DataFrame =
-      if (small) broadcast(df) else df
     var round = 0
     var done = m == 0L
     while (!done && round < maxRounds) {
       round += 1
+      val small = regime(m)
+      def maybeB(df: DataFrame): DataFrame =
+        if (small) broadcast(df) else df
       val keep = degrees(e).filter(col("deg") >= k).select("id")
       e = e
         .join(maybeB(keep.withColumnRenamed("id", "src")), Seq("src"), "semi")
@@ -931,7 +950,9 @@ object Graph {
     val d = GraphTuning.decide(spark, "labelPropagation", nodeEst, nodeSrc,
       edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
       requestedLimit = broadcastNodeLimit)
-    if (!d.broadcast && coBucketAboveBroadcast)
+    // Routing tests FITS (see [[hits]]): non-fitting labels leave for
+    // the bucketed loop; fitting-but-cost-vetoed stays on shuffle joins.
+    if (!d.fits && coBucketAboveBroadcast)
       return labelPropagationCoBucketed(edges, iterations)
     // Partition the edge table by DST, not src: the per-round join is a
     // BROADCAST of the label table (no src co-location needed), and

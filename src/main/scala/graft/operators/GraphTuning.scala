@@ -79,6 +79,14 @@ object GraphTuning extends Logging {
     logInfo(msg)
   }
 
+  /** Clear the last-decision/-routing records — harnesses (graft.Scale)
+    * call this before each shape so the decision they report afterwards
+    * is the shape's own, not a stale one from a previous shape. */
+  private[graft] def resetLast(): Unit = {
+    lastDecision = None
+    lastRouting = None
+  }
+
   /** (limit, provenance): explicit caller value >= 0, else the session
     * conf, else the documented default. */
   def resolveNodeLimit(spark: SparkSession, requested: Long): (Long, String) =
@@ -101,8 +109,20 @@ object GraphTuning extends Logging {
     * bounds route perf regimes, they don't gate correctness). Returns
     * None when the plan reports the unknown-size sentinel
     * (`defaultSizeInBytes`), e.g. an un-analyzed LogicalRDD — callers
-    * fall back to an exact/HLL stats job. */
-  def rowUpperBound(df: DataFrame): Option[(Long, String)] = {
+    * fall back to an exact/HLL stats job.
+    *
+    * @param rowsPerByteMargin safety factor for the size-based bound:
+    *   the returned bound is `sizeInBytes × margin`, i.e. the bound
+    *   stays valid even if the source packs up to `margin` rows per
+    *   byte. The default 1 (assume >= 1 B/row) is fine when the bound
+    *   only routes a PERF regime — a degenerate RLE input merely picks
+    *   the wrong loop. A caller whose bound licenses DRIVER-SIDE
+    *   materialization (duplicateClusters' union-find collect) must
+    *   pass a margin (8 there) so a heavily run-length-compressed
+    *   parquet edge list cannot sneak past the threshold and collect
+    *   unboundedly; the `rowCount` branch is exact either way. */
+  def rowUpperBound(df: DataFrame,
+      rowsPerByteMargin: Long = 1L): Option[(Long, String)] = {
     val stats = df.queryExecution.optimizedPlan.stats
     stats.rowCount match {
       case Some(rc) =>
@@ -112,8 +132,8 @@ object GraphTuning extends Logging {
         val unknown =
           BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
         if (size <= 0 || size >= unknown) None
-        else Some((size.min(BigInt(Long.MaxValue)).toLong.max(1L),
-          "plan-size-upper-bound"))
+        else Some(((size * rowsPerByteMargin).min(BigInt(Long.MaxValue))
+          .toLong.max(1L), "plan-size-upper-bound"))
     }
   }
 
@@ -149,21 +169,34 @@ object GraphTuning extends Logging {
     * against the resolved limit, cost veto above the floor, decision
     * logged with provenance.
     *
+    * An EXPLICIT `requestedLimit` (>= 0) disables the cost veto: a
+    * caller forcing a regime (the Crossover harness passes 0 /
+    * Long.MaxValue to pin each A/B arm) means "broadcast iff it fits
+    * MY limit", and letting the model second-guess that silently
+    * swapped the measured regime (round-8 advice: the 'bcast' arms
+    * were measuring the co-bucketed loop). The veto prices only the
+    * Auto/conf paths, where the caller delegated the decision.
+    *
     * @param nodeEstimate estimated rows of the per-round broadcast state
     * @param edgeEstimate estimated edge rows re-shuffled per round in
     *                     the alternative regime; -1 = unknown (cost veto
     *                     skipped — the fit test alone decides)
     * @param requestedLimit caller override; [[Auto]] resolves conf/default
+    * @param copiesOverride test seam for the cluster branch of the cost
+    *                     model (local mode always reports 1 copy);
+    *                     <= 0 = use [[executorCopies]]
     */
   def decide(spark: SparkSession, op: String,
       nodeEstimate: Long, nodeEstimateSource: String,
       edgeEstimate: Long = -1L,
-      requestedLimit: Long = Auto): RegimeDecision = {
+      requestedLimit: Long = Auto,
+      copiesOverride: Int = 0): RegimeDecision = {
     val (limit, limitSource) = resolveNodeLimit(spark, requestedLimit)
-    val copies = executorCopies(spark)
+    val copies =
+      if (copiesOverride > 0) copiesOverride else executorCopies(spark)
     val fits = nodeEstimate <= limit
     val bcastBytes = nodeEstimate.toDouble * StateRowBytes * copies
-    val costOk = edgeEstimate < 0 ||
+    val costOk = requestedLimit >= 0L || edgeEstimate < 0 ||
       bcastBytes <= math.max(edgeEstimate.toDouble * EdgeRowBytes,
         CostFloorBytes.toDouble)
     val d = RegimeDecision(op, broadcast = fits && costOk, fits = fits,

@@ -77,22 +77,117 @@ class GraphTuningSpec extends SparkSpec {
   }
 
   test("cost model: replication cost demotes a fitting broadcast above the floor") {
-    // 10M-node state fits an explicit huge limit, but 320 MB/round of
+    // 10M-node state fits the conf-raised limit, but 320 MB/round of
     // broadcast against a 1k-edge shuffle is a clear veto (the floor
-    // only protects sub-64MB traffic).
-    val d = GraphTuning.decide(spark, "spec", nodeEstimate = 10000000L,
-      nodeEstimateSource = "spec", edgeEstimate = 1000L,
-      requestedLimit = Long.MaxValue)
-    assert(d.fits && !d.broadcast)
-    // unknown edge volume: the fit test alone decides
-    val d2 = GraphTuning.decide(spark, "spec", nodeEstimate = 10000000L,
-      nodeEstimateSource = "spec", edgeEstimate = -1L,
-      requestedLimit = Long.MaxValue)
-    assert(d2.broadcast)
+    // only protects sub-64MB traffic). The limit is CONF-resolved:
+    // the veto prices delegated decisions only — explicit limits skip
+    // it (next test).
+    withConf(GraphTuning.NodeLimitKey, Long.MaxValue.toString) {
+      val d = GraphTuning.decide(spark, "spec", nodeEstimate = 10000000L,
+        nodeEstimateSource = "spec", edgeEstimate = 1000L)
+      assert(d.fits && !d.broadcast)
+      // unknown edge volume: the fit test alone decides
+      val d2 = GraphTuning.decide(spark, "spec", nodeEstimate = 10000000L,
+        nodeEstimateSource = "spec", edgeEstimate = -1L)
+      assert(d2.broadcast)
+    }
     // under the floor the veto never fires (local default behavior)
     val d3 = GraphTuning.decide(spark, "spec", nodeEstimate = 1000L,
       nodeEstimateSource = "spec", edgeEstimate = 10L)
     assert(d3.broadcast)
+  }
+
+  test("explicit limit disables the cost veto: forced regimes are honored") {
+    // A caller pinning the regime (the Crossover 'bcast' arm passes
+    // Long.MaxValue) means "broadcast iff it fits MY limit" — the
+    // model must not second-guess it (round-8 advice: the veto was
+    // silently swapping the measured regime).
+    val d = GraphTuning.decide(spark, "spec", nodeEstimate = 10000000L,
+      nodeEstimateSource = "spec", edgeEstimate = 1000L,
+      requestedLimit = Long.MaxValue)
+    assert(d.fits && d.broadcast && d.limitSource == "explicit")
+    // explicit 0 still forces the non-broadcast arm via the fit test
+    val d0 = GraphTuning.decide(spark, "spec", nodeEstimate = 10L,
+      nodeEstimateSource = "spec", edgeEstimate = 1000L,
+      requestedLimit = 0L)
+    assert(!d0.fits && !d0.broadcast)
+  }
+
+  test("cost model cluster branch: 1000 executor copies demote a near-limit broadcast") {
+    // nodeEst 2M fits the default 2M limit, but on 1000 executors the
+    // per-round broadcast is 64 GB against a 50M-edge (1.2 GB) shuffle
+    // — demoted, the GraphTuning scaladoc's cluster example. Local
+    // mode reports 1 copy, so the branch needs the copies seam.
+    val d = GraphTuning.decide(spark, "spec", nodeEstimate = 2000000L,
+      nodeEstimateSource = "spec", edgeEstimate = 50000000L,
+      copiesOverride = 1000)
+    assert(d.fits && !d.broadcast && d.executorCopies == 1000)
+    // same inputs on one in-process copy: 64 MB vs 1.2 GB — broadcast
+    val d1 = GraphTuning.decide(spark, "spec", nodeEstimate = 2000000L,
+      nodeEstimateSource = "spec", edgeEstimate = 50000000L)
+    assert(d1.broadcast)
+  }
+
+  test("explicit Long.MaxValue keeps hits/lpa/bfs in the broadcast loop " +
+      "despite size-inflated plan stats") {
+    // Multi-MB PARQUET edge set: a file-source leaf's optimized-plan
+    // stats carry only sizeInBytes (no rowCount, unlike a cached
+    // InMemoryRelation), so the job-free fast path uses a byte-inflated
+    // node bound — and before round 9 the cost veto then demoted even
+    // an explicit force-broadcast, silently routing the loops
+    // co-bucketed (the Crossover 'bcast' arms measured the wrong
+    // regime). Random-ish values defeat parquet encodings so the file
+    // clears the veto's 64 MB floor scaled down (> ~2 MB).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tuning-spec")
+      .toString
+    spark.range(300000).select(
+      (col("id") * 2654435761L % 1000003L).as("src"),
+      (col("id") * 40503L % 50021L).as("dst"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/e")
+    val e = spark.read.parquet(s"$tmp/e")
+    e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sym")
+    val sym = spark.read.parquet(s"$tmp/sym")
+    try {
+      assert(Graph.hits(e, 1, broadcastNodeLimit = Long.MaxValue)
+        .limit(1).count() == 1)
+      val dh = GraphTuning.lastDecision.get
+      assert(dh.op == "hits" && dh.broadcast && dh.fits &&
+        dh.limitSource == "explicit", s"hits decision: $dh")
+      // pin the scenario: the estimate really is the byte-inflated
+      // plan-size bound (a rowCount-backed plan would not reproduce
+      // the round-8 bug this test guards against)
+      assert(dh.nodeEstimateSource == "plan-size-upper-bound" &&
+        dh.nodeEstimate > 2000000L, s"hits decision: $dh")
+      assert(Graph.labelPropagation(sym, 1,
+        broadcastNodeLimit = Long.MaxValue).limit(1).count() == 1)
+      val dl = GraphTuning.lastDecision.get
+      assert(dl.op == "labelPropagation" && dl.broadcast && dl.fits &&
+        dl.limitSource == "explicit", s"lpa decision: $dl")
+      assert(Graph.bfsDistances(e, Seq(1L, 2L).toDF("id"), 1,
+        broadcastNodeLimit = Long.MaxValue).count() >= 2)
+      val db = GraphTuning.lastDecision.get
+      assert(db.op == "bfsDistances" && db.broadcast && db.fits &&
+        db.limitSource == "explicit", s"bfs decision: $db")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  test("rowUpperBound: rowsPerByteMargin scales the size-based bound only") {
+    // parquet-backed plan: stats carry sizeInBytes, no rowCount — the
+    // margin multiplies the bound (the collect-licensing guard in
+    // duplicateClusters). A rowCount-backed plan is exact either way.
+    val pq = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    val Some((u1, s1)) = GraphTuning.rowUpperBound(pq)
+    val Some((u8, s8)) = GraphTuning.rowUpperBound(pq, rowsPerByteMargin = 8L)
+    assert(s1 == "plan-size-upper-bound" && s8 == s1)
+    assert(u8 == 8L * u1)
   }
 
   test("rowUpperBound over-counts, never under-counts, a local plan") {
