@@ -19,9 +19,20 @@ object Bench {
     * sf0.001 warm-up can't burn: codec/mapPartitions queries JIT their
     * per-row decode loops only after thousands of invocations (sf0.001
     * has ~600 docs), and the iterative-graph loops JIT per-round
-    * codegen + checkpoint paths. One untimed target-SF rep each, so the
-    * timed min/spread measure the plan, not C2 compilation (round-7
-    * verdict: q143 spread 7.8 s on a 0.76 s min). */
+    * codegen + checkpoint paths. One untimed target-SF rep each.
+    *
+    * What this does NOT cure — the recurring ~16 s q143 outlier rep
+    * (r7 spread 7.8 s, r8 15.8 s): round-9 instrumentation
+    * (SPARK_GRAFT_DEBUG per-rep GC + task profile) measured 13 q143
+    * reps across isolated and full-suite runs at gcSec <= 0.1,
+    * taskMax <= 0.6 s, taskTotal a constant ~20-24 s — so the
+    * outlier is EXTERNAL CPU contention, not JIT or GC: q143 packs
+    * ~21 s of task CPU into ~0.9 s wall (the suite's highest CPU
+    * density), so a competing load burst during its window inflates
+    * wall near-proportionally (16 s ≈ 1.3 effective cores), exactly
+    * when r8's first timed queries (q01/q02) were also elevated.
+    * Diagnostic signature of a contended rep: wall up, taskTotal
+    * unchanged. In-task slowdown would inflate taskTotal too. */
   private[graft] val warmAtTargetSf: Set[String] = Set(
     "q37_media_meta", "q38_media_features", "q39_frame_counts",
     "q143_video_frames", "q144_audio_features",
