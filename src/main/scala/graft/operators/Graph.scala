@@ -53,23 +53,29 @@ object Graph {
       scale: Long = 1000000L, dampingScaled: Long = 850000L,
       broadcastNodeLimit: Long = GraphTuning.Auto,
       symmetric: Boolean = false,
-      coBucketEdgeThreshold: Long = 40000000L): DataFrame = {
+      coBucketEdgeThreshold: Long = 14000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = edges.sparkSession
     val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
     // Big-graph routing (symmetric graphs — the co-bucketed contract):
     // when the node table is too big to broadcast AND the edge table is
     // big enough that re-shuffling it every round dominates, the
-    // bucketed-table regime wins. Round-6 crossover grid
-    // (graft.Crossover, CROSSOVER.json; warm, interleaved, min-of-2):
-    // at 36M edges / 4.4M nodes the shuffle loop still won (9.6 s vs
-    // 11.3 s); at 54M / 6.6M co-bucketed won 2.4x (15.8 s vs 38.5 s);
-    // at 72M / 8.9M won 1.3x (23.7 s vs 30.2 s); at 120M / 14.7M the
-    // two loops tied within noise. The 40M default sits between the
-    // measured 36M shuffle win and the 54M co-bucketed win. The
-    // broadcast limit itself resolves through [[GraphTuning]] (conf
-    // override + replication cost model — local mode is one in-process
-    // copy, a cluster pays nodeBytes × executors per round).
+    // bucketed-table regime wins. The round-6 grid put this at 40M
+    // edges, but its "shuffle" arms were CONTAMINATED: AQE was
+    // converting the per-round rank join to a runtime broadcast
+    // whenever the compressed rank shuffle dipped under the 10 MB
+    // auto-broadcast threshold, so those cells measured a
+    // broadcast-assisted loop. The round-9 honest arms
+    // (autoBroadcastJoinThreshold=-1, graft.Crossover shuffle_nobc;
+    // warm, interleaved, min-of-2): at 9.6M edges / 1.2M nodes the
+    // shuffle loop still wins (3.9 s vs 5.2 s co-bucketed — layout
+    // writes don't pay off); at 18M / 2.2M co-bucketed wins 1.7x
+    // (8.2 s vs 13.7 s); at 36M / 4.4M it wins 2.4x (13.9 s vs
+    // 32.9 s). The 14M default sits between the measured 9.6M shuffle
+    // win and the 18M co-bucketed win. The broadcast limit itself
+    // resolves through [[GraphTuning]] (conf override + replication
+    // cost model — local mode is one in-process copy, a cluster pays
+    // nodeBytes × executors per round).
     //
     // Job-free fast path: #nodes <= 2 · #edges, so when the optimized
     // plan already bounds the edge count low enough that neither the

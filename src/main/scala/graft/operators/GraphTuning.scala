@@ -33,6 +33,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * honest ~64 GB/round and demoted to the shuffle/co-bucketed regime
   * unless the edge volume is larger still. Every decision is logged with
   * all inputs and their provenance ([[RegimeDecision.describe]]).
+  *
+  * Constants validated round 9 against the honest (auto-broadcast
+  * disabled, `shuffle_nobc`) crossover cells — CROSSOVER.json
+  * `graphtuning_cost_constants_r9`: at 4.4M nodes / 36M edges the
+  * model's 6.1× byte ratio for broadcast-over-shuffle matched a
+  * measured 3.5× time win (9.3 s vs 32.9 s); at the 2M-node default
+  * budget boundary (lpa@100) broadcast and shuffle measured within
+  * ~20%, i.e. the [[CostFloorBytes]]/default-limit pair sits at the
+  * local breakeven. The `executorCopies` replication term remains
+  * design-derived (local mode is always one copy).
   */
 object GraphTuning extends Logging {
 
@@ -74,6 +84,12 @@ object GraphTuning extends Logging {
     * regimes (duplicateClusters) that aren't broadcast decisions. */
   @volatile private[graft] var lastRouting: Option[String] = None
 
+  /** Rolling journal of recent decisions (newest first, capped) — lets
+    * specs and postmortems see a LOOP's decision sequence, e.g. kCore's
+    * per-round re-check switching shuffle → broadcast as the core
+    * prunes, which `lastDecision` alone overwrites. */
+  @volatile private[graft] var decisionLog: List[RegimeDecision] = Nil
+
   private[graft] def logRouting(msg: String): Unit = {
     lastRouting = Some(msg)
     logInfo(msg)
@@ -85,6 +101,7 @@ object GraphTuning extends Logging {
   private[graft] def resetLast(): Unit = {
     lastDecision = None
     lastRouting = None
+    decisionLog = Nil
   }
 
   /** (limit, provenance): explicit caller value >= 0, else the session
@@ -203,6 +220,7 @@ object GraphTuning extends Logging {
       nodeEstimate, nodeEstimateSource, edgeEstimate, limit, limitSource,
       copies)
     lastDecision = Some(d)
+    decisionLog = (d :: decisionLog).take(64)
     logInfo(d.describe)
     d
   }

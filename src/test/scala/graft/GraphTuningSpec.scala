@@ -178,6 +178,28 @@ class GraphTuningSpec extends SparkSpec {
     }
   }
 
+  test("kCore re-takes the regime per round: shuffle switches to broadcast as the core prunes") {
+    // K4 core + 200 degree-1 pendants: with the conf limit at 50 the
+    // first round sees 2m = 412 > 50 (shuffle semi-joins); the peel
+    // drops every pendant, so round 2 sees 2m = 12 <= 50 and must
+    // switch to broadcast semi-joins mid-run (round-8 advice: the
+    // frozen pre-loop decision lost this).
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val pendants = (0L until 200L).map(i => (1L, 100L + i))
+    val e = (clique ++ pendants).toDF("src", "dst")
+    val out = withConf(GraphTuning.NodeLimitKey, "50") {
+      GraphTuning.resetLast()
+      Graph.kCore(e, k = 2, maxRounds = 5)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+    }
+    // surviving 2-core: the K4, every node at degree 3
+    assert(out == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val rounds = GraphTuning.decisionLog.reverse.filter(_.op == "kCore")
+    assert(rounds.size >= 2, s"expected per-round decisions: $rounds")
+    assert(!rounds.head.broadcast && !rounds.head.fits)
+    assert(rounds.last.broadcast && rounds.last.fits)
+  }
+
   test("rowUpperBound: rowsPerByteMargin scales the size-based bound only") {
     // parquet-backed plan: stats carry sizeInBytes, no rowCount — the
     // margin multiplies the bound (the collect-licensing guard in
