@@ -2108,7 +2108,23 @@ object SparkEntry {
       Dedup.duplicateClusters(docs, "doc_id", pairs,
         localEdgeThreshold = 0L, coBucketEdgeThreshold = 0L)
         .orderBy("doc_id")
-    })
+    }),
+
+    // Exact p50/p90/p99 discrete quantiles of the cent-encoded order
+    // total per priority class — the distribution-cutoff primitive a
+    // quality pipeline thresholds on. Rank semantics defined by the
+    // operator's own integer window formula (NOT an engine quantile
+    // builtin — those differ in interpolation/rounding across
+    // engines); every quantile is a conditional-min over ONE window
+    // pass on O(distinct values) rows.
+    "q146_quantiles" -> ((s, dir) =>
+      Aggregations.quantilesDisc(
+        Tables.orders(s, dir).select(col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+          .withColumn("one", lit(1L)),
+        Seq("o_orderpriority"), "price_c", "one",
+        Seq(500000L, 900000L, 990000L))
+        .orderBy("o_orderpriority"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -4226,6 +4242,26 @@ object SparkEntry {
          |  CAST((match_k * 1000000) // ku AS BIGINT) AS jaccard_ppm
          |FROM c""".stripMargin
     },
+
+    "q146_quantiles" ->
+      """WITH pv AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS w
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderpriority, v,
+        |    CAST(sum(w) OVER (PARTITION BY o_orderpriority ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tw
+        |  FROM pv)
+        |SELECT o_orderpriority,
+        |  min(CASE WHEN cw * 1000000 >= 500000 * tw THEN v END) AS p500000,
+        |  min(CASE WHEN cw * 1000000 >= 900000 * tw THEN v END) AS p900000,
+        |  min(CASE WHEN cw * 1000000 >= 990000 * tw THEN v END) AS p990000,
+        |  max(tw) AS total_w
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q142_weighted_median" ->
       """WITH pv AS (

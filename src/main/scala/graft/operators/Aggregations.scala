@@ -117,4 +117,48 @@ object Aggregations {
       .groupBy(g: _*)
       .agg(min(col("__v")).as("w_median"), max(col("__tw")).as("total_w"))
   }
+
+  /** Exact per-group discrete quantiles — [[weightedMedian]] generalized
+    * to a quantile LIST: for each q (parts-per-million) the result is
+    * the smallest value whose cumulative weight reaches q of the group
+    * total, min{x : 10⁶·Σ_{v≤x} w(v) ≥ q·Σw} — the p50/p90/p99 cutoffs
+    * a training-data quality pipeline thresholds on (token counts,
+    * document lengths, scores per source). Rank semantics are defined
+    * HERE, in integer arithmetic, rather than delegated to an engine
+    * quantile builtin — `quantile_disc`-style functions differ across
+    * engines in interpolation and rank rounding, so the oracle mirrors
+    * this exact window+filter formula instead.
+    *
+    * Scale shape (same as [[weightedMedian]]): occurrences collapse
+    * FIRST to one row per (group, value) — a partial-agg shuffle of
+    * O(distinct values) — then ONE window pass computes running weight,
+    * and every quantile is a conditional-min over the same pass (no
+    * per-quantile scan, no join; adding a quantile is free). Overflow
+    * bound: cumWeight × 10⁶ must fit a long ⇒ Σw per group < ~9.2e12,
+    * fine for counts up to trillions; pre-scale weights above that.
+    *
+    * @param quantilesPpm quantiles in ppm (500000 = median); output
+    *        column per entry named `p<ppm>`, plus `total_w` */
+  def quantilesDisc(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String,
+      quantilesPpm: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantilesPpm.nonEmpty && quantilesPpm.forall(q => q > 0 && q <= 1000000L),
+      "quantiles are ppm in (0, 1000000]")
+    val g = groupCols.map(col)
+    val perValue = df
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val cum = perValue
+      .withColumn("__cw", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qAggs = quantilesPpm.map(q =>
+      min(when(col("__cw") * 1000000L >= lit(q) * col("__tw"), col("__v")))
+        .as(s"p$q"))
+    cum.groupBy(g: _*)
+      .agg(qAggs.head, qAggs.tail :+ max(col("__tw")).as("total_w"): _*)
+  }
 }

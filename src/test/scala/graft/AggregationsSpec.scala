@@ -90,4 +90,25 @@ class AggregationsSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(rep == got)
   }
+
+  test("quantilesDisc: hand cases — unweighted ranks, weighted crossing, partitioning") {
+    // a: 1..10 each w=1 → p50=5 (cum 5 ≥ 0.5·10), p90=9, p99=10
+    // b: 1(w9), 2(w1) → p50=1, p90=1 (cum 9 ≥ 0.9·10), p99=2 (needs 9.9)
+    val df = ((1L to 10L).map(v => ("a", v, 1L)) ++
+      Seq(("b", 1L, 9L), ("b", 2L, 1L))).toDF("g", "v", "w")
+    val got = Aggregations.quantilesDisc(df, Seq("g"), "v", "w",
+      Seq(500000L, 900000L, 990000L))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 5L, 9L, 10L, 10L), ("b", 1L, 1L, 2L, 10L)))
+    // median quantile agrees with weightedMedian on its own fixture
+    val med = Aggregations.quantilesDisc(
+      Seq(("g1", 1L, 1L), ("g1", 2L, 1L), ("g1", 3L, 10L)).toDF("g", "v", "w"),
+      Seq("g"), "v", "w", Seq(500000L))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(med == Seq(("g1", 3L, 12L)))
+    val rep = Aggregations.quantilesDisc(df.repartition(7), Seq("g"), "v", "w",
+      Seq(500000L, 900000L, 990000L))
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rep == got)
+  }
 }
