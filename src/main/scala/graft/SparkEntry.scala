@@ -2124,7 +2124,22 @@ object SparkEntry {
           .withColumn("one", lit(1L)),
         Seq("o_orderpriority"), "price_c", "one",
         Seq(500000L, 900000L, 990000L))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // Benchmark decontamination: per-doc 8-gram containment of every
+    // non-benchmark document in the src0/src1 "benchmark" gram set —
+    // map-side per-doc gram dedup, broadcast benchmark probe, one
+    // (doc_id) partial-agg shuffle. Same portable gram family as
+    // q97 → hash-exact oracle; flag threshold 20% in integer ppm.
+    "q147_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isBench = col("source").isin("src0", "src1")
+      Corpus.benchmarkContamination(
+        docs.filter(!isBench), "doc_id", "text",
+        docs.filter(isBench), "text",
+        shingleSize = 8, thresholdPpm = 200000L)
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -4241,6 +4256,25 @@ object SparkEntry {
          |  CAST((match_k * est_union) // ku AS BIGINT) AS est_inter,
          |  CAST((match_k * 1000000) // ku AS BIGINT) AS jaccard_ppm
          |FROM c""".stripMargin
+    },
+
+    "q147_contamination" -> {
+      val cat = (0 until 8).map(k => if (k == 0) "t0[i]" else s"t0[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id, source,
+         |  string_split_regex(lower(trim(text)), '\\s+') AS t0 FROM documents),
+         |dg AS (SELECT doc_id, source,
+         |  unnest(list_distinct(list_transform(generate_series(1, len(t0) - 7),
+         |    i -> ('0x' || substr(md5($cat), 1, 8))::BIGINT % 2147483647))) AS g
+         | FROM tk),
+         |bench AS (SELECT DISTINCT g FROM dg WHERE source IN ('src0', 'src1'))
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(count(b.g) AS BIGINT) AS n_hit,
+         |  CAST(CASE WHEN count(b.g) * 1000000 >= 200000 * count(*)
+         |       THEN 1 ELSE 0 END AS INT) AS contaminated
+         |FROM dg d LEFT JOIN bench b ON d.g = b.g
+         |WHERE d.source NOT IN ('src0', 'src1')
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     },
 
     "q146_quantiles" ->

@@ -251,4 +251,47 @@ object Corpus {
         lit(liftNum) * col("c_x") * col("c_y"))
       .select("w1", "w2", "c_xy", "c_x", "c_y", "n_uni")
   }
+
+  /** Benchmark decontamination: for every probe document, how much of
+    * it is CONTAINED in a benchmark corpus — the n-gram containment
+    * check run before training so eval sets don't leak into the
+    * training mix (the C4/Pile decontamination discipline). Asymmetric
+    * by design: containment of the DOC in the benchmark (n_hit /
+    * n_grams), not symmetric overlap ([[graft.operators.Dedup]] covers
+    * near-dup; q97 covers corpus-pair overlap).
+    *
+    * Scale shape: per-doc gram sets are built MAP-SIDE
+    * (`array_distinct` on the shingle array before explode — no
+    * corpus-wide distinct shuffle), the benchmark gram set is distinct
+    * grams of the (small by nature) benchmark corpus and is BROADCAST
+    * into a left join marking hits, and the only shuffle is the
+    * (doc_id) count partial-agg. A 100 TB probe corpus streams through
+    * scan → broadcast-probe → partial agg with zero wide exchanges.
+    * Portable md5 gram family ⇒ hash-exact oracle. Docs shorter than
+    * `shingleSize` tokens have no grams and are absent from the output
+    * (both engines agree: exploding an empty gram list yields no rows).
+    *
+    * @param thresholdPpm containment flag threshold in ppm of the
+    *        doc's distinct grams (integer arithmetic — no float
+    *        division crosses the engine boundary)
+    * @return (id, n_grams, n_hit, contaminated) one row per probe doc
+    *         with >= 1 gram */
+  def benchmarkContamination(probe: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchTextCol: String,
+      shingleSize: Int = 8, thresholdPpm: Long = 200000L): DataFrame = {
+    def grams(df: DataFrame, keep: Seq[Column], text: String): DataFrame =
+      df.select(keep :+ explode(array_distinct(
+        graft.expressions.TextHash.shingleHashes31(col(text), shingleSize)))
+        .as("__g"): _*)
+    val bench = grams(benchmark, Nil, benchTextCol)
+      .select(col("__g")).distinct().withColumn("__hit", lit(1L))
+    grams(probe, Seq(col(idCol)), textCol)
+      .join(broadcast(bench), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("contaminated",
+        (col("n_hit") * 1000000L >= lit(thresholdPpm) * col("n_grams"))
+          .cast("int"))
+  }
 }

@@ -203,4 +203,22 @@ class CorpusSpec extends SparkSpec {
       .as[(String, Long, String)].collect().toSet
     assert(rep == out.map { case (t, (d, p)) => (t, d, p) }.toSet)
   }
+
+  test("benchmarkContamination: containment counts, threshold flag, short-doc absence") {
+    val probe = Seq((10L, "a b c"), (11L, "x y z w"), (12L, "a"))
+      .toDF("doc_id", "text")
+    val bench = Seq(("b c d e"), ("q r")).toDF("text")
+    // probe 10: grams {a b, b c} -> hits {b c} = 1/2 >= 20% -> flagged
+    // probe 11: grams {x y, y z, z w} -> 0 hits -> clean
+    // probe 12: single token, no 2-grams -> absent from output
+    val got = Corpus.benchmarkContamination(probe, "doc_id", "text",
+      bench, "text", shingleSize = 2, thresholdPpm = 200000L)
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq((10L, 2L, 1L, 1), (11L, 3L, 0L, 0)))
+    // threshold above the containment ratio clears the flag
+    val strict = Corpus.benchmarkContamination(probe, "doc_id", "text",
+      bench, "text", shingleSize = 2, thresholdPpm = 600000L)
+      .orderBy("doc_id").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(strict.map(_._4) == Seq(0, 0))
+  }
 }
