@@ -45,9 +45,10 @@ object Crossover {
     * inside the secs array — invalid JSON. Every numeric format in a
     * machine-readable artifact goes through Locale.ROOT. */
   private[graft] def jsonCell(mult: Int, algo: String, variant: String,
-      edges: Long, nodes: Long, secs: Seq[Double]): String =
+      edges: Long, nodes: Long, secs: Seq[Double],
+      master: String = "local[32]"): String =
     s"""{"mult":$mult,"algo":"$algo","variant":"$variant","edges":$edges,""" +
-      s""""nodes":$nodes,"secs":[${secs.map(s =>
+      s""""nodes":$nodes,"master":"$master","secs":[${secs.map(s =>
         "%.3f".formatLocal(java.util.Locale.ROOT, s)).mkString(",")}]}"""
 
   def main(args: Array[String]): Unit = {
@@ -60,9 +61,23 @@ object Crossover {
     // task results; a 100x amplified run legitimately broadcasts
     // >1 GiB tables into the 48g driver, and the 1g default killed the
     // first 60x CC attempt mid-grid.
+    // SPARK_GRAFT_MASTER overrides the master — e.g.
+    // local-cluster[2,16,24576] runs the SAME grid across two real
+    // executor JVMs (set SPARK_SCALA_VERSION=2.13 for the launcher),
+    // which is how the replication term of the GraphTuning cost model
+    // gets measured instead of assumed: the broadcast arm then pays
+    // genuine serialize+transfer+build per executor copy.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
     val spark = {
-      val s = GraftSession.builder("crossover", "32").master("local[32]")
-        .config("spark.driver.maxResultSize", "8g").getOrCreate()
+      val b = GraftSession.builder("crossover", "32").master(master)
+        .config("spark.driver.maxResultSize", "8g")
+      val b2 = if (master.startsWith("local-cluster")) b
+        .config("spark.executor.extraClassPath",
+          SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.getPath)
+        .config("spark.executor.memory",
+          master.split(",")(2).takeWhile(_.isDigit) + "m")
+      else b
+      val s = b2.getOrCreate()
       s.sparkContext.setLogLevel("WARN")
       s
     }
@@ -203,7 +218,7 @@ object Crossover {
       // moment they exist (the first 60x attempt died mid-run and left
       // no artifact at all)
       val lines = variants.map { case (vname, _) =>
-        jsonCell(mult, algo, vname, m, nodes, times(vname)) + "\n"
+        jsonCell(mult, algo, vname, m, nodes, times(vname), master) + "\n"
       }.mkString
       java.nio.file.Files.write(java.nio.file.Paths.get("CROSSOVER.jsonl"),
         lines.getBytes("UTF-8"),

@@ -41,8 +41,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * measured 3.5× time win (9.3 s vs 32.9 s); at the 2M-node default
   * budget boundary (lpa@100) broadcast and shuffle measured within
   * ~20%, i.e. the [[CostFloorBytes]]/default-limit pair sits at the
-  * local breakeven. The `executorCopies` replication term remains
-  * design-derived (local mode is always one copy).
+  * local breakeven. The `executorCopies` replication term was then
+  * measured on a REAL two-executor split (local-cluster[2,16,24g],
+  * same 32 total cores — CROSSOVER.json `replication_term_r9`):
+  * broadcast still wins at 1.2M nodes with two copies (3.59 s vs
+  * 4.09 s honest shuffle, margin narrowed from the one-copy 0.70 s to
+  * 0.50 s) and FLIPS to losing at 2.2M nodes (7.35 s vs 5.13 s) where
+  * one copy had it winning 2.0× — i.e. [[DefaultNodeLimit]] (2M) is
+  * the measured multi-executor boundary, not just a designed one.
   */
 object GraphTuning extends Logging {
 
