@@ -132,6 +132,12 @@ object Crossover {
       amplified(mult, shiftParts = true)
         .select((col("o") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
         .distinct().localCheckpoint(true)
+    // k-core graph: canonical (src < dst) co-order part edges, the q122
+    // shape — kCore doubles degrees internally, so edge counts here are
+    // the canonical half of the figures the Scale harness reports.
+    def kcoreEdges(mult: Int): DataFrame =
+      Graph.coOccurrenceEdges(amplified(mult, shiftParts = true),
+        "o", "p", maxGroupSize = 8).distinct().localCheckpoint(true)
 
     // duplicateClusters' distributed regime: hash-min + pointer jump,
     // edges re-join the label table every round (3 shuffles/round on the
@@ -278,6 +284,13 @@ object Crossover {
         Graph.hitsCoBucketed(e, 2, tablePrefix = "graft_xw_hits").count()
         e.unpersist()
       }
+      if (algos("kcore")) {
+        val e = kcoreEdges(1)
+        Graph.kCore(e, 3, 4, broadcastNodeLimit = Long.MaxValue).count()
+        noAutoBroadcast(Graph.kCore(e, 3, 4, broadcastNodeLimit = 0).count())
+        Graph.kCoreCoBucketed(e, 3, 4, tablePrefix = "graft_xw_kc").count()
+        e.unpersist()
+      }
       println("XOVER warmup done")
     }
 
@@ -342,6 +355,20 @@ object Crossover {
             broadcastNodeLimit = 0, coBucketAboveBroadcast = false).count()),
           "cobucket" -> ((ed: DataFrame) => Graph.hitsCoBucketed(ed, 2,
             tablePrefix = s"graft_x_hits_$mult").count())))
+        e.unpersist()
+      }
+      if (algos("kcore")) {
+        val e = kcoreEdges(mult)
+        val nodes = e.select("src").distinct().count()
+        runGrid(mult, "kcore", e, nodes, Seq(
+          "bcast" -> ((ed: DataFrame) => Graph.kCore(ed, 3, 4,
+            broadcastNodeLimit = Long.MaxValue).count()),
+          "shuffle" -> ((ed: DataFrame) => Graph.kCore(ed, 3, 4,
+            broadcastNodeLimit = 0).count()),
+          "shuffle_nobc" -> ((ed: DataFrame) => noAutoBroadcast(
+            Graph.kCore(ed, 3, 4, broadcastNodeLimit = 0).count())),
+          "cobucket" -> ((ed: DataFrame) => Graph.kCoreCoBucketed(ed, 3, 4,
+            tablePrefix = s"graft_x_kc_$mult").count())))
         e.unpersist()
       }
     }
