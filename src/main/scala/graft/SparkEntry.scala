@@ -2126,6 +2126,24 @@ object SparkEntry {
         Seq(500000L, 900000L, 990000L))
         .orderBy("o_orderpriority")),
 
+    // Watermarked windowed rollup, BATCH-parity path: the same
+    // WindowedAgg.eventTimeRollup call that runs as a Structured
+    // Streaming append query (WindowedAggSpec drives the stream side)
+    // computes the identical hourly rollup on the batch events table —
+    // which puts the operator's window/agg semantics under the DuckDB
+    // gate. Buckets surface as epoch MILLIS of the hour start (never
+    // raw timestamps — the cross-engine determinism rule), sums ride
+    // DECIMAL(28,10) and cast to double only on output (q128 pattern).
+    "q148_windowed_rollup" -> ((s, dir) =>
+      graft.streaming.WindowedAgg.eventTimeRollup(
+        Tables.events(s, dir).select(col("ts"), col("event_type"), col("value")),
+        "ts", watermarkDelay = "0 seconds", windowDuration = "1 hour",
+        keyCols = Seq("event_type"), valueCol = "value")
+        .select(unix_millis(col("window_start")).as("bucket_ms"),
+          col("event_type"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("bucket_ms", "event_type")),
+
     // Benchmark decontamination: per-doc 8-gram containment of every
     // non-benchmark document in the src0/src1 "benchmark" gram set —
     // map-side per-doc gram dedup, broadcast benchmark probe, one
@@ -4257,6 +4275,12 @@ object SparkEntry {
          |  CAST((match_k * 1000000) // ku AS BIGINT) AS jaccard_ppm
          |FROM c""".stripMargin
     },
+
+    "q148_windowed_rollup" ->
+      """SELECT epoch_ns(ts) // 3600000000000 * 3600000 AS bucket_ms,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
 
     "q147_contamination" -> {
       val cat = (0 until 8).map(k => if (k == 0) "t0[i]" else s"t0[i+$k]")
