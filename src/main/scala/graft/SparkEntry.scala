@@ -2126,6 +2126,19 @@ object SparkEntry {
         Seq(500000L, 900000L, 990000L))
         .orderBy("o_orderpriority")),
 
+    // Exact grouped Pearson correlation (price vs quantity per return
+    // flag): five DECIMAL(38,0) moments in ONE partial+final agg, exact
+    // integer numerator/variances, one double division + two
+    // correctly-rounded sqrts — hash-matches DuckDB (never corr():
+    // engines disagree in ulps between Welford and naive accumulation).
+    "q149_grouped_corr" -> ((s, dir) =>
+      Aggregations.groupedPearson(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")),
+        Seq("l_returnflag"), "qty", "price_c")
+        .orderBy("l_returnflag")),
+
     // Watermarked windowed rollup, BATCH-parity path: the same
     // WindowedAgg.eventTimeRollup call that runs as a Structured
     // Streaming append query (WindowedAggSpec drives the stream side)
@@ -4275,6 +4288,25 @@ object SparkEntry {
          |  CAST((match_k * 1000000) // ku AS BIGINT) AS jaccard_ppm
          |FROM c""".stripMargin
     },
+
+    "q149_grouped_corr" ->
+      """WITH t AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(sxy * n - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(sxx * n - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(syy * n - sy * sy AS DOUBLE))) AS r
+        |FROM m
+        |WHERE sxx * n - sx * sx > 0 AND syy * n - sy * sy > 0
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q148_windowed_rollup" ->
       """SELECT epoch_ns(ts) // 3600000000000 * 3600000 AS bucket_ms,

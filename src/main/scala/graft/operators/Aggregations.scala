@@ -161,4 +161,41 @@ object Aggregations {
     cum.groupBy(g: _*)
       .agg(qAggs.head, qAggs.tail :+ max(col("__tw")).as("total_w"): _*)
   }
+
+  /** Exact per-group Pearson correlation of two INTEGER-encoded
+    * columns — the feature-vs-feature dependence screen (length vs
+    * quality score per source, price vs quantity per class). The
+    * cross-engine float discipline of the z-score operator (q96): all
+    * five moments accumulate in DECIMAL(38,0) (a long would wrap
+    * n·Σxy past 2⁶³ on ~1e9 modest rows; decimal matches DuckDB's
+    * HUGEINT exactly), the numerator and variance terms stay exact
+    * integers, and ONE double division + ONE correctly-rounded sqrt
+    * per group produce the float — so even the correlation itself
+    * hash-matches across engines. Never `corr()`: engines disagree in
+    * ulps between Welford and naive accumulation.
+    *
+    * Scale shape: one partial+final hash agg over the group key (five
+    * decimal sums — map-side combine, shuffle bytes O(groups));
+    * degenerate groups (either variance 0) are dropped, as every
+    * engine's corr would return NULL/NaN there.
+    *
+    * @return (groupCols..., n, r) with r ∈ [-1, 1] */
+  def groupedPearson(df: DataFrame, groupCols: Seq[String],
+      xCol: String, yCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val x = col(xCol).cast("decimal(38,0)")
+    val y = col(yCol).cast("decimal(38,0)")
+    df.groupBy(g: _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+      .withColumn("__vx", col("__sxx") * col("__n") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("__syy") * col("__n") - col("__sy") * col("__sy"))
+      .filter(col("__vx") > 0 && col("__vy") > 0)
+      .select(g ++ Seq(col("__n").cast("long").as("n"),
+        ((col("__sxy") * col("__n") - col("__sx") * col("__sy")).cast("double") /
+          (sqrt(col("__vx").cast("double")) * sqrt(col("__vy").cast("double"))))
+          .as("r")): _*)
+  }
 }

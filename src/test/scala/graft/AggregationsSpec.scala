@@ -111,4 +111,23 @@ class AggregationsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(rep == got)
   }
+
+  test("groupedPearson: exact ±1 hand cases, zero-variance group dropped") {
+    val df = Seq(
+      ("p", 1L, 2L), ("p", 2L, 4L), ("p", 3L, 6L),   // y = 2x  -> r = 1
+      ("n", 1L, 3L), ("n", 2L, 2L), ("n", 3L, 1L),   // y = 4-x -> r = -1
+      ("z", 1L, 5L), ("z", 2L, 5L))                  // var(y)=0 -> dropped
+      .toDF("g", "x", "y")
+    val got = Aggregations.groupedPearson(df, Seq("g"), "x", "y")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    // sqrt(vx)·sqrt(vy) carries ±1 ulp vs the exact ±1 — the operator's
+    // determinism claim is CROSS-ENGINE bit-equality (the oracle mirrors
+    // the same op order), not infinite precision
+    assert(got.map(t => (t._1, t._2)) == Seq(("n", 3L), ("p", 3L)))
+    assert(math.abs(got(0)._3 + 1.0) < 1e-12 &&
+      math.abs(got(1)._3 - 1.0) < 1e-12, s"r values: $got")
+    val rep = Aggregations.groupedPearson(df.repartition(5), Seq("g"), "x", "y")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rep == got) // bit-identical across partitionings
+  }
 }
