@@ -2170,12 +2170,77 @@ object SparkEntry {
         docs.filter(isBench), "text",
         shingleSize = 8, thresholdPpm = 200000L)
         .orderBy("doc_id")
-    })
+    }),
+
+    // Weighted shortest paths (bounded-round Bellman-Ford, delta
+    // frontier) over the order↔part graph with integer edge weights
+    // (min linenumber-derived weight per pair): exact minimum ≤4-edge
+    // path weight from the seed parts. Only improved nodes re-enter the
+    // relaxation; the best table rewrites O(reached)/round. The oracle
+    // replays all four relaxation rounds CTE-for-CTE (relaxing from the
+    // full table is min-equivalent to the frontier form).
+    "q150_sssp" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val e0 = li.groupBy((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(min(col("l_linenumber") % 5 + 1).cast("long").as("w"))
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+      Graph.ssspDistances(edges, seeds, maxRounds = 4).orderBy("id")
+    }),
+
+    // Exact heavy hitters in two bounded-memory corpus scans: per-
+    // partition Misra-Gries summaries prune the exact-count pass to a
+    // provably complete broadcast-sized candidate set (tokens >= 2.5%
+    // of the corpus) — the sketch routes, the exact count answers, so
+    // the result hash-matches the plain DuckDB GROUP BY.
+    "q151_heavy_hitters" -> ((s, dir) =>
+      Corpus.heavyHitters(Tables.documents(s, dir), "text",
+        thresholdPpm = 25000L, capacity = 4096)
+        .orderBy(col("cnt").desc, col("token")))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q150_sssp" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""d$k AS (
+           |  SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, d.dist + e.w AS dist
+           |    FROM e JOIN d${k - 1} d ON d.id = e.src)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+         |         CAST(min(l_linenumber % 5 + 1) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |e AS (
+         |  SELECT src, dst, w FROM e0
+         |  UNION ALL
+         |  SELECT dst, src, w FROM e0),
+         |d0 AS (
+         |  SELECT DISTINCT l_partkey * 2 + 1 AS id, CAST(0 AS BIGINT) AS dist
+         |  FROM lineitem WHERE l_partkey % 97 = 0),
+         |$rounds
+         |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
+    },
+
+    "q151_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS token FROM documents),
+        |tk AS (SELECT token FROM toks WHERE token <> ''),
+        |thr AS (
+        |  SELECT greatest(count(*) * 25000 // 1000000, 1) AS t FROM tk),
+        |c AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1)
+        |SELECT c.token, c.cnt FROM c, thr WHERE c.cnt >= thr.t
+        |ORDER BY c.cnt DESC, c.token""".stripMargin,
+
     "q129_hll_sketch" ->
       """WITH h AS (
         |  SELECT event_type,

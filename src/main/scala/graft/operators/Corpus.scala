@@ -59,6 +59,76 @@ object Corpus {
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
 
+  /** EXACT global heavy hitters in two corpus scans with bounded memory
+    * everywhere — the pattern for "which tokens exceed x% of a 100 TB
+    * corpus" where a plain groupBy would shuffle O(|vocab|) rows and
+    * [[vocabulary]]'s top-k needs a global sort of them.
+    *
+    * Pass 1 runs Misra-Gries(`capacity`) per partition (mapPartitions —
+    * genuinely imperative per-partition state, the documented last-resort
+    * case) and emits each partition's ≤`capacity` (token, est) counters
+    * plus one (null, n_p) total row: O(partitions × capacity) rows total,
+    * independent of corpus size. Their token-summed estimates undercount
+    * a true count by at most slack = N/(capacity+1) (each MG decrement
+    * consumes capacity+1 token occurrences), so
+    * `est_sum >= threshold − slack` is a PROVABLY COMPLETE candidate
+    * filter for `count >= threshold`, and the candidate set has at most
+    * N/(threshold − slack) members — broadcast-sized by construction
+    * (no driver collect; the semi-join broadcasts the filtered frame).
+    * Pass 2 exact-counts ONLY the candidates (scan + semi-join +
+    * O(candidates) agg) and applies the threshold to the exact counts —
+    * the result is therefore exact and partitioning-independent, which
+    * is what puts a sketch-pruned operator under the DuckDB hash gate.
+    *
+    * @param thresholdPpm heaviness cutoff in parts-per-million of the
+    *   total token count N: heavy ⟺ count >= max(N·ppm/1e6, 1). Must
+    *   satisfy ppm·(capacity+1) > 1e6 (checked, plus the exact runtime
+    *   form) or candidate completeness is lost.
+    * @return (token, cnt) — every token with exact cnt >= threshold */
+  def heavyHitters(df: DataFrame, textCol: String, thresholdPpm: Long,
+      capacity: Int = 4096): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in (0, 1e6]")
+    require(thresholdPpm * (capacity + 1L) > 1000000L,
+      s"capacity $capacity too small for thresholdPpm $thresholdPpm: " +
+        "need ppm*(capacity+1) > 1e6 for the completeness guarantee")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def toks = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val cap = capacity
+    val summaries = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      var n = 0L
+      while (it.hasNext) {
+        val t = it.next(); n += 1
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < cap => counts.update(t, 1L)
+          case None => // decrement-all eviction; amortized O(1)/token
+            counts.mapValuesInPlace((_, v) => v - 1)
+            counts.filterInPlace((_, v) => v > 0)
+        }
+      }
+      Iterator.single((null: String, 0L, n)) ++
+        counts.iterator.map { case (t, c) => (t, c, 0L) }
+    }.toDF("token", "est", "pn")
+      .groupBy("token").agg(sum("est").as("est"), sum("pn").as("pn"))
+      .localCheckpoint(true) // P·capacity rows, computed once
+    val n = summaries.agg(sum("pn")).first().getLong(0)
+    val threshold = math.max(n * thresholdPpm / 1000000L, 1L)
+    val slack = n / (capacity + 1L)
+    require(threshold > slack,
+      s"threshold $threshold <= slack $slack at N=$n — raise capacity")
+    val cand = summaries
+      .filter(col("token").isNotNull && col("est") >= threshold - slack)
+      .select("token")
+    toks.join(broadcast(cand), Seq("token"), "semi")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   /** Per-document distinctive terms: top-`k` tokens per doc scored by
     * tf × (N / df). The idf factor is the rational N/df rather than
     * ln(N/df): ranking stays tf-idf-monotone per document for fixed tf,

@@ -694,6 +694,151 @@ object Graph {
     } finally wt.dropAll()
   }
 
+  /** Multi-source WEIGHTED shortest paths — bounded-round Bellman-Ford
+    * with a delta frontier. After `maxRounds` rounds every returned
+    * `dist` is the exact minimum path weight over paths of at most
+    * `maxRounds` edges from any seed (the standard bounded-hop
+    * semantics; exact all-paths SSSP when `maxRounds` >= the graph's
+    * weighted-hop diameter). Weights may be any Long — with negative
+    * weights the ≤k-edge minimum is still exact because no path longer
+    * than `maxRounds` edges is ever considered.
+    *
+    * Unlike BFS a node can be RE-improved in a later round, so there is
+    * no first-discovery anti-join: each round relaxes only from the
+    * frontier (nodes whose best distance improved last round — the
+    * delta-stepping observation that an improvement at hop k must pass
+    * through an improvement at hop k-1), compares candidates against
+    * the best table, and rewrites best as union+min. Per-round cost:
+    * one edges⋈frontier join (broadcast when the node state fits the
+    * resolved limit), one (dst, min) agg, one frontier-vs-best join,
+    * one O(reached) best rewrite — the same cost class as the PR rank
+    * rewrite. Routing follows the [[GraphTuning.RegimeDecision]]
+    * contract: non-fitting state leaves for
+    * [[ssspDistancesCoBucketed]]; fitting-but-cost-vetoed stays on
+    * plain shuffle joins here.
+    *
+    * @param edges (src, dst, w), all LongType-castable; parallel edges
+    *              fold into their min weight naturally (the min agg)
+    * @param seeds one `id` column; absent nodes are unreached within
+    *              `maxRounds` and are not returned
+    * @return (id, dist): exact ≤`maxRounds`-edge shortest distance */
+  def ssspDistances(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
+      coBucketAboveBroadcast: Boolean = true): DataFrame = {
+    require(maxRounds >= 0, "maxRounds must be >= 0")
+    val spark = edges.sparkSession
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
+    val edgeUpper = GraphTuning.rowUpperBound(edges)
+    val (nodeEst, nodeSrc) = edgeUpper match {
+      case Some((u, s)) if u <= limit => (u, s)
+      case _ => (edges.agg(approx_count_distinct(col("dst")).as("n"))
+        .first().getLong(0), "hll")
+    }
+    val d = GraphTuning.decide(spark, "ssspDistances", nodeEst, nodeSrc,
+      edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit)
+    val small = d.broadcast
+    if (!d.fits && coBucketAboveBroadcast)
+      return ssspDistancesCoBucketed(edges, seeds, maxRounds)
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).repartition(col("dst")).cache()
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var best = seeds.select(col("id").cast("long"), lit(0L).as("dist"))
+      .distinct().localCheckpoint(true)
+    var frontier = best
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      val cand = ew
+        .join(maybeB(frontier.select(col("id").as("src"),
+          col("dist").as("fd"))), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("fd") + col("w")).as("cand"))
+      frontier = cand
+        .join(maybeB(best.withColumnRenamed("dist", "old")), Seq("id"), "left")
+        .filter(col("old").isNull || col("cand") < col("old"))
+        .select(col("id"), col("cand").as("dist"))
+        .localCheckpoint(true)
+      if (!frontier.isEmpty)
+        best = best.unionByName(frontier)
+          .groupBy("id").agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+    }
+    ew.unpersist(blocking = false)
+    best
+  }
+
+  /** One co-bucketed SSSP relaxation round (exposed for plan
+    * inspection): the edges⋈frontier join is bucket-to-bucket
+    * [0 Exchange]; the round's 1 Exchange is the repartition onto the
+    * candidate key, after which the min-agg is exchange-free and the
+    * improvement join against the best table is co-located. */
+  def ssspCoBucketedRound(spark: SparkSession, edgesTable: String,
+      frontierTable: String, bestTable: String, numBuckets: Int): DataFrame =
+    spark.table(edgesTable)
+      .join(spark.table(frontierTable).withColumnRenamed("dist", "fd"),
+        Seq("src"))
+      .select(col("dst").as("src"), (col("fd") + col("w")).as("cand"))
+      .repartition(numBuckets, col("src"))
+      .groupBy("src").agg(min(col("cand")).as("cand"))
+      .join(spark.table(bestTable).withColumnRenamed("dist", "old"),
+        Seq("src"), "left")
+      .filter(col("old").isNull || col("cand") < col("old"))
+      .select(col("src"), col("cand").as("dist"))
+
+  /** Big-graph weighted SSSP — [[ssspDistances]] above
+    * `broadcastNodeLimit`, same bucketed discipline as
+    * [[bfsDistancesCoBucketed]]: edges bucketed by src once; the
+    * frontier AND the best-distance tables live bucketed by the same
+    * key, so the per-round relaxation join and the improvement join are
+    * bucket-to-bucket, and the best rewrite is a bucket-aligned full
+    * outer join [0 Exchange] where the frontier side wins (it is
+    * strictly smaller by construction). Per-round Exchange count: 1
+    * (the candidate repartition in [[ssspCoBucketedRound]]). The edge
+    * table never re-shuffles; best is rewritten per round (O(reached)
+    * rows). Results equal [[ssspDistances]] (parity-tested). */
+  def ssspDistancesCoBucketed(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int, numBuckets: Int = 0,
+      tablePrefix: String = "graft_sssp"): DataFrame = {
+    require(maxRounds >= 0, "maxRounds must be >= 0")
+    val spark = edges.sparkSession
+    val nb = graft.io.Bucketing.resolveBuckets(spark, numBuckets)
+    val pfx = unique(tablePrefix)
+    val edgesTbl = s"${pfx}_edges"
+    def frontTbl(i: Int) = s"${pfx}_frontier_$i"
+    def bestTbl(i: Int) = s"${pfx}_best_$i"
+    val wt = new WorkTables(spark, nb)
+    try {
+      wt.write(
+        edges.select(col("src").cast("long"), col("dst").cast("long"),
+          col("w").cast("long")),
+        edgesTbl, Seq("src"))
+      val seed0 = seeds.select(col("id").cast("long").as("src"),
+        lit(0L).as("dist")).distinct()
+      wt.write(seed0, frontTbl(0), Seq("src"))
+      wt.write(spark.table(frontTbl(0)), bestTbl(0), Seq("src"))
+      var round = 0
+      var frontierSize = spark.table(frontTbl(0)).count()
+      while (round < maxRounds && frontierSize > 0) {
+        round += 1
+        wt.write(
+          ssspCoBucketedRound(spark, edgesTbl, frontTbl(round - 1),
+            bestTbl(round - 1), nb),
+          frontTbl(round), Seq("src"))
+        wt.write(
+          spark.table(bestTbl(round - 1))
+            .join(spark.table(frontTbl(round)).withColumnRenamed("dist", "nd"),
+              Seq("src"), "full_outer")
+            .select(col("src"),
+              coalesce(col("nd"), col("dist")).as("dist")),
+          bestTbl(round), Seq("src"))
+        frontierSize = spark.table(frontTbl(round)).count()
+      }
+      spark.table(bestTbl(round))
+        .select(col("src").as("id"), col("dist")).localCheckpoint(true)
+    } finally wt.dropAll()
+  }
+
   /** One co-bucketed k-core survivor filter (exposed for plan
     * inspection): semi-join on src is bucket-to-bucket [0 Exchange];
     * the dst-side semi-join re-clusters the shrinking edge set [the

@@ -221,4 +221,31 @@ class CorpusSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, Int)].collect().toSeq
     assert(strict.map(_._4) == Seq(0, 0))
   }
+
+  test("heavyHitters: exact under MG eviction, partitioning-independent") {
+    // skewed corpus over a 31-word vocab with capacity 12: evictions
+    // fire constantly, yet the exact pass must recover true counts
+    val words = (0 until 30).map(i => s"w$i")
+    val text = (0 until 3000).map { i =>
+      if (i % 3 == 0) "hot" // 1000 of 4000 tokens = 25%
+      else words(i % 30)    // each ~3.3% => under a 10% threshold
+    } :+ "warm " * 600      // 600 tokens of warm = 13%
+    val docs = text.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // N = 3000 + 600; threshold 10% = 360: expect hot(1000), warm(600)
+    val got = Corpus.heavyHitters(docs, "text",
+      thresholdPpm = 100000L, capacity = 12)
+      .orderBy("token").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("hot", 1000L), ("warm", 600L)))
+    // exactness is partitioning-independent (MG summaries differ per
+    // partitioning; the verified counts must not)
+    val got17 = Corpus.heavyHitters(docs.repartition(17), "text",
+      thresholdPpm = 100000L, capacity = 12)
+      .orderBy("token").as[(String, Long)].collect().toSeq
+    assert(got17 == got)
+    // completeness guard: capacity too small for the ppm is rejected
+    intercept[IllegalArgumentException] {
+      Corpus.heavyHitters(docs, "text", thresholdPpm = 1000L, capacity = 4)
+    }
+  }
 }

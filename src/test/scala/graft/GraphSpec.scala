@@ -502,4 +502,57 @@ class GraphSpec extends SparkSpec {
       fin.toString)
     eSrc.unpersist()
   }
+
+  test("sssp: bounded-round Bellman-Ford re-improves via the cheaper path") {
+    // 1→2 costs 5 direct but 2 via 3; 4 hangs off 2 (first reached at
+    // dist 6 in round 2, improved to 3 in round 3)
+    val e = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val full = Graph.ssspDistances(e, seeds, maxRounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(1L -> 0L, 2L -> 2L, 3L -> 1L, 4L -> 3L))
+    // bounded rounds: one round sees only the direct edges
+    val one = Graph.ssspDistances(e, seeds, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 5L, 3L -> 1L))
+  }
+
+  // symGraph with a symmetric deterministic weight per undirected pair
+  private def symWeighted =
+    symGraph.withColumn("w", (col("src") + col("dst")) % 9 + 1)
+
+  test("co-bucketed SSSP matches the frontier regime bit-for-bit") {
+    val e = symWeighted
+    val seeds = Seq(100L).toDF("id")
+    val want = Graph.ssspDistances(e, seeds, maxRounds = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val got = Graph.ssspDistancesCoBucketed(e, seeds, maxRounds = 3,
+      numBuckets = 4, tablePrefix = "graftspec_sssp")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == want && want.nonEmpty)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graftspec_sssp")))
+  }
+
+  test("sssp big-graph routing agrees with the broadcast regime") {
+    val e = symWeighted
+    val seeds = Seq(100L).toDF("id")
+    val want = Graph.ssspDistances(e, seeds, maxRounds = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val routed = Graph.ssspDistances(e, seeds, maxRounds = 3,
+      broadcastNodeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(routed == want)
+  }
+
+  test("sssp is partitioning-independent") {
+    val e = symWeighted
+    val seeds = Seq(100L, 7L).toDF("id")
+    val a = Graph.ssspDistances(e.repartition(1), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.ssspDistances(e.repartition(17), seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b && a.nonEmpty)
+  }
 }
