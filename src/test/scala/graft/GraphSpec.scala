@@ -546,6 +546,33 @@ class GraphSpec extends SparkSpec {
     assert(routed == want)
   }
 
+  test("co-bucketed SSSP round plans exactly one Exchange") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val e = Seq((1L, 2L, 2L), (2L, 1L, 2L), (2L, 3L, 1L), (3L, 2L, 1L))
+        .toDF("src", "dst", "w")
+      io.Bucketing.writeBucketed(e, "graftspec_se_edges", Seq("src"), 4)
+      io.Bucketing.writeBucketed(
+        Seq((1L, 0L)).toDF("src", "dist"), "graftspec_se_front", Seq("src"), 4)
+      io.Bucketing.writeBucketed(
+        Seq((1L, 0L)).toDF("src", "dist"), "graftspec_se_best", Seq("src"), 4)
+      val round = Graph.ssspCoBucketedRound(spark, "graftspec_se_edges",
+        "graftspec_se_front", "graftspec_se_best", 4)
+      val plan = round.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(plan).length == 1, plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // and the relaxation is right: 1@0 relaxes to 2@2 only
+      val got = round.orderBy("src").as[(Long, Long)].collect().toSeq
+      assert(got == Seq((2L, 2L)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.sql("DROP TABLE IF EXISTS graftspec_se_edges")
+      spark.sql("DROP TABLE IF EXISTS graftspec_se_front")
+      spark.sql("DROP TABLE IF EXISTS graftspec_se_best")
+    }
+  }
+
   test("sssp is partitioning-independent") {
     val e = symWeighted
     val seeds = Seq(100L, 7L).toDF("id")
