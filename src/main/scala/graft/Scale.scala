@@ -442,6 +442,33 @@ object Scale {
     time("hits_1x") { hitsShape(li1) }
     time(s"hits_${mult}x") { hitsShape(liT) }
 
+    // weighted SSSP (q150 shape): delta-frontier Bellman-Ford — mult
+    // disjoint graph copies with mult× seeds: frontier, best table and
+    // edges all ×N, so per-round cost must stay ~linear (the O(reached)
+    // best rewrite is the watched term)
+    def ssspShape(li: DataFrame): Long = {
+      val e0 = li.groupBy((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(min(col("l_linenumber") % 5 + 1).cast("long").as("w"))
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+      Graph.ssspDistances(edges, seeds, maxRounds = 4).count()
+    }
+    time("sssp_1x") { ssspShape(li1) }
+    time(s"sssp_${mult}x") { ssspShape(liT) }
+
+    // exact heavy hitters (q151 shape): the Misra-Gries pass emits
+    // partitions×capacity summary rows regardless of corpus size and
+    // the exact pass is scan + broadcast semi-join + O(candidates)
+    // agg — the N× corpus at ~fixed vocab must stay scan-bound
+    def hhShape(docs: DataFrame): Long =
+      Corpus.heavyHitters(docs, "text", thresholdPpm = 25000L,
+        capacity = 4096).count()
+    time("heavyhitters_1x") { hhShape(docs1) }
+    time(s"heavyhitters_${mult}x") { hhShape(docsN) }
+
     // co-bucketed crossovers: same shapes as labelprop/bfs/kcore above
     // but in the bucketed-table regime — the edge table shuffles once at
     // layout and each round plans ≤ 1 Exchange; growth must track the
