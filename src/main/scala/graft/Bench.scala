@@ -38,7 +38,7 @@ object Bench {
     "q143_video_frames", "q144_audio_features",
     "q48_dup_clusters", "q65_pagerank", "q111_triangles",
     "q114_label_prop", "q122_kcore", "q125_ppr", "q131_hits",
-    "q136_bfs", "q145_cc_cobucket")
+    "q136_bfs", "q145_cc_cobucket", "q150_sssp")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
