@@ -2199,7 +2199,24 @@ object SparkEntry {
     "q151_heavy_hitters" -> ((s, dir) =>
       Corpus.heavyHitters(Tables.documents(s, dir), "text",
         thresholdPpm = 25000L, capacity = 4096)
-        .orderBy(col("cnt").desc, col("token")))
+        .orderBy(col("cnt").desc, col("token"))),
+
+    // Deterministic random walks (node2vec corpus prep) from the seed
+    // parts over the doubled order↔part graph: 3 hops, each step an
+    // md5-argmin neighbor choice — reproducible walk corpora with no
+    // RNG, replayed step-for-step by the oracle.
+    "q152_walks" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+      Graph.deterministicWalks(edges, seeds, steps = 3)
+        .orderBy("walk", "step")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2228,6 +2245,33 @@ object SparkEntry {
          |  FROM lineitem WHERE l_partkey % 97 = 0),
          |$rounds
          |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
+    },
+
+    "q152_walks" -> {
+      val stepCte = (1 to 3).map { t =>
+        s"""w$t AS (
+           |  SELECT walk, dst AS node FROM (
+           |    SELECT w.walk, e.dst,
+           |      ('0x'||substr(md5(CAST(w.walk AS VARCHAR)||':$t:'||
+           |        CAST(e.dst AS VARCHAR)),1,8))::BIGINT AS h
+           |    FROM w${t - 1} w JOIN e ON e.src = w.node)
+           |  QUALIFY row_number() OVER (PARTITION BY walk
+           |    ORDER BY h, dst) = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to 3).map(t =>
+        s"SELECT walk, CAST($t AS BIGINT) AS step, node FROM w$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |w0 AS (
+         |  SELECT DISTINCT l_partkey * 2 + 1 AS walk, l_partkey * 2 + 1 AS node
+         |  FROM lineitem WHERE l_partkey % 97 = 0),
+         |$stepCte
+         |$unions
+         |ORDER BY walk, step""".stripMargin
     },
 
     "q151_heavy_hitters" ->

@@ -839,6 +839,68 @@ object Graph {
     } finally wt.dropAll()
   }
 
+  /** DETERMINISTIC random walks — the node2vec/DeepWalk corpus-prep
+    * step (one walk per seed, `steps` hops) with the RNG replaced by
+    * the portable md5 family: at step t the walk at node u moves to the
+    * out-neighbor v minimizing (md5_32("walk:t:v"), v). That is a
+    * uniform-looking but fully deterministic choice — bit-identical
+    * across partitionings, reruns and engines (DuckDB replays every
+    * step with the same `('0x'||substr(md5(…),1,8))::BIGINT` key), so
+    * walk corpora are reproducible and the operator sits under the
+    * exact oracle gate, where a seeded `rand()` would diverge between
+    * engines in the first row.
+    *
+    * Scale shape per step: edges⋈walks join (walk state broadcast when
+    * it fits the resolved limit — walk count is SEED-sized, not
+    * node-sized) + one walk-keyed argmin agg (`min(struct(h, v))`,
+    * partial+final with map-side combine — O(walks) shuffle rows). The
+    * src-partitioned cached edge table never re-shuffles. Walks at a
+    * node with no out-edge simply end (no row emitted for later steps).
+    *
+    * @param edges (src, dst) directed; walk symmetric graphs by passing
+    *              the doubled edge set
+    * @param seeds one `id` column; one walk starts per distinct seed
+    * @return (walk, step, node): the full trajectory, step ∈ [0, steps],
+    *         walk = the seed id */
+  def deterministicWalks(edges: DataFrame, seeds: DataFrame, steps: Int,
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
+    require(steps >= 0, "steps must be >= 0")
+    val spark = edges.sparkSession
+    val walkUpper = GraphTuning.rowUpperBound(seeds)
+    val (walkEst, walkSrc) = walkUpper match {
+      case Some((u, s)) => (u, s)
+      case None => (seeds.count(), "exact")
+    }
+    val d = GraphTuning.decide(spark, "deterministicWalks", walkEst, walkSrc,
+      edgeEstimate = GraphTuning.rowUpperBound(edges).map(_._1).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit)
+    def maybeB(df: DataFrame): DataFrame = if (d.broadcast) broadcast(df) else df
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src")).cache()
+    val seed0 = seeds.select(col("id").cast("long").as("walk"))
+      .distinct().localCheckpoint(true)
+    var cur = seed0.withColumn("node", col("walk"))
+    var out = List(cur.withColumn("step", lit(0L)))
+    var t = 0
+    while (t < steps && !cur.isEmpty) {
+      t += 1
+      // the portable per-step key: md5_32("walk:t:candidate") — the
+      // exact string the oracle rebuilds (Corpus.md5Uniform contract)
+      val h = conv(substring(md5(concat(col("walk").cast("string"),
+        lit(s":$t:"), col("dst").cast("string")).cast("binary")), 1, 8),
+        16, 10).cast("bigint")
+      cur = ew
+        .join(maybeB(cur.select(col("node").as("src"), col("walk"))), Seq("src"))
+        .select(col("walk"), col("dst"), h.as("h"))
+        .groupBy("walk").agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("walk"), col("m.dst").as("node"))
+        .localCheckpoint(true)
+      out ::= cur.withColumn("step", lit(t.toLong))
+    }
+    ew.unpersist(blocking = false)
+    out.reduce(_ unionByName _).select("walk", "step", "node")
+  }
+
   /** One co-bucketed k-core survivor filter (exposed for plan
     * inspection): semi-join on src is bucket-to-bucket [0 Exchange];
     * the dst-side semi-join re-clusters the shrinking edge set [the

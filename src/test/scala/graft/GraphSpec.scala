@@ -573,6 +573,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("deterministic walks: valid trajectories, dead-end stop, partition-independent") {
+    // directed chain with a dead end: 1→2→3, nothing out of 3
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val w = Graph.deterministicWalks(chain, Seq(1L).toDF("id"), steps = 5)
+      .orderBy("step").as[(Long, Long, Long)].collect().toSeq
+    assert(w == Seq((1L, 0L, 1L), (1L, 1L, 2L), (1L, 2L, 3L)))
+    // on the hub+ring graph: every consecutive pair must be an edge and
+    // the choice must not depend on partitioning
+    val e = symGraph
+    val seeds = Seq(100L, 1L, 7L).toDF("id")
+    val a = Graph.deterministicWalks(e.repartition(1), seeds, steps = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Graph.deterministicWalks(e.repartition(17), seeds, steps = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val edgeSet = e.as[(Long, Long)].collect().toSet
+    val byWalk = a.groupBy(_._1)
+    byWalk.foreach { case (walk, rows) =>
+      val traj = rows.toSeq.sortBy(_._2).map(_._3)
+      assert(traj.head == walk)
+      traj.sliding(2).foreach {
+        case Seq(u, v) => assert(edgeSet.contains((u, v)), s"$u->$v")
+        case _ =>
+      }
+    }
+  }
+
   test("sssp is partitioning-independent") {
     val e = symWeighted
     val seeds = Seq(100L, 7L).toDF("id")
