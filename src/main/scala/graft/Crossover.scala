@@ -26,6 +26,8 @@ import org.apache.spark.sql.functions._
   *         [[Graph.connectedComponentsCoBucketed]].
   *  - bfs / hits: broadcast vs shuffle vs co-bucketed, q136/q131
   *         shapes (not in the default algo set — select explicitly).
+  *  - sssp: the bfs shape with deterministic weights (q150) — four
+  *         arms incl. shuffle_nobc; cells compare 1:1 against bfs rows.
   *
   * Output: one `XOVER` line per (mult, algo, variant, rep) and one
   * `XOVER_SUMMARY` per (mult, algo) with the min-of-reps seconds; every
@@ -132,6 +134,10 @@ object Crossover {
       amplified(mult, shiftParts = true)
         .select((col("o") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
         .distinct().localCheckpoint(true)
+    // SSSP graph: the BFS shape with a deterministic symmetric weight —
+    // same node/edge counts, so its cells compare 1:1 against bfs rows.
+    def ssspEdges(mult: Int): DataFrame =
+      bfsEdges(mult).withColumn("w", (col("src") + col("dst")) % 5 + 1)
     // k-core graph: canonical (src < dst) co-order part edges, the q122
     // shape — kCore doubles degrees internally, so edge counts here are
     // the canonical half of the figures the Scale harness reports.
@@ -284,6 +290,15 @@ object Crossover {
         Graph.hitsCoBucketed(e, 2, tablePrefix = "graft_xw_hits").count()
         e.unpersist()
       }
+      if (algos("sssp")) {
+        val e = ssspEdges(1); val sd = bfsSeeds(1)
+        Graph.ssspDistances(e, sd, 4, broadcastNodeLimit = Long.MaxValue).count()
+        noAutoBroadcast(Graph.ssspDistances(e, sd, 4, broadcastNodeLimit = 0,
+          coBucketAboveBroadcast = false).count())
+        Graph.ssspDistancesCoBucketed(e, sd, 4,
+          tablePrefix = "graft_xw_sssp").count()
+        e.unpersist(); sd.unpersist()
+      }
       if (algos("kcore")) {
         val e = kcoreEdges(1)
         Graph.kCore(e, 3, 4, broadcastNodeLimit = Long.MaxValue).count()
@@ -356,6 +371,22 @@ object Crossover {
           "cobucket" -> ((ed: DataFrame) => Graph.hitsCoBucketed(ed, 2,
             tablePrefix = s"graft_x_hits_$mult").count())))
         e.unpersist()
+      }
+      if (algos("sssp")) {
+        val e = ssspEdges(mult)
+        val sd = bfsSeeds(mult)
+        val nodes = e.select("src").distinct().count()
+        runGrid(mult, "sssp", e, nodes, Seq(
+          "bcast" -> ((ed: DataFrame) => Graph.ssspDistances(ed, sd, 4,
+            broadcastNodeLimit = Long.MaxValue).count()),
+          "shuffle" -> ((ed: DataFrame) => Graph.ssspDistances(ed, sd, 4,
+            broadcastNodeLimit = 0, coBucketAboveBroadcast = false).count()),
+          "shuffle_nobc" -> ((ed: DataFrame) => noAutoBroadcast(
+            Graph.ssspDistances(ed, sd, 4, broadcastNodeLimit = 0,
+              coBucketAboveBroadcast = false).count())),
+          "cobucket" -> ((ed: DataFrame) => Graph.ssspDistancesCoBucketed(
+            ed, sd, 4, tablePrefix = s"graft_x_sssp_$mult").count())))
+        e.unpersist(); sd.unpersist()
       }
       if (algos("kcore")) {
         val e = kcoreEdges(mult)

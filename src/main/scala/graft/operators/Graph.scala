@@ -713,9 +713,17 @@ object Graph {
     * resolved limit), one (dst, min) agg, one frontier-vs-best join,
     * one O(reached) best rewrite — the same cost class as the PR rank
     * rewrite. Routing follows the [[GraphTuning.RegimeDecision]]
-    * contract: non-fitting state leaves for
-    * [[ssspDistancesCoBucketed]]; fitting-but-cost-vetoed stays on
-    * plain shuffle joins here.
+    * contract with an EDGE threshold on top: non-fitting state leaves
+    * for [[ssspDistancesCoBucketed]] only when the edge count also
+    * clears `coBucketEdgeThreshold` — the measured grid
+    * (graft.Crossover sssp, honest shuffle_nobc arms, warm interleaved
+    * min-of-2) has the co-bucketed loop LOSING at 36M edges / 5.0M
+    * nodes (20.0 s vs 11.9 s shuffle) and winning 2.4× at 72M / 10.0M
+    * (16.7 s vs 40.1 s); the 50M default sits between. Unlike BFS
+    * (which wins co-bucketed already at 36M) SSSP pays two bucketed
+    * writes per round (frontier + full-outer best rewrite), so its
+    * layout overhead needs more edge mass to amortize.
+    * Fitting-but-cost-vetoed stays on plain shuffle joins here.
     *
     * @param edges (src, dst, w), all LongType-castable; parallel edges
     *              fold into their min weight naturally (the min agg)
@@ -724,7 +732,8 @@ object Graph {
     * @return (id, dist): exact ≤`maxRounds`-edge shortest distance */
   def ssspDistances(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
       broadcastNodeLimit: Long = GraphTuning.Auto,
-      coBucketAboveBroadcast: Boolean = true): DataFrame = {
+      coBucketAboveBroadcast: Boolean = true,
+      coBucketEdgeThreshold: Long = 50000000L): DataFrame = {
     require(maxRounds >= 0, "maxRounds must be >= 0")
     val spark = edges.sparkSession
     val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
@@ -738,8 +747,17 @@ object Graph {
       edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
       requestedLimit = broadcastNodeLimit)
     val small = d.broadcast
-    if (!d.fits && coBucketAboveBroadcast)
-      return ssspDistancesCoBucketed(edges, seeds, maxRounds)
+    if (!d.fits && coBucketAboveBroadcast) {
+      // the plan bound can prove the edge count BELOW the threshold for
+      // free; otherwise one exact count (the non-fitting case is a big
+      // graph — the same stats-job class as the PR route)
+      val m = edgeUpper match {
+        case Some((u, _)) if u < coBucketEdgeThreshold => -1L
+        case _ => edges.count()
+      }
+      if (m >= coBucketEdgeThreshold)
+        return ssspDistancesCoBucketed(edges, seeds, maxRounds)
+    }
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).repartition(col("dst")).cache()
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df

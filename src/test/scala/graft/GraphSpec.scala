@@ -540,8 +540,15 @@ class GraphSpec extends SparkSpec {
     val seeds = Seq(100L).toDF("id")
     val want = Graph.ssspDistances(e, seeds, maxRounds = 3)
       .orderBy("id").as[(Long, Long)].collect().toSeq
-    val routed = Graph.ssspDistances(e, seeds, maxRounds = 3,
+    // below the edge threshold the non-fitting case stays on the plain
+    // shuffle loop (the measured 36M-edge verdict)...
+    val shuffled = Graph.ssspDistances(e, seeds, maxRounds = 3,
       broadcastNodeLimit = 0L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(shuffled == want)
+    // ...and clearing both gates routes to the co-bucketed loop
+    val routed = Graph.ssspDistances(e, seeds, maxRounds = 3,
+      broadcastNodeLimit = 0L, coBucketEdgeThreshold = 0L)
       .orderBy("id").as[(Long, Long)].collect().toSeq
     assert(routed == want)
   }
