@@ -2216,6 +2216,24 @@ object SparkEntry {
         .select((col("l_partkey") * 2 + 1).as("id")).distinct()
       Graph.deterministicWalks(edges, seeds, steps = 3)
         .orderBy("walk", "step")
+    }),
+
+    // Perceptual image dedup: REAL PNG decode → grid-sampled 64-bit
+    // dHash per image in the scan stage (payloads never shuffle), then
+    // exact-perceptual-dup clusters (canonical id + size). The hash
+    // rides as two 32-bit halves — DuckDB BIGINT shifts overflow at bit
+    // 63 — and the oracle recomputes every bit from the closed-form
+    // synthetic pixel function (the q38 encode→decode discipline).
+    "q153_image_dhash" -> ((s, dir) => {
+      val hashes = multimodal.Multimodal.imageDHash(
+        multimodal.Multimodal.fromSyntheticImages(Tables.documents(s, dir)))
+      hashes.select(col("media_id"),
+          shiftrightunsigned(col("dhash"), 32).as("hash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"))
+        .groupBy("hash_hi", "hash_lo")
+        .agg(min("media_id").as("canon_id"), count(lit(1)).as("n_dup"))
+        .select("hash_hi", "hash_lo", "canon_id", "n_dup")
+        .orderBy("canon_id")
     })
   )
 
@@ -2246,6 +2264,27 @@ object SparkEntry {
          |$rounds
          |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
     },
+
+    "q153_image_dhash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |         (doc_id % 1000003) * 31 AS base
+        |  FROM documents),
+        |bits AS (
+        |  SELECT id, j * 8 + i AS pos,
+        |    CASE WHEN (base + 7 * (((i + 1) * w) // 9) + 13 * ((j * h) // 8)) % 256
+        |            > (base + 7 * ((i * w) // 9) + 13 * ((j * h) // 8)) % 256
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM ids, range(8) t1(i), range(8) t2(j)),
+        |hashes AS (
+        |  SELECT id,
+        |    bit_or(CASE WHEN b = 1 AND pos >= 32
+        |      THEN (1::BIGINT << (pos - 32)) ELSE 0::BIGINT END) AS hash_hi,
+        |    bit_or(CASE WHEN b = 1 AND pos < 32
+        |      THEN (1::BIGINT << pos) ELSE 0::BIGINT END) AS hash_lo
+        |  FROM bits GROUP BY id)
+        |SELECT hash_hi, hash_lo, min(id) AS canon_id, count(*) AS n_dup
+        |FROM hashes GROUP BY 1, 2 ORDER BY canon_id""".stripMargin,
 
     "q152_walks" -> {
       val stepCte = (1 to 3).map { t =>

@@ -663,6 +663,59 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit perceptual difference hash (dHash) of a decoded image — the
+    * image-dedup fingerprint (near-identical images hash close in
+    * hamming distance; re-encodes and metadata changes hash EQUAL).
+    * This variant grid-samples the decoded pixels at exact integer
+    * coordinates (x_i = ⌊i·w/9⌋ for i ∈ [0,8], y_j = ⌊j·h/8⌋) and sets
+    * bit j·8+i when gray(x_{i+1}, y_j) > gray(x_i, y_j) — deliberately
+    * NO interpolating resize: interpolation kernels differ per engine,
+    * grid sampling is pure integer math on decoded pixels, so the hash
+    * is reproducible anywhere the decode is (and the DuckDB oracle
+    * recomputes it bit-for-bit from the synthetic pixel function).
+    * Gray = the red channel (identical on gray images; one channel
+    * keeps the oracle arithmetic exact). */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var bits = 0L
+    var j = 0
+    while (j < 8) {
+      val y = j * h / 8
+      var i = 0
+      while (i < 8) {
+        val g0 = (img.getRGB(i * w / 9, y) >> 16) & 0xFF
+        val g1 = (img.getRGB((i + 1) * w / 9, y) >> 16) & 0xFF
+        if (g1 > g0) bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+
+  /** Perceptual hashes for a media frame: decode in the scan stage
+    * (payloads never shuffle — the [[extractFeatures]] discipline),
+    * emit the 8-byte (media_id, dhash) pair. Undecodable/null payloads
+    * emit an explicit null hash (the [[frameGraySums]] contract: absence
+    * must be visible, not dropped). Downstream dedup groups on `dhash`
+    * (exact perceptual dups) or bands it for hamming-radius near-dups
+    * (the simhash machinery). */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = true))))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val img = if (p == null) null
+          else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        if (img == null) Row(r.getAs[Long]("media_id"), null)
+        else Row(r.getAs[Long]("media_id"), dHash64(img))
+      }
+    }(enc)
+  }
+
   /** Wrap a source table into the media schema (payload synthesized from
     * a string column here; [[fromBinaryFiles]] is the real-file path). */
   def fromDocuments(docs: DataFrame): DataFrame =

@@ -353,4 +353,48 @@ class MultimodalSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("dHash64: re-encode-invariant, pixel-sensitive, null-safe") {
+    import java.awt.image.BufferedImage
+    def img(w: Int, h: Int, f: (Int, Int) => Int): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xFF; im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      im
+    }
+    def png(im: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos); bos.toByteArray
+    }
+    val base = img(16, 12, (x, y) => 3 * x + 5 * y)
+    val h0 = Multimodal.dHash64(base)
+    // lossless re-encode (even via BMP) decodes to the same pixels ->
+    // SAME hash: the perceptual-dup property format changes can't break
+    val reRead = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png(base)))
+    assert(Multimodal.dHash64(reRead) == h0)
+    // a genuinely different gradient flips comparison bits
+    val other = img(16, 12, (x, y) => 200 - 3 * x)
+    assert(Multimodal.dHash64(other) != h0)
+    // the operator: synthetic corpus hashes equal the direct computation
+    // and a null payload yields an explicit null row
+    val docs = Seq(1L, 2L, 3L).toDF("doc_id")
+    val media = Multimodal.fromSyntheticImages(docs)
+    val got = Multimodal.imageDHash(media)
+      .orderBy("media_id").as[(Long, Option[Long])].collect().toSeq
+    val want = Seq(1L, 2L, 3L).map { id =>
+      val (w, h) = Multimodal.syntheticDims(id)
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticPng(id, w, h)))
+      id -> Some(Multimodal.dHash64(im))
+    }
+    assert(got == want)
+    val withNull = media.select(col("media_id"),
+      when(col("media_id") === 2L, lit(null).cast("binary"))
+        .otherwise(col("payload")).as("payload"))
+    val nulls = Multimodal.imageDHash(withNull)
+      .filter(col("dhash").isNull).as[(Long, Option[Long])].collect().toSeq
+    assert(nulls == Seq((2L, None)))
+  }
 }
