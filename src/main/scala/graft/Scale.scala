@@ -459,6 +459,30 @@ object Scale {
     time("sssp_1x") { ssspShape(li1) }
     time(s"sssp_${mult}x") { ssspShape(liT) }
 
+    // deterministic walks (q152 shape): walk state is SEED-sized and
+    // mult disjoint copies multiply walks and edges together — the
+    // per-step join + argmin agg must stay ~linear
+    def walksShape(li: DataFrame): Long = {
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+      Graph.deterministicWalks(edges, seeds, steps = 3).count()
+    }
+    time("walks_1x") { walksShape(li1) }
+    time(s"walks_${mult}x") { walksShape(liT) }
+
+    // image dHash (q153 shape): encode+decode+hash all scan-stage,
+    // payloads never shuffle, the agg input is (id, hash) — growth must
+    // be decode-bound (linear in images)
+    def dhashShape(docs: DataFrame): Long =
+      graft.multimodal.Multimodal.imageDHash(
+        graft.multimodal.Multimodal.fromSyntheticImages(docs)).count()
+    time("dhash_1x") { dhashShape(docs1) }
+    time(s"dhash_${mult}x") { dhashShape(docsN) }
+
     // exact heavy hitters (q151 shape): the Misra-Gries pass emits
     // partitions×capacity summary rows regardless of corpus size and
     // the exact pass is scan + broadcast semi-join + O(candidates)

@@ -884,10 +884,15 @@ object Graph {
       broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
     require(steps >= 0, "steps must be >= 0")
     val spark = edges.sparkSession
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
+    // the plan bound only counts when it PROVES the fit — a unioned /
+    // filtered seed source can over-estimate by orders of magnitude,
+    // and mis-demoting a tiny walk set costs a shuffle join per step
+    // (the BFS discipline: bound-or-stats-job, never bound-or-guess)
     val walkUpper = GraphTuning.rowUpperBound(seeds)
     val (walkEst, walkSrc) = walkUpper match {
-      case Some((u, s)) => (u, s)
-      case None => (seeds.count(), "exact")
+      case Some((u, s)) if u <= limit => (u, s)
+      case _ => (seeds.select(col("id")).distinct().count(), "exact")
     }
     val d = GraphTuning.decide(spark, "deterministicWalks", walkEst, walkSrc,
       edgeEstimate = GraphTuning.rowUpperBound(edges).map(_._1).getOrElse(-1L),
