@@ -2234,7 +2234,16 @@ object SparkEntry {
         .agg(min("media_id").as("canon_id"), count(lit(1)).as("n_dup"))
         .select("hash_hi", "hash_lo", "canon_id", "n_dup")
         .orderBy("canon_id")
-    })
+    }),
+
+    // Audio fingerprinting: REAL WAV decode → 63-bit frame-energy-delta
+    // fingerprint per clip, scan-stage only (payloads never shuffle).
+    // Pure integer arithmetic — no FFT — so the oracle recomputes every
+    // frame energy and delta bit from the closed-form sample function.
+    "q154_audio_fp" -> ((s, dir) =>
+      multimodal.Multimodal.audioFingerprint(
+        multimodal.Multimodal.fromSyntheticAudio(Tables.documents(s, dir)))
+        .orderBy("media_id"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2264,6 +2273,26 @@ object SparkEntry {
          |$rounds
          |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
     },
+
+    "q154_audio_fp" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(500 + doc_id % 1000 AS BIGINT) AS n,
+        |    (doc_id % 1000003) * 31 AS base
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id,
+        |    list_transform(range(64), j ->
+        |      list_aggregate(list_transform(
+        |        range(j * n // 64, (j + 1) * n // 64),
+        |        i -> abs((base + i * 7919) % 65536 - 32768)), 'sum')) AS e
+        |  FROM v)
+        |SELECT media_id,
+        |  CAST(list_aggregate(list_transform(range(63), k ->
+        |    CASE WHEN e[k + 2] > e[k + 1]
+        |      THEN 1::BIGINT << k ELSE 0::BIGINT END), 'sum')
+        |    AS BIGINT) AS afp
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "q153_image_dhash" ->
       """WITH ids AS (

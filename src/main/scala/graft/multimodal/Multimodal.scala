@@ -640,6 +640,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** 63-bit audio fingerprint — the audio-dedup analog of [[dHash64]]:
+    * the decoded PCM16 stream splits into 64 equal sample frames with
+    * integer energies e_j = Σ|s| (frame j covers [⌊j·n/64⌋, ⌊(j+1)·n/64⌋)),
+    * and bit j ∈ [0, 62] is set when e_{j+1} > e_j. Energy-contour
+    * deltas survive re-encoding and amplitude scaling direction-for-
+    * direction, the arithmetic is pure integer (no FFT, no windows —
+    * engines disagree in float spectra), and bit 63 stays zero BY
+    * CONSTRUCTION so the fingerprint is always a non-negative BIGINT —
+    * no two's-complement traps in any engine (DuckDB shifts overflow
+    * at bit 63; the q153 halves workaround isn't needed here). Decode
+    * is the same real `javax.sound.sampled` path as [[audioFeatures]];
+    * payloads never shuffle. Undecodable/null payloads emit an explicit
+    * null fingerprint. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("afp", LongType, nullable = true))))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        if (p == null) Row(r.getAs[Long]("media_id"), null)
+        else {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(p)))
+          try {
+            val fmt = in.getFormat
+            require(fmt.getSampleSizeInBits == 16,
+              s"audioFingerprint expects PCM16, got $fmt")
+            val bytes = in.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = bytes.length / 2
+            val e = new Array[Long](64)
+            var j = 0
+            while (j < 64) {
+              var i = j * n / 64
+              val end = (j + 1) * n / 64
+              var sum = 0L
+              while (i < end) {
+                sum += math.abs(bb.getShort(i * 2).toLong); i += 1
+              }
+              e(j) = sum
+              j += 1
+            }
+            var bits = 0L
+            var k = 0
+            while (k < 63) { if (e(k + 1) > e(k)) bits |= 1L << k; k += 1 }
+            Row(r.getAs[Long]("media_id"), bits)
+          } finally in.close()
+        }
+      }
+    }(enc)
+  }
+
   /** Decode-side metadata: width/height read by genuinely decoding the
     * payload (ImageIO), NOT trusted from the meta struct — the check a
     * real ingest pipeline runs to catch mislabeled or corrupt media.

@@ -354,6 +354,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFingerprint: closed-form parity, non-negative, null-safe") {
+    val docs = Seq(1L, 2L, 42L).toDF("doc_id")
+    val got = Multimodal.audioFingerprint(Multimodal.fromSyntheticAudio(docs))
+      .orderBy("media_id").as[(Long, Option[Long])].collect().toSeq
+    // recompute from the closed-form sample function, frame-for-frame
+    val want = Seq(1L, 2L, 42L).map { id =>
+      val n = Multimodal.syntheticSampleCount(id)
+      val base = (id % 1000003L) * 31L
+      def s(i: Int): Long = math.abs((base + i * 7919L) % 65536L - 32768L)
+      val e = (0 until 64).map { j =>
+        (j * n / 64 until (j + 1) * n / 64).map(s).sum }
+      val bits = (0 until 63).map(k =>
+        if (e(k + 1) > e(k)) 1L << k else 0L).reduce(_ | _)
+      id -> Some(bits)
+    }
+    assert(got == want)
+    // bit 63 is structurally clear: the fingerprint is never negative
+    assert(got.forall(_._2.exists(_ >= 0L)))
+    // null payloads surface as explicit null fingerprints
+    val media = Multimodal.fromSyntheticAudio(docs)
+      .select(col("media_id"),
+        when(col("media_id") === 2L, lit(null).cast("binary"))
+          .otherwise(col("payload")).as("payload"))
+    val nulls = Multimodal.audioFingerprint(media)
+      .filter(col("afp").isNull).as[(Long, Option[Long])].collect().toSeq
+    assert(nulls == Seq((2L, None)))
+  }
+
   test("dHash64: re-encode-invariant, pixel-sensitive, null-safe") {
     import java.awt.image.BufferedImage
     def img(w: Int, h: Int, f: (Int, Int) => Int): BufferedImage = {
