@@ -35,7 +35,8 @@ object Bench {
     * unchanged. In-task slowdown would inflate taskTotal too. */
   private[graft] val warmAtTargetSf: Set[String] = Set(
     "q37_media_meta", "q38_media_features", "q39_frame_counts",
-    "q143_video_frames", "q144_audio_features",
+    "q143_video_frames", "q144_audio_features", "q153_image_dhash",
+    "q154_audio_fp",
     "q48_dup_clusters", "q65_pagerank", "q111_triangles",
     "q114_label_prop", "q122_kcore", "q125_ppr", "q131_hits",
     "q136_bfs", "q145_cc_cobucket", "q150_sssp")
