@@ -2243,7 +2243,22 @@ object SparkEntry {
     "q154_audio_fp" -> ((s, dir) =>
       multimodal.Multimodal.audioFingerprint(
         multimodal.Multimodal.fromSyntheticAudio(Tables.documents(s, dir)))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // Video fingerprinting: frames sampled through the real GIF
+    // decode+composite path (q143's sampler), each hashed with the
+    // still-image dHash — a clip's signature is its frame-hash
+    // sequence. The oracle replays the sampler AND the hash bits from
+    // the closed-form frame pixel function (the f·17 term).
+    "q155_video_fp" -> ((s, dir) =>
+      multimodal.Multimodal.videoFrameHashes(
+        multimodal.Multimodal.fromSyntheticVideos(Tables.documents(s, dir)),
+        everyMs = 150L)
+        .select(col("media_id"),
+          col("sample_idx").cast("bigint").as("sample_idx"),
+          shiftrightunsigned(col("dhash"), 32).as("hash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"))
+        .orderBy("media_id", "sample_idx"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2273,6 +2288,35 @@ object SparkEntry {
          |$rounds
          |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
     },
+
+    "q155_video_fp" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(1 + doc_id % 6 AS BIGINT) AS nf,
+        |    CAST(8 + doc_id % 9 AS BIGINT) AS w,
+        |    CAST(8 + doc_id % 7 AS BIGINT) AS h,
+        |    (doc_id % 1000003) * 31 AS base
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, w, h, base, CAST(t.i AS BIGINT) AS sample_idx,
+        |    (CAST(t.i AS BIGINT) * 150) // 100 AS f
+        |  FROM v, unnest(range(LEAST(
+        |    CAST(ceil(nf * 100 / 150.0) AS BIGINT), 8)))
+        |    AS t(i)),
+        |bits AS (
+        |  SELECT media_id, sample_idx, tj.j * 8 + ti.i AS pos,
+        |    CASE WHEN (base + 7 * (((ti.i + 1) * w) // 9)
+        |               + 13 * ((tj.j * h) // 8) + 17 * f) % 256
+        |            > (base + 7 * ((ti.i * w) // 9)
+        |               + 13 * ((tj.j * h) // 8) + 17 * f) % 256
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM s, range(8) ti(i), range(8) tj(j))
+        |SELECT media_id, sample_idx,
+        |  bit_or(CASE WHEN b = 1 AND pos >= 32
+        |    THEN (1::BIGINT << (pos - 32)) ELSE 0::BIGINT END) AS hash_hi,
+        |  bit_or(CASE WHEN b = 1 AND pos < 32
+        |    THEN (1::BIGINT << pos) ELSE 0::BIGINT END) AS hash_lo
+        |FROM bits GROUP BY 1, 2 ORDER BY media_id, sample_idx""".stripMargin,
 
     "q154_audio_fp" ->
       """WITH v AS (

@@ -545,6 +545,35 @@ object Multimodal {
     }(enc)
   }
 
+  /** Per-sampled-frame perceptual hashes — the VIDEO-dedup signature
+    * completing the [[dHash64]]/[[audioFingerprint]] triple: frames are
+    * sampled at `everyMs` through the real GIF decode+composite path
+    * (the [[frameGraySums]] engine — per-frame delays honored, no PNG
+    * round trip per sample) and each sampled frame hashes with the
+    * same grid-sampled dHash as still images, so a clip's signature is
+    * the SEQUENCE of its frame hashes (near-dup videos = small hamming
+    * per aligned frame; re-encodes hash equal). Scan-stage only;
+    * payloads never shuffle. Non-GIF/null payloads emit one explicit
+    * (id, null, null) row — the [[frameGraySums]] absence contract. */
+  def videoFrameHashes(media: DataFrame, everyMs: Long,
+      maxSamples: Int = 8): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_idx", IntegerType, nullable = true),
+      StructField("dhash", LongType, nullable = true))))
+    media.select("media_id", "payload").mapPartitions { rows =>
+      val c = new ImageIOCodec
+      rows.flatMap { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        if (p == null || !c.isGif(p))
+          Iterator.single(Row(r.getAs[Long]("media_id"), null, null))
+        else c.sampleFrameImages(p, everyMs, maxSamples).iterator.zipWithIndex.map {
+          case (img, i) => Row(r.getAs[Long]("media_id"), i, dHash64(img))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic synthetic AUDIO: a canonical 44-byte RIFF/WAVE header
     * + little-endian PCM16 mono samples with
     * sample(i) = ((id mod 1000003)·31 + i·7919) mod 65536 − 32768 —

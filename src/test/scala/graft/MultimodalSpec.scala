@@ -354,6 +354,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("videoFrameHashes: per-frame dHash through the real GIF path") {
+    // id 5 -> 6 frames, sampled at 150ms over 100ms frames -> 4 samples
+    // hitting frames 0,1,3,4
+    val docs = Seq(5L).toDF("doc_id")
+    val got = Multimodal.videoFrameHashes(
+      Multimodal.fromSyntheticVideos(docs), everyMs = 150L)
+      .orderBy("sample_idx").as[(Long, Option[Int], Option[Long])]
+      .collect().toSeq
+    assert(got.map(_._2) == Seq(Some(0), Some(1), Some(2), Some(3)))
+    // each sampled frame's hash equals the still-image dHash of that
+    // frame's closed-form pixels (frame term f·17)
+    val (w, h) = Multimodal.syntheticDims(5L)
+    def frameImg(f: Int) = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (((5L % 1000003L) * 31L + x * 7L + y * 13L + f * 17L) % 256L).toInt
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      im
+    }
+    val want = Seq(0, 1, 3, 4).map(f => Some(Multimodal.dHash64(frameImg(f))))
+    assert(got.map(_._3) == want)
+    // consecutive frames hash differently (the f·17 term flips bits)
+    assert(got.map(_._3).distinct.size > 1)
+    // a non-GIF payload emits the explicit absence row
+    val raw = Multimodal.fromDocuments(
+      Seq((9L, "not a gif")).toDF("doc_id", "text"))
+    val absent = Multimodal.videoFrameHashes(raw, everyMs = 150L)
+      .as[(Long, Option[Int], Option[Long])].collect().toSeq
+    assert(absent == Seq((9L, None, None)))
+  }
+
   test("audioFingerprint: closed-form parity, non-negative, null-safe") {
     val docs = Seq(1L, 2L, 42L).toDF("doc_id")
     val got = Multimodal.audioFingerprint(Multimodal.fromSyntheticAudio(docs))
