@@ -2258,7 +2258,24 @@ object SparkEntry {
           col("sample_idx").cast("bigint").as("sample_idx"),
           shiftrightunsigned(col("dhash"), 32).as("hash_hi"),
           col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"))
-        .orderBy("media_id", "sample_idx"))
+        .orderBy("media_id", "sample_idx")),
+
+    // Image NEAR-dup retrieval: dHash signatures verified through the
+    // sorted-neighborhood core (rank window ±8 in unsigned hash order,
+    // exact hamming ≤ 4) — deterministic candidate set, so the oracle
+    // replays it with a row_number window over the same key. Sort key
+    // = the unsigned halves (a signed-long sig key would order bit-63
+    // hashes differently per engine).
+    "q156_image_neardup" -> ((s, dir) => {
+      val sigs = multimodal.Multimodal.imageDHash(
+        multimodal.Multimodal.fromSyntheticImages(Tables.documents(s, dir)))
+        .select(col("media_id"), col("dhash"),
+          shiftrightunsigned(col("dhash"), 32).as("hash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("hash_lo"))
+      Dedup.sortedNeighborhoodPairsFromSigs(sigs, "media_id", "dhash",
+        sortCols = Seq("hash_hi", "hash_lo"), windowSize = 8, maxHamming = 4)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2288,6 +2305,36 @@ object SparkEntry {
          |$rounds
          |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
     },
+
+    "q156_image_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |         (doc_id % 1000003) * 31 AS base
+        |  FROM documents),
+        |bits AS (
+        |  SELECT id, j * 8 + i AS pos,
+        |    CASE WHEN (base + 7 * (((i + 1) * w) // 9) + 13 * ((j * h) // 8)) % 256
+        |            > (base + 7 * ((i * w) // 9) + 13 * ((j * h) // 8)) % 256
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM ids, range(8) t1(i), range(8) t2(j)),
+        |hashes AS (
+        |  SELECT id,
+        |    bit_or(CASE WHEN b = 1 AND pos >= 32
+        |      THEN (1::BIGINT << (pos - 32)) ELSE 0::BIGINT END) AS hash_hi,
+        |    bit_or(CASE WHEN b = 1 AND pos < 32
+        |      THEN (1::BIGINT << pos) ELSE 0::BIGINT END) AS hash_lo
+        |  FROM bits GROUP BY id),
+        |r AS (
+        |  SELECT id, hash_hi, hash_lo,
+        |    row_number() OVER (ORDER BY hash_hi, hash_lo, id) AS rnk
+        |  FROM hashes),
+        |pairs AS (
+        |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        |    bit_count(xor(a.hash_hi, b.hash_hi))
+        |      + bit_count(xor(a.hash_lo, b.hash_lo)) AS hamming
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 8)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin,
 
     "q155_video_fp" ->
       """WITH v AS (

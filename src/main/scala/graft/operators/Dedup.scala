@@ -308,14 +308,29 @@ object Dedup {
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
       sortCols: Seq[String], windowSize: Int = 8,
       maxHamming: Int = 3): DataFrame = {
-    require(windowSize >= 1, "windowSize must be >= 1")
-    val sigs = df.select(col(idCol).as("id"),
-      struct(sortCols.map(col) :+ col(idCol): _*).as("__key"),
-      simHashHex(col(textCol)).as("__hex"))
-      .select(col("id"), col("__key"),
+    val sigs = df.select(col(idCol).as("id") +:
+      simHashHex(col(textCol)).as("__hex") +: sortCols.map(col): _*)
+      .select(col("id") +:
         shiftleft(conv(substring(col("__hex"), 1, 8), 16, 10).cast("long"), 32)
           .bitwiseOR(conv(substring(col("__hex"), 9, 8), 16, 10).cast("long"))
-          .as("sig"))
+          .as("sig") +: sortCols.map(col): _*)
+    sortedNeighborhoodPairsFromSigs(sigs, "id", "sig", sortCols,
+      windowSize, maxHamming)
+  }
+
+  /** [[sortedNeighborhoodPairs]] over PRE-COMPUTED 64-bit signatures —
+    * the reusable verification core for any perceptual fingerprint
+    * (text simHash above; image dHash / audio fingerprints compose the
+    * same way). `sigs0` carries (idCol, sigCol, sortCols…); the id is
+    * appended to the sort key so the total order (and therefore the
+    * candidate set) is deterministic. */
+  def sortedNeighborhoodPairsFromSigs(sigs0: DataFrame, idCol: String,
+      sigCol: String, sortCols: Seq[String], windowSize: Int = 8,
+      maxHamming: Int = 3): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    val sigs = sigs0.select(col(idCol).as("id"),
+      struct(sortCols.map(col) :+ col(idCol): _*).as("__key"),
+      col(sigCol).as("sig"))
     // checkpointed inside globalRunningSum — both join sides below read
     // the materialized rank, not a recomputation
     val ranked = PrefixSum.globalRunningSum(
