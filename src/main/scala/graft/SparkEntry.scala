@@ -2275,6 +2275,18 @@ object SparkEntry {
       Dedup.sortedNeighborhoodPairsFromSigs(sigs, "media_id", "dhash",
         sortCols = Seq("hash_hi", "hash_lo"), windowSize = 8, maxHamming = 4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Audio near-dup retrieval: the same signature-generic sorted-
+    // neighborhood core over the 63-bit audio fingerprints — afp is
+    // non-negative by construction, so the fingerprint itself is a
+    // sign-safe sort key (no halves split needed, unlike q156).
+    "q157_audio_neardup" -> ((s, dir) => {
+      val sigs = multimodal.Multimodal.audioFingerprint(
+        multimodal.Multimodal.fromSyntheticAudio(Tables.documents(s, dir)))
+      Dedup.sortedNeighborhoodPairsFromSigs(sigs, "media_id", "afp",
+        sortCols = Seq("afp"), windowSize = 8, maxHamming = 8)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2305,6 +2317,37 @@ object SparkEntry {
          |$rounds
          |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
     },
+
+    "q157_audio_neardup" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(500 + doc_id % 1000 AS BIGINT) AS n,
+        |    (doc_id % 1000003) * 31 AS base
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id,
+        |    list_transform(range(64), j ->
+        |      list_aggregate(list_transform(
+        |        range(j * n // 64, (j + 1) * n // 64),
+        |        i -> abs((base + i * 7919) % 65536 - 32768)), 'sum')) AS e
+        |  FROM v),
+        |sigs AS (
+        |  SELECT media_id,
+        |    CAST(list_aggregate(list_transform(range(63), k ->
+        |      CASE WHEN e[k + 2] > e[k + 1]
+        |        THEN 1::BIGINT << k ELSE 0::BIGINT END), 'sum')
+        |      AS BIGINT) AS afp
+        |  FROM f),
+        |r AS (
+        |  SELECT media_id AS id, afp,
+        |    row_number() OVER (ORDER BY afp, media_id) AS rnk
+        |  FROM sigs),
+        |pairs AS (
+        |  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        |    bit_count(xor(a.afp, b.afp)) AS hamming
+        |  FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 8)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
 
     "q156_image_neardup" ->
       """WITH ids AS (
