@@ -2287,6 +2287,22 @@ object SparkEntry {
       Dedup.sortedNeighborhoodPairsFromSigs(sigs, "media_id", "afp",
         sortCols = Seq("afp"), windowSize = 8, maxHamming = 8)
         .orderBy("id_a", "id_b")
+    }),
+
+    // Image near-dup pairs with GUARANTEED recall: exact perceptual
+    // dedup first (distinct dHash classes, canonical id), then
+    // pigeonhole banding — 4×16-bit bands, radius 3, so every
+    // within-radius class pair shares a band bucket (recall 1.0, the
+    // property q156's sorted neighborhood trades away). The cap-free
+    // band self-join makes the candidate set SQL-replayable, which is
+    // what finally puts hamming banding under the oracle gate.
+    "q158_image_hamming_pairs" -> ((s, dir) => {
+      val classes = multimodal.Multimodal.imageDHash(
+        multimodal.Multimodal.fromSyntheticImages(Tables.documents(s, dir)))
+        .groupBy("dhash").agg(min("media_id").as("canon_id"))
+      Dedup.hammingBandedPairsFromSigs(classes, "canon_id", "dhash",
+        maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2317,6 +2333,46 @@ object SparkEntry {
          |$rounds
          |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
     },
+
+    "q158_image_hamming_pairs" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |         (doc_id % 1000003) * 31 AS base
+        |  FROM documents),
+        |bits AS (
+        |  SELECT id, j * 8 + i AS pos,
+        |    CASE WHEN (base + 7 * (((i + 1) * w) // 9) + 13 * ((j * h) // 8)) % 256
+        |            > (base + 7 * ((i * w) // 9) + 13 * ((j * h) // 8)) % 256
+        |      THEN 1 ELSE 0 END AS b
+        |  FROM ids, range(8) t1(i), range(8) t2(j)),
+        |hashes AS (
+        |  SELECT id,
+        |    bit_or(CASE WHEN b = 1 AND pos >= 32
+        |      THEN (1::BIGINT << (pos - 32)) ELSE 0::BIGINT END) AS hash_hi,
+        |    bit_or(CASE WHEN b = 1 AND pos < 32
+        |      THEN (1::BIGINT << pos) ELSE 0::BIGINT END) AS hash_lo
+        |  FROM bits GROUP BY id),
+        |classes AS (
+        |  SELECT hash_hi, hash_lo, min(id) AS canon_id
+        |  FROM hashes GROUP BY 1, 2),
+        |banded AS (
+        |  SELECT canon_id, hash_hi, hash_lo, 0 AS band,
+        |         hash_hi // 65536 AS bucket FROM classes
+        |  UNION ALL SELECT canon_id, hash_hi, hash_lo, 1,
+        |         hash_hi % 65536 FROM classes
+        |  UNION ALL SELECT canon_id, hash_hi, hash_lo, 2,
+        |         hash_lo // 65536 FROM classes
+        |  UNION ALL SELECT canon_id, hash_hi, hash_lo, 3,
+        |         hash_lo % 65536 FROM classes),
+        |pairs AS (
+        |  SELECT DISTINCT a.canon_id AS id_a, b.canon_id AS id_b,
+        |    bit_count(xor(a.hash_hi, b.hash_hi))
+        |      + bit_count(xor(a.hash_lo, b.hash_lo)) AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket
+        |   AND a.canon_id < b.canon_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q157_audio_neardup" ->
       """WITH v AS (

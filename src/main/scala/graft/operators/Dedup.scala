@@ -348,6 +348,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Pigeonhole-banded hamming near-dup pairs over PRE-COMPUTED 64-bit
+    * signatures — [[simHashNearDuplicates]]'s recall-1.0 banding
+    * (bands > maxHamming ⇒ every within-radius pair shares a band)
+    * generalized to any perceptual fingerprint (image dHash, audio
+    * fingerprints), with the capped-collect kernel swapped for a plain
+    * band self-join so an external oracle can replay the candidate set
+    * exactly: the cap drops hot buckets data-dependently, which no SQL
+    * replay can reproduce (this was the blocker that kept image hamming
+    * pairs off the oracle gate until now).
+    *
+    * Feed it signature CLASSES — distinct signatures with a canonical
+    * id, i.e. run exact perceptual dedup first — so band fan-out is
+    * bounded by signature diversity, not corpus size. At scale a
+    * non-discriminative band slice becomes a skewed join key: that is
+    * AQE skew-join territory (split, not dropped), and the capped
+    * [[simHashNearDuplicates]] kernel remains the raw-corpus fast path
+    * when bounded memory matters more than replayable recall.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b, hamming ≤ maxHamming */
+  def hammingBandedPairsFromSigs(sigs0: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands > maxHamming ($bands <= $maxHamming)")
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bitsPerBand = 64 / bands
+    val mask = (1L << bitsPerBand) - 1
+    val sigs = sigs0.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    // band 0 = the most significant slice (matches the hi/lo half-word
+    // slicing an oracle does on the two 32-bit halves)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), 64 - (b + 1) * bitsPerBand)
+          .bitwiseAND(lit(mask))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.select(col("band"), col("bucket"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(banded.select(col("band"), col("bucket"),
+        col("id").as("id_b"), col("sig").as("sig_b")), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Shared LSH bucket→pair kernel: one shuffle groups (band, bucket),
     * caps hot buckets at O(cap) memory via the early-stopping collect,
     * explodes member pairs map-side, and deduplicates candidates. */

@@ -92,6 +92,35 @@ class DedupSpec extends SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("hammingBandedPairsFromSigs equals brute force, incl. sign-bit and far-order pairs") {
+    // Signatures chosen so numeric sort order separates true near-dups:
+    // 1 vs 2 differ ONLY in bit 63 (opposite ends of a signed sort —
+    // the pair a sorted-neighborhood window misses), 3 vs 4 differ in
+    // 3 low bits, 5 is far from everything.
+    val sigs = Seq(
+      (1L, 0x0123456789ABCDEFL),
+      (2L, 0x0123456789ABCDEFL ^ (1L << 63)),
+      (3L, 0x7EDCBA9876543210L),
+      (4L, 0x7EDCBA9876543217L),
+      (5L, 0x5555AAAA5555AAAAL)).toDF("id", "sig")
+    for (k <- Seq(0, 1, 3)) {
+      val got = Dedup.hammingBandedPairsFromSigs(sigs, "id", "sig",
+        maxHamming = k, bands = 4)
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      val raw = sigs.as[(Long, Long)].collect()
+      val want = (for {
+        (ia, sa) <- raw; (ib, sb) <- raw if ia < ib
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= k
+      } yield (ia, ib, h.toLong)).toSet
+      assert(got == want, s"k=$k got=$got want=$want")
+    }
+    intercept[IllegalArgumentException](
+      Dedup.hammingBandedPairsFromSigs(sigs, "id", "sig", maxHamming = 4, bands = 4))
+    intercept[IllegalArgumentException](
+      Dedup.hammingBandedPairsFromSigs(sigs, "id", "sig", maxHamming = 2, bands = 5))
+  }
+
   test("duplicateClusters: chains collapse into one component, singletons stay") {
     val ids = (1L to 6L).map(Tuple1(_)).toDF("doc_id")
     // chain 1-2, 2-3 → {1,2,3}; pair 4-5 → {4,5}; 6 singleton
