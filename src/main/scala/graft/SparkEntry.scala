@@ -2303,7 +2303,20 @@ object SparkEntry {
       Dedup.hammingBandedPairsFromSigs(classes, "canon_id", "dhash",
         maxHamming = 3, bands = 4)
         .orderBy("id_a", "id_b")
-    })
+    }),
+
+    // Semantic clustering: MULTI-ROUND Lloyd k-means under the oracle
+    // gate — the whole loop runs on an integer grid (fixed-point
+    // quantize, exact integer L2, grid-rounded centroid means), so
+    // round 2's assignment is bit-reproducible in DuckDB. q43's IVF
+    // had to ship its oracle with lloydIterations = 0; this is the
+    // refined-centroid path done honestly. Corpus never shuffles —
+    // assignment maps against k·dim centroid literals; each update is
+    // one k·dim-row partial agg.
+    "q159_kmeans" -> ((s, dir) =>
+      KMeans.integerLloydAssign(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, rounds = 2, scale = 1000)
+        .orderBy("vec_id"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -2333,6 +2346,41 @@ object SparkEntry {
          |$rounds
          |SELECT id, CAST(dist AS BIGINT) AS dist FROM d4 ORDER BY id""".stripMargin
     },
+
+    "q159_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v
+        |  FROM q ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT q.vec_id, q.v, c.cl,
+        |      list_aggregate(list_transform(range(64), i ->
+        |        (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1])), 'sum') AS d2
+        |    FROM q, c0 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cl) = 1),
+        |m1 AS (
+        |  SELECT cl, i,
+        |    CAST(floor(sum(v[i+1])::DOUBLE / count(*) + 0.5) AS BIGINT) AS m
+        |  FROM a1, range(64) t(i) GROUP BY cl, i),
+        |c1n AS (SELECT cl, list(m ORDER BY i) AS v FROM m1 GROUP BY cl),
+        |c1 AS (SELECT c0.cl, COALESCE(c1n.v, c0.v) AS v
+        |       FROM c0 LEFT JOIN c1n USING (cl)),
+        |a2 AS (
+        |  SELECT vec_id, cl, d2 FROM (
+        |    SELECT q.vec_id, c.cl,
+        |      list_aggregate(list_transform(range(64), i ->
+        |        (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1])), 'sum') AS d2
+        |    FROM q, c1 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cl) = 1)
+        |SELECT vec_id, CAST(cl AS BIGINT) AS cluster,
+        |  CAST(d2 AS BIGINT) AS dist2
+        |FROM a2 ORDER BY vec_id""".stripMargin,
 
     "q158_image_hamming_pairs" ->
       """WITH ids AS (

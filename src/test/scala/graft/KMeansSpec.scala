@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.KMeans
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round-1 assignment equals brute-force integer argmin") {
+    val e = Tables.embeddings(spark, sfDir)
+    val got = KMeans.integerLloydAssign(e, "vec_id", "embedding",
+      k = 4, rounds = 1).as[(Long, Long, Long)].collect().toSet
+
+    val q = e.select(col("vec_id"),
+      KMeans.quantize(col("embedding"), 1000).as("v"))
+      .as[(Long, Seq[Long])].collect()
+    val cents = q.sortBy(_._1).take(4).map(_._2)
+    val want = q.map { case (id, v) =>
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, i.toLong)
+      }
+      val (d, i) = scored.min
+      (id, i, d)
+    }.toSet
+    assert(got == want)
+  }
+
+  test("Lloyd rounds never increase total within-cluster distance") {
+    val e = Tables.embeddings(spark, sfDir)
+    val totals = (1 to 3).map { r =>
+      KMeans.integerLloydAssign(e, "vec_id", "embedding", k = 8, rounds = r)
+        .agg(sum("dist2")).as[Long].head()
+    }
+    // grid rounding can cost a few units per dim, so allow equality
+    // plus the k·dim rounding slack rather than strict monotonicity
+    assert(totals(1) <= totals(0) + 8 * 64)
+    assert(totals(2) <= totals(1) + 8 * 64)
+    assert(totals(2) < totals(0)) // and it genuinely improves here
+  }
+
+  test("a cluster that loses all members keeps its previous centroid") {
+    // Seeds are the 3 lowest ids. Vectors 1 and 2 are identical, so
+    // cluster 1 (seed = id 2) empties after round 1's assignment
+    // (ties break toward cluster 0); round 2 must still have 3 valid
+    // centroids and assign id 2 back to cluster 0 or 1, not crash.
+    val df = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)),
+      (3L, Seq(10f, 10f)), (4L, Seq(10.1f, 10.1f)))
+      .toDF("vec_id", "embedding")
+    val out = KMeans.integerLloydAssign(df, "vec_id", "embedding",
+      k = 3, rounds = 3).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 4)
+    assert(out(1L)._1 == 0L && out(2L)._1 == 0L)
+    assert(out(3L)._1 == out(4L)._1)
+  }
+}
