@@ -2316,12 +2316,51 @@ object SparkEntry {
     "q159_kmeans" -> ((s, dir) =>
       KMeans.integerLloydAssign(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 8, rounds = 2, scale = 1000)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Bounded SCC coloring (FW-BW / Orzan): fwd_min = min id reached
+    // within 3 hops, bwd_min = min id reaching the node within 3 hops,
+    // scc_id set exactly when they agree (a sound SCC certificate —
+    // the bound only limits how far it looks). Directed graph from the
+    // order→part incidence folded into one 16384-id space; two
+    // delta-frontier min-label passes share the regime discipline of
+    // bfs/sssp.
+    "q160_scc" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") % 16384).as("src"),
+          (col("l_partkey") % 16384).as("dst"))
+        .distinct()
+      Graph.sccColoring(e, maxRounds = 3).orderBy("id")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q160_scc" -> {
+      def pass(p: String, joinOn: String, emit: String) = (1 to 3).map { k =>
+        s"""$p$k AS (
+           |  SELECT id, min(lbl) AS lbl FROM (
+           |    SELECT id, lbl FROM $p${k - 1}
+           |    UNION ALL
+           |    SELECT e.$emit AS id, l.lbl
+           |    FROM e JOIN $p${k - 1} l ON l.id = e.$joinOn)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey % 16384 AS src,
+         |                  l_partkey % 16384 AS dst
+         |  FROM lineitem),
+         |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |f0 AS (SELECT id, CAST(id AS BIGINT) AS lbl FROM n),
+         |${pass("f", "dst", "src")},
+         |b0 AS (SELECT id, CAST(id AS BIGINT) AS lbl FROM n),
+         |${pass("b", "src", "dst")}
+         |SELECT f.id, f.lbl AS fwd_min, b.lbl AS bwd_min,
+         |  CASE WHEN f.lbl = b.lbl THEN f.lbl END AS scc_id
+         |FROM f3 f JOIN b3 b USING (id) ORDER BY f.id""".stripMargin
+    },
+
     "q150_sssp" -> {
       val rounds = (1 to 4).map { k =>
         s"""d$k AS (

@@ -1391,4 +1391,85 @@ object Graph {
     canon.unpersist(blocking = false)
     out
   }
+
+  /** Bounded min-label propagation along DIRECTED edges: after k
+    * rounds, `lbl(v)` = the minimum node id reachable from v within
+    * ≤ k hops (including v). The loop is [[ssspDistances]]'s
+    * delta-frontier rewrite with labels for distances — only improved
+    * nodes re-enter, the label table rewrites by replacement, the edge
+    * table is cached dst-partitioned and never re-shuffles, and the
+    * frontier join is broadcast below the [[GraphTuning]]-resolved
+    * limit. Above it the loop still runs on plain shuffle joins; the
+    * co-bucketed discipline composes exactly as in the CC hash-min
+    * loop (same join shape) for graphs past that regime's threshold.
+    */
+  def minLabelPropagate(edges: DataFrame, maxRounds: Int,
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
+    require(maxRounds >= 0, "maxRounds must be >= 0")
+    val spark = edges.sparkSession
+    val edgeUpper = GraphTuning.rowUpperBound(edges)
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
+    val (nodeEst, nodeSrc) = edgeUpper match {
+      case Some((u, s)) if u <= limit => (u, s)
+      case _ => (edges.agg(
+        approx_count_distinct(col("src")).as("n")).first().getLong(0), "hll")
+    }
+    val d = GraphTuning.decide(spark, "minLabelPropagate", nodeEst, nodeSrc,
+      edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit)
+    def maybeB(df: DataFrame): DataFrame = if (d.broadcast) broadcast(df) else df
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("dst")).cache()
+    var best = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var frontier = best
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      val cand = e
+        .join(maybeB(frontier.select(col("id").as("dst"),
+          col("lbl").as("fl"))), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("fl")).as("cand"))
+      frontier = cand
+        .join(maybeB(best.withColumnRenamed("lbl", "old")), Seq("id"))
+        .filter(col("cand") < col("old"))
+        .select(col("id"), col("cand").as("lbl"))
+        .localCheckpoint(true)
+      if (!frontier.isEmpty)
+        best = best.join(maybeB(frontier.select("id")), Seq("id"), "left_anti")
+          .unionByName(frontier)
+          .localCheckpoint(true)
+    }
+    e.unpersist(blocking = false)
+    best
+  }
+
+  /** k-bounded FW-BW coloring — the partition-refinement step of
+    * distributed SCC (Orzan's coloring / FW-BW family): `fwd_min(v)` =
+    * min id v REACHES within k hops, `bwd_min(v)` = min id that
+    * REACHES v within k hops, and `scc_id = fwd_min` exactly when the
+    * two agree. Soundness is unconditional: fwd_min(v) = bwd_min(v) =
+    * c means v reaches c and c reaches v, so v truly lies in c's SCC —
+    * the k-bound only limits how far the certificate looks (the same
+    * bounded-round contract as [[bfsDistances]]/[[ssspDistances]]).
+    * Two [[minLabelPropagate]] passes share one source scan; the
+    * backward pass runs on the reversed edge view, and the final
+    * combine is one id-keyed join of two node-sized tables.
+    *
+    * @return (id, fwd_min, bwd_min, scc_id nullable) */
+  def sccColoring(edges: DataFrame, maxRounds: Int,
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
+    val fwd = minLabelPropagate(edges, maxRounds, broadcastNodeLimit)
+      .withColumnRenamed("lbl", "fwd_min")
+    val bwd = minLabelPropagate(
+      edges.select(col("dst").as("src"), col("src").as("dst")),
+      maxRounds, broadcastNodeLimit)
+      .withColumnRenamed("lbl", "bwd_min")
+    fwd.join(bwd, Seq("id"))
+      .select(col("id"), col("fwd_min"), col("bwd_min"),
+        when(col("fwd_min") === col("bwd_min"), col("fwd_min")).as("scc_id"))
+  }
 }

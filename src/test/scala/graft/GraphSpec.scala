@@ -616,4 +616,30 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b && a.nonEmpty)
   }
+
+  test("scc coloring: cycle members get scc_id, the tail does not") {
+    // 1→2→3→1 (a 3-cycle) with a tail 3→4→5
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val r = Graph.sccColoring(e, maxRounds = 3)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) -1L else x.getLong(3)))).toMap
+    // fwd_min: min id reached within 3 hops (incl self)
+    assert(r(1L) == ((1L, 1L, 1L)))  // 1 reaches {1,2,3,4}; {1,2,3} reach 1
+    assert(r(2L) == ((1L, 1L, 1L)))
+    assert(r(3L) == ((1L, 1L, 1L)))
+    assert(r(4L) == ((4L, 1L, -1L))) // reaches only 4,5; 1 reaches it → no cert
+    assert(r(5L) == ((5L, 2L, -1L))) // 1 is 4 hops back — outside the bound
+  }
+
+  test("scc coloring matches across regimes and partitionings") {
+    val e = symGraph.filter(col("src") =!= col("dst"))
+    val want = Graph.sccColoring(e, maxRounds = 3)
+      .orderBy("id").collect().toSeq
+    val shuffled = Graph.sccColoring(e.repartition(17), maxRounds = 3,
+      broadcastNodeLimit = 0L)
+      .orderBy("id").collect().toSeq
+    assert(shuffled == want && want.nonEmpty)
+  }
 }
