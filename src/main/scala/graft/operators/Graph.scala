@@ -1392,61 +1392,6 @@ object Graph {
     out
   }
 
-  /** Bounded min-label propagation along DIRECTED edges: after k
-    * rounds, `lbl(v)` = the minimum node id reachable from v within
-    * ≤ k hops (including v). The loop is [[ssspDistances]]'s
-    * delta-frontier rewrite with labels for distances — only improved
-    * nodes re-enter, the label table rewrites by replacement, the edge
-    * table is cached dst-partitioned and never re-shuffles, and the
-    * frontier join is broadcast below the [[GraphTuning]]-resolved
-    * limit. Above it the loop still runs on plain shuffle joins; the
-    * co-bucketed discipline composes exactly as in the CC hash-min
-    * loop (same join shape) for graphs past that regime's threshold.
-    */
-  def minLabelPropagate(edges: DataFrame, maxRounds: Int,
-      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
-    require(maxRounds >= 0, "maxRounds must be >= 0")
-    val spark = edges.sparkSession
-    val edgeUpper = GraphTuning.rowUpperBound(edges)
-    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
-    val (nodeEst, nodeSrc) = edgeUpper match {
-      case Some((u, s)) if u <= limit => (u, s)
-      case _ => (edges.agg(
-        approx_count_distinct(col("src")).as("n")).first().getLong(0), "hll")
-    }
-    val d = GraphTuning.decide(spark, "minLabelPropagate", nodeEst, nodeSrc,
-      edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
-      requestedLimit = broadcastNodeLimit)
-    def maybeB(df: DataFrame): DataFrame = if (d.broadcast) broadcast(df) else df
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(col("dst")).cache()
-    var best = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id")))
-      .distinct().select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
-    var frontier = best
-    var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
-      round += 1
-      val cand = e
-        .join(maybeB(frontier.select(col("id").as("dst"),
-          col("lbl").as("fl"))), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("fl")).as("cand"))
-      frontier = cand
-        .join(maybeB(best.withColumnRenamed("lbl", "old")), Seq("id"))
-        .filter(col("cand") < col("old"))
-        .select(col("id"), col("cand").as("lbl"))
-        .localCheckpoint(true)
-      if (!frontier.isEmpty)
-        best = best.join(maybeB(frontier.select("id")), Seq("id"), "left_anti")
-          .unionByName(frontier)
-          .localCheckpoint(true)
-    }
-    e.unpersist(blocking = false)
-    best
-  }
-
   /** k-bounded FW-BW coloring — the partition-refinement step of
     * distributed SCC (Orzan's coloring / FW-BW family): `fwd_min(v)` =
     * min id v REACHES within k hops, `bwd_min(v)` = min id that
@@ -1455,20 +1400,69 @@ object Graph {
     * c means v reaches c and c reaches v, so v truly lies in c's SCC —
     * the k-bound only limits how far the certificate looks (the same
     * bounded-round contract as [[bfsDistances]]/[[ssspDistances]]).
-    * Two [[minLabelPropagate]] passes share one source scan; the
-    * backward pass runs on the reversed edge view, and the final
-    * combine is one id-keyed join of two node-sized tables.
+    *
+    * The two reachability passes FUSE into one delta-frontier
+    * min-label loop over a tagged edge table (tag 0 = forward edges,
+    * tag 1 = reversed), so each round is one candidate join + one
+    * best-table rewrite for BOTH directions — half the jobs and one
+    * shared (tag, dst)-partitioned cache instead of two independent
+    * loops. Labels only decrease, only improved nodes re-enter the
+    * frontier, the best table rewrites by replacement (anti-join +
+    * union, never re-aggregated), and the frontier side broadcasts
+    * below the [[GraphTuning]]-resolved limit; above it the same loop
+    * runs on plain shuffle joins aligned to the cached edge
+    * partitioning.
     *
     * @return (id, fwd_min, bwd_min, scc_id nullable) */
   def sccColoring(edges: DataFrame, maxRounds: Int,
       broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
-    val fwd = minLabelPropagate(edges, maxRounds, broadcastNodeLimit)
-      .withColumnRenamed("lbl", "fwd_min")
-    val bwd = minLabelPropagate(
-      edges.select(col("dst").as("src"), col("src").as("dst")),
-      maxRounds, broadcastNodeLimit)
-      .withColumnRenamed("lbl", "bwd_min")
-    fwd.join(bwd, Seq("id"))
+    require(maxRounds >= 0, "maxRounds must be >= 0")
+    val spark = edges.sparkSession
+    val edgeUpper = GraphTuning.rowUpperBound(edges)
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
+    val (nodeEst, nodeSrc) = edgeUpper match {
+      case Some((u, s)) if 2 * u <= limit => (2 * u, s)
+      case _ => (2 * edges.agg(
+        approx_count_distinct(col("src")).as("n")).first().getLong(0), "hll")
+    }
+    val d = GraphTuning.decide(spark, "sccColoring", nodeEst, nodeSrc,
+      edgeEstimate = edgeUpper.map(2 * _._1).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit)
+    def maybeB(df: DataFrame): DataFrame = if (d.broadcast) broadcast(df) else df
+    val base = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = base.select(lit(0).as("tag"), col("src"), col("dst"))
+      .unionByName(base.select(lit(1).as("tag"),
+        col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("tag"), col("dst")).cache()
+    var best = e.select(col("tag"), col("src").as("id"))
+      .unionByName(e.select(col("tag"), col("dst").as("id")))
+      .distinct().select(col("tag"), col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var frontier = best
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      val cand = e
+        .join(maybeB(frontier.select(col("tag"), col("id").as("dst"),
+          col("lbl").as("fl"))), Seq("tag", "dst"))
+        .groupBy(col("tag"), col("src").as("id"))
+        .agg(min(col("fl")).as("cnd"))
+      // ONE materialization carries both outputs of the round: the
+      // rewritten best table and (via the `imp` flag) the frontier.
+      val joined = best.join(maybeB(cand), Seq("tag", "id"), "left_outer")
+        .select(col("tag"), col("id"),
+          when(col("cnd") < col("lbl"), col("cnd"))
+            .otherwise(col("lbl")).as("lbl"),
+          (col("cnd") < col("lbl")).as("imp"))
+        .localCheckpoint(true)
+      best = joined.select("tag", "id", "lbl")
+      frontier = joined.filter(col("imp")).select("tag", "id", "lbl")
+    }
+    e.unpersist(blocking = false)
+    best.groupBy("id").agg(
+        min(when(col("tag") === 0, col("lbl"))).as("fwd_min"),
+        min(when(col("tag") === 1, col("lbl"))).as("bwd_min"))
       .select(col("id"), col("fwd_min"), col("bwd_min"),
         when(col("fwd_min") === col("bwd_min"), col("fwd_min")).as("scc_id"))
   }
