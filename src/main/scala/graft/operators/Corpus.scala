@@ -322,6 +322,54 @@ object Corpus {
       .select("w1", "w2", "c_xy", "c_x", "c_y", "n_uni")
   }
 
+  /** Bigram language-model quality score — the perplexity-style filter
+    * of a training-data pipeline (docs whose word transitions are
+    * improbable under the corpus's own bigram statistics are boilerplate
+    * / gibberish candidates), in EXACT integer arithmetic so the score
+    * is hash-identical cross-engine. Model: add-one-smoothed bigram
+    * conditionals over the whole corpus,
+    * `ppm(w1 w2) = (10⁶ · (c(w1,w2)+1)) div (c(w1,·)+V)` where
+    * `c(w1,·)` is the bigram-prefix count and V the corpus vocabulary
+    * size; a doc's `lm_ppm` is the k-weighted mean ppm over its
+    * adjacent pairs (integer div — no float ever enters).
+    *
+    * Scale shape: pairs reduce map-side to per-(doc, bigram)
+    * multiplicities; the global bigram table derives from THAT (one
+    * extra vocab²-bounded partial agg, never a second corpus scan);
+    * scoring is one shuffle join keyed on bigram (both sides already
+    * bigram-keyed) plus a vocab-sized broadcast of prefix counts and a
+    * 1-row vocab count; the final per-doc agg is the only other
+    * exchange. Docs with < 2 tokens have no pairs and are absent —
+    * both engines agree.
+    *
+    * @return (doc_id, n_pairs, lm_ppm) */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(lower(trim(col(textCol)))).as("toks"))
+    val docBi = toks
+      .select(col(idCol),
+        explode(graft.expressions.TextHash.adjacentPairs(col("toks"))).as("bigram"))
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("k"))
+    val biCnt = docBi.groupBy("bigram").agg(sum("k").as("c_xy"))
+    val preCnt = biCnt
+      .select(split(col("bigram"), " ").getItem(0).as("w1"), col("c_xy"))
+      .groupBy("w1").agg(sum("c_xy").as("c_x"))
+    val vocab = toks.select(explode(col("toks")).as("w"))
+      .filter(col("w") =!= "").agg(count_distinct(col("w")).as("v"))
+    docBi
+      .join(biCnt, Seq("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(broadcast(preCnt), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("ppm",
+        expr("(1000000 * (c_xy + 1)) div (c_x + v)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_pairs"),
+        sum(col("k") * col("ppm")).as("wsum"))
+      .select(col(idCol), col("n_pairs"),
+        expr("wsum div n_pairs").as("lm_ppm"))
+  }
+
   /** Benchmark decontamination: for every probe document, how much of
     * it is CONTAINED in a benchmark corpus — the n-gram containment
     * check run before training so eval sets don't leak into the

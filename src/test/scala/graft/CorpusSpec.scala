@@ -248,4 +248,16 @@ class CorpusSpec extends SparkSpec {
       Corpus.heavyHitters(docs, "text", thresholdPpm = 1000L, capacity = 4)
     }
   }
+
+  test("bigram LM score: add-one ppm arithmetic, pairless docs absent") {
+    val d = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    // c(a b)=3, c(b a)=1; prefix c_a=3, c_b=1; V={a,b,c}=3
+    // ppm(a b) = 4000000 div 6 = 666666; ppm(b a) = 2000000 div 4 = 500000
+    val r = Corpus.bigramLmScore(d, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 3L, (2 * 666666L + 500000L) / 3),  // 611110
+      (2L, 1L, 666666L)))                     // doc 3 has no pairs
+  }
 }
