@@ -2331,12 +2331,87 @@ object SparkEntry {
           (col("l_partkey") % 16384).as("dst"))
         .distinct()
       Graph.sccColoring(e, maxRounds = 3).orderBy("id")
-    })
+    }),
+
+    // Perplexity-style quality filter: add-one-smoothed bigram LM
+    // trained on the corpus itself, every doc scored by its mean
+    // transition probability in integer ppm — exact cross-engine
+    // arithmetic, no float/log anywhere.
+    "q161_bigram_lm" -> ((s, dir) =>
+      Corpus.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // k-truss kernel: per-edge triangle support over q111's
+    // co-occurrence graph — same oriented enumeration, fanned out to
+    // the three canonical edges of each triangle instead of the three
+    // vertices.
+    "q162_edge_support" -> ((s, dir) =>
+      Graph.edgeSupport(
+        Graph.coOccurrenceEdges(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p", maxGroupSize = 8))
+        .orderBy("a", "b"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q162_edge_support" ->
+      """WITH os0 AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |os AS (
+        |  SELECT o, p FROM (
+        |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+        |  WHERE ns <= 8),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+        |  GROUP BY id),
+        |og AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.a ELSE e0.b END AS u,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.b ELSE e0.a END AS v
+        |  FROM e0 JOIN deg da ON da.id = e0.a JOIN deg db ON db.id = e0.b),
+        |tri AS (
+        |  SELECT o1.u, o1.v, o2.v AS w
+        |  FROM og o1 JOIN og o2 ON o1.u = o2.u AND o1.v < o2.v
+        |  JOIN e0 ON e0.a = o1.v AND e0.b = o2.v),
+        |sup AS (
+        |  SELECT a, b, count(*) AS support FROM (
+        |    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri
+        |    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri
+        |    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri)
+        |  GROUP BY 1, 2)
+        |SELECT e0.a, e0.b, CAST(COALESCE(sup.support, 0) AS BIGINT) AS support
+        |FROM e0 LEFT JOIN sup USING (a, b)
+        |ORDER BY e0.a, e0.b""".stripMargin,
+
+    "q161_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS k FROM bi GROUP BY 1, 2, 3),
+        |bc AS (SELECT w1, w2, sum(k) AS c_xy FROM db GROUP BY 1, 2),
+        |pc AS (SELECT w1, sum(c_xy) AS c_x FROM bc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u.w) AS v
+        |      FROM t, UNNEST(toks) AS u(w) WHERE u.w <> ''),
+        |s AS (
+        |  SELECT db.doc_id, db.k,
+        |    (1000000 * (bc.c_xy + 1)) // (pc.c_x + v.v) AS ppm
+        |  FROM db JOIN bc USING (w1, w2) JOIN pc USING (w1), v)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_pairs,
+        |  CAST(sum(k * ppm) // sum(k) AS BIGINT) AS lm_ppm
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q160_scc" -> {
       def pass(p: String, joinOn: String, emit: String) = (1 to 3).map { k =>
         s"""$p$k AS (

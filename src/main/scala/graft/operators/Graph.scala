@@ -1256,40 +1256,21 @@ object Graph {
     *              directions; duplicates and self-loops are dropped
     * @return (id, triangles) for EVERY node of the graph, zero included
     */
-  def triangleCounts(edges: DataFrame,
-      broadcastNodeLimit: Long = GraphTuning.Auto,
-      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
-    val canon = edges.select(
-        least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .cache()
-    // Below `broadcastEdgeLimit` the adjacency-intersection regime runs
-    // entirely on broadcast node-sized state (8M edges ≈ 128 MB of
-    // packed adjacency longs); above it, wedge enumeration by shuffle.
-    //
-    // ONE stats action decides every regime knob (edge count, id bounds,
-    // node-count upper bound): the previous canon.count / deg.count /
-    // bounds.first sequence serialized three jobs for ~1 s of pure
-    // latency at sf0.1. The node estimate a+b double-counts nodes seen
-    // on both sides — only ever conservative (skips broadcast early,
-    // never OOMs late). canon has a < b, so min(a)/max(b) bound all ids.
-    val st = canon.agg(count(lit(1)).as("m"),
-      min(col("a")).as("lo"), max(col("b")).as("hi"),
-      (approx_count_distinct(col("a")) + approx_count_distinct(col("b")))
-        .as("nUpper")).first()
-    val nEdges = st.getLong(0)
-    if (nEdges == 0) {
-      val out = canon.select(col("a").as("id"), col("b").as("triangles"))
-      canon.unpersist(blocking = false)
-      return out
-    }
+  /** Shared engine of [[triangleCounts]] and [[edgeSupport]]: degree
+    * orientation + triangle enumeration over a cached canonical edge
+    * set, regime-routed exactly as documented on [[triangleCounts]].
+    * Caller owns `canon`; everything this allocates is in `cleanup`. */
+  private case class TriangleStream(tris: DataFrame, deg: DataFrame,
+      small: Boolean, cleanup: Seq[DataFrame])
+
+  private def orientedTriangleStream(spark: org.apache.spark.sql.SparkSession,
+      canon: DataFrame, st: org.apache.spark.sql.Row, nEdges: Long,
+      broadcastNodeLimit: Long, broadcastEdgeLimit: Long): TriangleStream = {
     val deg = canon.select(col("a").as("id"))
       .unionByName(canon.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
       .cache()
-    val small = GraphTuning.decide(edges.sparkSession, "triangleCounts",
+    val small = GraphTuning.decide(spark, "triangleCounts",
       nodeEstimate = st.getLong(3), nodeEstimateSource = "hll-sum",
       edgeEstimate = nEdges, requestedLimit = broadcastNodeLimit).broadcast
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -1378,16 +1359,103 @@ object Graph {
             .select("u", "v", "w")
         (Some(o), t)
       }
-    val counts = tris
+    TriangleStream(tris, deg, small, oriented.toSeq :+ deg)
+  }
+
+  def triangleCounts(edges: DataFrame,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
+      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+    // Below `broadcastEdgeLimit` the adjacency-intersection regime runs
+    // entirely on broadcast node-sized state (8M edges ≈ 128 MB of
+    // packed adjacency longs); above it, wedge enumeration by shuffle.
+    //
+    // ONE stats action decides every regime knob (edge count, id bounds,
+    // node-count upper bound): the previous canon.count / deg.count /
+    // bounds.first sequence serialized three jobs for ~1 s of pure
+    // latency at sf0.1. The node estimate a+b double-counts nodes seen
+    // on both sides — only ever conservative (skips broadcast early,
+    // never OOMs late). canon has a < b, so min(a)/max(b) bound all ids.
+    val st = canon.agg(count(lit(1)).as("m"),
+      min(col("a")).as("lo"), max(col("b")).as("hi"),
+      (approx_count_distinct(col("a")) + approx_count_distinct(col("b")))
+        .as("nUpper")).first()
+    val nEdges = st.getLong(0)
+    if (nEdges == 0) {
+      val out = canon.select(col("a").as("id"), col("b").as("triangles"))
+      canon.unpersist(blocking = false)
+      return out
+    }
+    val tm = orientedTriangleStream(edges.sparkSession, canon, st, nEdges,
+      broadcastNodeLimit, broadcastEdgeLimit)
+    def maybeB(df: DataFrame): DataFrame = if (tm.small) broadcast(df) else df
+    val counts = tm.tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
-    val out = deg.select("id")
+    val out = tm.deg.select("id")
       .join(maybeB(counts), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("triangles"), lit(0L)).as("triangles"))
       .localCheckpoint(true)
-    oriented.foreach(_.unpersist(blocking = false))
-    deg.unpersist(blocking = false)
+    tm.cleanup.foreach(_.unpersist(blocking = false))
+    canon.unpersist(blocking = false)
+    out
+  }
+
+  /** Per-edge triangle support — the k-truss kernel: an edge survives
+    * a k-truss iff its support (triangles containing it) stays
+    * ≥ k − 2 under peeling; this one-pass support table is both the
+    * peel's unit of work and, on its own, the standard edge-strength /
+    * community-backbone signal. Reuses [[triangleCounts]]'s oriented
+    * enumeration verbatim (each triangle found exactly once at its
+    * (deg,id)-minimal apex), then fans each triangle out to its three
+    * CANONICAL edges map-side and partial-aggregates on (a, b) — edge
+    * output is edge-sized, triangle volume never shuffles un-reduced.
+    *
+    * @return (a, b, support) for EVERY canonical edge, zero included */
+  def edgeSupport(edges: DataFrame,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
+      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
+    val canon = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+    val st = canon.agg(count(lit(1)).as("m"),
+      min(col("a")).as("lo"), max(col("b")).as("hi"),
+      (approx_count_distinct(col("a")) + approx_count_distinct(col("b")))
+        .as("nUpper")).first()
+    val nEdges = st.getLong(0)
+    if (nEdges == 0) {
+      val out = canon.select(col("a"), col("b"), col("a").as("support"))
+      canon.unpersist(blocking = false)
+      return out
+    }
+    val tm = orientedTriangleStream(edges.sparkSession, canon, st, nEdges,
+      broadcastNodeLimit, broadcastEdgeLimit)
+    // No join for the zero-fill: every canonical edge enters the SAME
+    // partial agg with weight 0 alongside the triangle fan-out's 1s —
+    // support is edge-sized, so a broadcast would be unbounded and a
+    // shuffle join redundant with the aggregation's own exchange.
+    val sup = tm.tris.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), lit(1L).as("s"))
+    val out = canon.select(col("a"), col("b"), lit(0L).as("s"))
+      .unionByName(sup)
+      .groupBy("a", "b").agg(sum(col("s")).as("support"))
+      .localCheckpoint(true)
+    tm.cleanup.foreach(_.unpersist(blocking = false))
     canon.unpersist(blocking = false)
     out
   }

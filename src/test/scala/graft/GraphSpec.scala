@@ -617,6 +617,28 @@ class GraphSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("edge support: K4 plus a pendant — known closed form") {
+    // K4: every edge closes with the 2 remaining vertices → support 2;
+    // the pendant edge 1—5 is in no triangle.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L; if a != b } yield (a, b)
+    val e = (k4 ++ Seq((1L, 5L), (5L, 1L), (3L, 3L))).toDF("src", "dst")
+    val got = Graph.edgeSupport(e)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val want = (for { a <- 1L to 4L; b <- a + 1 to 4L } yield (a, b) -> 2L)
+      .toMap + ((1L, 5L) -> 0L)
+    assert(got == want)
+  }
+
+  test("edge support: shuffle regime matches broadcast regime") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L; if a != b } yield (a, b)
+    val e = (k4 ++ Seq((1L, 5L), (6L, 7L), (7L, 8L), (6L, 8L)))
+      .toDF("src", "dst")
+    val big = Graph.edgeSupport(e, broadcastEdgeLimit = 1)
+      .orderBy("a", "b").collect().toSeq
+    val small = Graph.edgeSupport(e).orderBy("a", "b").collect().toSeq
+    assert(big == small && big.nonEmpty)
+  }
+
   test("scc coloring: cycle members get scc_id, the tail does not") {
     // 1→2→3→1 (a 3-cycle) with a tail 3→4→5
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
