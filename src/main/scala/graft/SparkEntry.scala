@@ -2351,12 +2351,69 @@ object SparkEntry {
           Tables.lineitem(s, dir)
             .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
           "o", "p", maxGroupSize = 8))
+        .orderBy("a", "b")),
+
+    // Bounded 4-truss peel (2 rounds): keep edges whose triangle
+    // support stays ≥ 2 as weaker edges peel away — the community
+    // backbone extraction on a third of the co-occurrence graph
+    // (orderkey ≡ 0 mod 3).
+    "q163_truss_peel" -> ((s, dir) =>
+      Graph.trussPeel(
+        Graph.coOccurrenceEdges(
+          Tables.lineitem(s, dir).filter(col("l_orderkey") % 3 === 0)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p", maxGroupSize = 8),
+        k = 4, maxRounds = 2)
         .orderBy("a", "b"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q163_truss_peel" -> {
+      // Every CTE referenced more than once is MATERIALIZED — DuckDB
+      // inlines plain CTEs, so the un-hinted 2-round chain recomputed
+      // the triangle enumeration exponentially (>79 GB of temp spill
+      // at sf0.1 before the IO error).
+      def round(i: Int) =
+        s"""deg$i AS MATERIALIZED (
+           |  SELECT id, count(*) AS d FROM (
+           |    SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+           |  GROUP BY id),
+           |og$i AS MATERIALIZED (
+           |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+           |              THEN e.a ELSE e.b END AS u,
+           |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+           |              THEN e.b ELSE e.a END AS v
+           |  FROM e${i - 1} e JOIN deg$i da ON da.id = e.a
+           |  JOIN deg$i db ON db.id = e.b),
+           |tri$i AS MATERIALIZED (
+           |  SELECT o1.u, o1.v, o2.v AS w
+           |  FROM og$i o1 JOIN og$i o2 ON o1.u = o2.u AND o1.v < o2.v
+           |  JOIN e${i - 1} e ON e.a = o1.v AND e.b = o2.v),
+           |sup$i AS MATERIALIZED (
+           |  SELECT a, b, count(*) AS support FROM (
+           |    SELECT least(u, v) AS a, greatest(u, v) AS b FROM tri$i
+           |    UNION ALL SELECT least(u, w), greatest(u, w) FROM tri$i
+           |    UNION ALL SELECT least(v, w), greatest(v, w) FROM tri$i)
+           |  GROUP BY 1, 2),
+           |e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE support >= 2)"""
+        .stripMargin
+      s"""WITH os0 AS (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         |  WHERE l_orderkey % 3 = 0),
+         |os AS MATERIALIZED (
+         |  SELECT o, p FROM (
+         |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+         |  WHERE ns <= 8),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p),
+         |${round(1)},
+         |${round(2)}
+         |SELECT a, b FROM e2 ORDER BY a, b""".stripMargin
+    },
+
     "q162_edge_support" ->
       """WITH os0 AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -1460,6 +1460,38 @@ object Graph {
     out
   }
 
+  /** Bounded k-truss peel: up to `maxRounds` rounds of (recompute
+    * [[edgeSupport]] → drop edges with support < k − 2). A true
+    * k-truss iterates to fixpoint; the bounded version is the
+    * monotone prefix of that computation (each round only removes
+    * edges the final truss also removes), converging early when a
+    * round drops nothing. Every round is one full support pass over
+    * the SURVIVING edge set — the set only shrinks, and each pass
+    * checkpoints so lineage stays flat across rounds.
+    *
+    * @return surviving canonical edges (a, b) after the peel */
+  def trussPeel(edges: DataFrame, k: Int, maxRounds: Int,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
+      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    var cur = edges.select(col("src"), col("dst"))
+    var round = 0
+    var m = -1L
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val sup = edgeSupport(cur, broadcastNodeLimit, broadcastEdgeLimit)
+      cur = sup.filter(col("support") >= k - 2)
+        .select(col("a").as("src"), col("b").as("dst"))
+        .localCheckpoint(true)
+      val m2 = cur.count()
+      converged = m2 == m
+      m = m2
+    }
+    cur.select(col("src").as("a"), col("dst").as("b"))
+  }
+
   /** k-bounded FW-BW coloring — the partition-refinement step of
     * distributed SCC (Orzan's coloring / FW-BW family): `fwd_min(v)` =
     * min id v REACHES within k hops, `bwd_min(v)` = min id that

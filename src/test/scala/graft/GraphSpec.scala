@@ -639,6 +639,17 @@ class GraphSpec extends SparkSpec {
     assert(big == small && big.nonEmpty)
   }
 
+  test("truss peel: K4 core survives a 4-truss, pendant peels; 5-truss empties") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L; if a != b } yield (a, b)
+    val e = (k4 ++ Seq((1L, 5L), (5L, 6L))).toDF("src", "dst")
+    val t4 = Graph.trussPeel(e, k = 4, maxRounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(t4 == (for { a <- 1L to 4L; b <- a + 1 to 4L } yield (a, b)).toSet)
+    val t5 = Graph.trussPeel(e, k = 5, maxRounds = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(t5.isEmpty)
+  }
+
   test("scc coloring: cycle members get scc_id, the tail does not") {
     // 1→2→3→1 (a 3-cycle) with a tail 3→4→5
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
