@@ -2364,12 +2364,44 @@ object SparkEntry {
             .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
           "o", "p", maxGroupSize = 8),
         k = 4, maxRounds = 2)
-        .orderBy("a", "b"))
+        .orderBy("a", "b")),
+
+    // Winnowed fingerprints (MOSS): per-doc sliding-window minima over
+    // md5-31 gram hashes, rightmost-on-ties — the sub-linear local
+    // fingerprinting sketch behind plagiarism / near-clone detection.
+    // One doc-keyed window shuffle; everything else is scan-stage.
+    "q164_winnow" -> ((s, dir) =>
+      Corpus.winnowedFingerprints(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, w = 4)
+        .orderBy("doc_id", "pos"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // Winnowing replayed literally: gram hashes via the portable md5-31
+    // family, the rightmost-on-ties rule via the same arithmetic key
+    // (h·2³² + (2³²−1 − pos), window min ⇒ smallest hash / largest pos).
+    "q164_winnow" ->
+      """WITH tk AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t0 FROM documents),
+        |gi AS (SELECT doc_id, t0,
+        |  unnest(generate_series(1, len(t0) - 2)) AS i
+        | FROM tk WHERE len(t0) >= 3),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |  ('0x' || substr(md5(t0[i] || ' ' || t0[i+1] || ' ' || t0[i+2]),
+        |    1, 8))::BIGINT % 2147483647 AS h
+        | FROM gi),
+        |k AS (SELECT doc_id, pos,
+        |  min(h * 4294967296 + (4294967295 - pos)) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        | FROM g),
+        |sel AS (SELECT DISTINCT doc_id, mk FROM k WHERE pos >= 3)
+        |SELECT doc_id, CAST(4294967295 - mk % 4294967296 AS BIGINT) AS pos,
+        |  CAST(mk // 4294967296 AS BIGINT) AS fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin,
+
     "q163_truss_peel" -> {
       // Every CTE referenced more than once is MATERIALIZED — DuckDB
       // inlines plain CTEs, so the un-hinted 2-round chain recomputed

@@ -412,4 +412,58 @@ object Corpus {
         (col("n_hit") * 1000000L >= lit(thresholdPpm) * col("n_grams"))
           .cast("int"))
   }
+
+  /** Winnowed document fingerprints (the MOSS local fingerprinting
+    * scheme): hash every word `n`-gram, slide a window over `w`
+    * consecutive gram hashes, keep each window's minimum — rightmost
+    * occurrence on ties — and emit the distinct selected (position,
+    * hash) pairs per document. The winnowing guarantee: any two
+    * documents sharing a run of `w + n − 1` tokens share at least one
+    * fingerprint, while only ~2/(w+1) of all grams are kept — the
+    * sub-linear sketch that powers plagiarism / near-clone detection
+    * over corpora too big for full shingle sets. (Reference analog:
+    * content fingerprinting for dedup staging,
+    * dataengineering/clickhouse/v1/utils.py:214-266.)
+    *
+    * Scale shape: gram construction and hashing are SCAN-STAGE
+    * expression work (no shuffle); the only exchange is the per-doc
+    * window partitioning on `idCol`, and the output is ~2·grams/(w+1)
+    * rows per doc — a 100 TB corpus streams scan → window → distinct
+    * with one doc-keyed shuffle. The rightmost-on-ties rule is encoded
+    * arithmetically so ONE `min` window aggregate implements the full
+    * tie-break: key = hash·2³² + (2³²−1 − pos) makes the window min the
+    * smallest hash with the LARGEST position. Portable md5-31 gram
+    * hashes (same family as [[graft.expressions.TextHash.shingles31]])
+    * keep the whole pipeline integer-exact cross-engine.
+    *
+    * @param n gram width in tokens; @param w winnowing window in grams
+    * @return (idCol, pos, fp) — selected gram start positions
+    *         (0-based) and their 31-bit fingerprints */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, w: Int = 4): DataFrame = {
+    require(n >= 1, "gram width must be >= 1")
+    require(w >= 2, "winnow window must be >= 2")
+    val grams = docs
+      .select(col(idCol),
+        TextFunctions.tokens(lower(trim(col(textCol)))).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> named_struct(" +
+          s"'pos', i, 'g', concat_ws(' ', slice(toks, i + 1, $n))))"))
+        .as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"),
+        expr("CAST(conv(substring(md5(pg.g), 1, 8), 16, 10) AS BIGINT)" +
+          " % 2147483647").as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .select(col(idCol), col("pos"),
+        min(col("h") * 4294967296L + (lit(4294967295L) - col("pos")))
+          .over(win).as("mk"))
+      .filter(col("pos") >= w - 1)
+      .select(col(idCol), col("mk")).distinct()
+      .select(col(idCol),
+        (lit(4294967295L) - col("mk") % 4294967296L).as("pos"),
+        expr("mk div 4294967296").as("fp"))
+  }
 }

@@ -260,4 +260,48 @@ class CorpusSpec extends SparkSpec {
       (1L, 3L, (2 * 666666L + 500000L) / 3),  // 611110
       (2L, 1L, 666666L)))                     // doc 3 has no pairs
   }
+
+  test("winnowedFingerprints: coverage, validity, rightmost ties, short docs") {
+    val text = "the quick brown fox jumps over the lazy dog near the bank"
+    val docs = Seq(
+      (1L, text),
+      (2L, s"prefix tokens here $text"),  // shares an 11-token run with 1
+      (3L, "too short"),                  // < n tokens -> absent
+      (4L, "x x x x x x")).toDF("doc_id", "text")
+    val n = 3; val w = 4
+    val fps = Corpus.winnowedFingerprints(docs, "doc_id", "text", n, w)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byDoc = fps.groupBy(_._1)
+    assert(!byDoc.contains(3L))
+    // validity: every selected (pos, fp) is the md5-31 hash of the gram
+    // actually at pos; density: every window of w grams holds a selection
+    for ((id, t) <- Seq(1L -> text, 2L -> s"prefix tokens here $text")) {
+      val toks = t.split("\\s+")
+      val grams = toks.sliding(n).map(_.mkString(" ")).toVector
+      val h = grams.map { g =>
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5").digest(
+            g.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+          16) % 2147483647L
+      }
+      val sel = byDoc(id).map(r => r._2 -> r._3).toMap
+      sel.foreach { case (p, fp) => assert(h(p.toInt) == fp) }
+      (0 to grams.size - w).foreach { s =>
+        assert((s until s + w).exists(p => sel.contains(p.toLong))) }
+    }
+    // winnowing guarantee: a shared run of w+n-1 tokens shares >= 1 fp
+    assert(byDoc(1L).map(_._3).toSet
+      .intersect(byDoc(2L).map(_._3).toSet).nonEmpty)
+    // identical grams: the window min takes the RIGHTMOST occurrence,
+    // so "x x x x x x" (n=1: 6 equal grams) selects exactly pos w-1..5
+    val ties = Corpus.winnowedFingerprints(docs.filter($"doc_id" === 4),
+      "doc_id", "text", n = 1, w = 3)
+      .orderBy("pos").as[(Long, Long, Long)].collect().toSeq
+    assert(ties.map(_._2) == Seq(2L, 3L, 4L, 5L))
+    assert(ties.map(_._3).distinct.size == 1)
+    // partitioning-independent
+    val rep = Corpus.winnowedFingerprints(docs.repartition(7),
+      "doc_id", "text", n, w).as[(Long, Long, Long)].collect().toSet
+    assert(rep == fps.toSet)
+  }
 }
