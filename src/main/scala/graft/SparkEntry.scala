@@ -2373,12 +2373,47 @@ object SparkEntry {
     "q164_winnow" -> ((s, dir) =>
       Corpus.winnowedFingerprints(Tables.documents(s, dir),
         "doc_id", "text", n = 3, w = 4)
-        .orderBy("doc_id", "pos"))
+        .orderBy("doc_id", "pos")),
+
+    // Near-clone candidates from the winnow sketch: pairs sharing ≥ 2
+    // fingerprints after dropping stop-fingerprints (df > 8). The fp
+    // blocking bounds every bucket at maxDf docs BEFORE the self-join —
+    // recall-exact, no silent cap.
+    "q165_winnow_pairs" -> ((s, dir) =>
+      Corpus.winnowedNearClonePairs(Tables.documents(s, dir),
+        "doc_id", "text", n = 3, w = 4, minShared = 2, maxDf = 8)
+        .orderBy("id_a", "id_b"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // q164's winnow pipeline, then the df-filtered fp self-join.
+    "q165_winnow_pairs" ->
+      """WITH tk AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t0 FROM documents),
+        |gi AS (SELECT doc_id, t0,
+        |  unnest(generate_series(1, len(t0) - 2)) AS i
+        | FROM tk WHERE len(t0) >= 3),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |  ('0x' || substr(md5(t0[i] || ' ' || t0[i+1] || ' ' || t0[i+2]),
+        |    1, 8))::BIGINT % 2147483647 AS h
+        | FROM gi),
+        |kk AS (SELECT doc_id, pos,
+        |  min(h * 4294967296 + (4294967295 - pos)) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        | FROM g),
+        |fp AS (SELECT DISTINCT doc_id AS id, mk // 4294967296 AS fp
+        |  FROM kk WHERE pos >= 3),
+        |kept AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 8),
+        |bl AS MATERIALIZED (
+        |  SELECT f.id, f.fp FROM fp f JOIN kept USING (fp))
+        |SELECT x.id AS id_a, y.id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        |FROM bl x JOIN bl y ON x.fp = y.fp AND x.id < y.id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
+
     // Winnowing replayed literally: gram hashes via the portable md5-31
     // family, the rightmost-on-ties rule via the same arithmetic key
     // (h·2³² + (2³²−1 − pos), window min ⇒ smallest hash / largest pos).

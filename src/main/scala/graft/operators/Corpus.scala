@@ -466,4 +466,39 @@ object Corpus {
         (lit(4294967295L) - col("mk") % 4294967296L).as("pos"),
         expr("mk div 4294967296").as("fp"))
   }
+
+  /** Near-clone candidate pairs from winnowed fingerprints: documents
+    * sharing at least `minShared` distinct [[winnowedFingerprints]]
+    * values, after dropping "stop fingerprints" that occur in more than
+    * `maxDf` documents (boilerplate phrases carry no clone signal and
+    * are the only source of hot buckets). (Reference analog: staging
+    * near-duplicate candidates for manual review,
+    * dataengineering/clickhouse/v1/utils.py:214-266.)
+    *
+    * Scale shape: the fingerprint sketch is ~2/(w+1) of the gram
+    * stream; the df filter is one fp-keyed partial-agg shuffle whose
+    * output is vocabulary-sized; the self-join is BLOCKED on fp with
+    * every bucket provably ≤ maxDf docs, so the pair explosion is
+    * bounded at maxDf²/2 per fingerprint BEFORE it happens — no cap
+    * that silently drops recall (contrast CollectLongPairsCapped),
+    * which is what keeps the operator oracle-exact. One final
+    * (id_a, id_b) agg shuffle counts shared prints.
+    *
+    * @return (id_a, id_b, shared) with id_a < id_b */
+  def winnowedNearClonePairs(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, w: Int = 4,
+      minShared: Int = 2, maxDf: Int = 8): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    require(maxDf >= 2, "maxDf must allow at least one pair")
+    val fps = winnowedFingerprints(docs, idCol, textCol, n, w)
+      .select(col(idCol).as("id"), col("fp")).distinct()
+    val kept = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    val blocked = fps.join(kept, "fp")
+    blocked.as("x").join(blocked.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

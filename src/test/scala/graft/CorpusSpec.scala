@@ -304,4 +304,37 @@ class CorpusSpec extends SparkSpec {
       "doc_id", "text", n, w).as[(Long, Long, Long)].collect().toSet
     assert(rep == fps.toSet)
   }
+
+  test("winnowedNearClonePairs: clone pair found, stop fingerprints dropped") {
+    val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val boiler = "terms of service apply to all users everywhere always"
+    val docs = Seq(
+      (1L, s"$clone and some trailing words here"),
+      (2L, s"leading words then $clone again"),
+      (3L, s"$boiler plus unique content one two three four"),
+      (4L, s"$boiler with different tail tokens five six seven"),
+      (5L, s"$boiler and another unrelated ending eight nine ten"),
+      (6L, "completely unrelated text with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    // clone run: 10 shared tokens >> w+n-1 = 6 -> docs 1/2 share prints
+    val got = Corpus.winnowedNearClonePairs(docs, "doc_id", "text",
+      n = 3, w = 4, minShared = 2, maxDf = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)).contains((1L, 2L)))
+    // maxDf = 2 drops every boilerplate fingerprint (df = 3): the
+    // boiler trio must not pair while the clone pair survives
+    val strict = Corpus.winnowedNearClonePairs(docs, "doc_id", "text",
+      n = 3, w = 4, minShared = 2, maxDf = 2)
+      .as[(Long, Long, Long)].collect().toSeq.map(p => (p._1, p._2))
+    assert(strict.contains((1L, 2L)))
+    assert(!strict.exists { case (a, b) => Set(a, b).subsetOf(Set(3L, 4L, 5L)) })
+    // shared counts are exact: recompute from the fingerprint sets
+    val fpSets = Corpus.winnowedFingerprints(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+      .map { case (id, rs) => id -> rs.map(_._3).toSet }
+    val dfAll = fpSets.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).collect { case (f, o) if o.size <= 8 => f }.toSet
+    got.foreach { case (a, b, s) =>
+      assert((fpSets(a).intersect(fpSets(b)).intersect(dfAll)).size == s) }
+  }
 }
