@@ -2382,12 +2382,56 @@ object SparkEntry {
     "q165_winnow_pairs" -> ((s, dir) =>
       Corpus.winnowedNearClonePairs(Tables.documents(s, dir),
         "doc_id", "text", n = 3, w = 4, minShared = 2, maxDf = 8)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // Bit-packed multi-source BFS: per-landmark hop distances from the
+    // 16 smallest seed parts in ONE shared sweep (64-bit mask state) —
+    // contrast q136, which keeps only min-over-seeds. Landmark distance
+    // features for graph ML.
+    "q166_msbfs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+        .orderBy("id").limit(16)
+      Graph.multiSourceBfs(edges, seeds, maxHops = 2)
+        .orderBy("id", "src")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // Per-landmark BFS replayed as two unrolled min-dist rounds per
+    // (src, id) — the bitmask is an execution encoding, not semantics.
+    "q166_msbfs" -> {
+      val rounds = (1 to 2).map { k =>
+        s"""d$k AS (
+           |  SELECT src, id, min(dist) AS dist FROM (
+           |    SELECT src, id, dist FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT d.src, e.dst AS id, d.dist + 1 AS dist
+           |    FROM e JOIN d${k - 1} d ON d.id = e.src)
+           |  GROUP BY src, id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |sd AS (
+         |  SELECT DISTINCT l_partkey * 2 + 1 AS id FROM lineitem
+         |  WHERE l_partkey % 97 = 0 ORDER BY id LIMIT 16),
+         |d0 AS (SELECT id AS src, id, CAST(0 AS BIGINT) AS dist FROM sd),
+         |$rounds
+         |SELECT id, src, CAST(dist AS BIGINT) AS dist FROM d2
+         |ORDER BY id, src""".stripMargin
+    },
+
     // q164's winnow pipeline, then the df-filtered fp self-join.
     "q165_winnow_pairs" ->
       """WITH tk AS (SELECT doc_id,

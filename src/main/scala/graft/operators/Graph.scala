@@ -336,6 +336,94 @@ object Graph {
     frontiers.reduce(_ unionByName _)
   }
 
+  /** Bit-packed multi-source BFS (the MS-BFS idea — Then et al.,
+    * VLDB'15): exact hop distances from up to 64 landmark seeds in ONE
+    * shared frontier sweep. Per-node state is a single 64-bit mask
+    * (bit b set ⇔ reached by landmark b), so k landmarks cost one
+    * traversal with bit-parallel frontier sharing instead of k
+    * [[bfsDistances]] runs — the landmark-distance feature extractor
+    * (graph embeddings, closeness sketches) at corpus scale. Unlike
+    * [[bfsDistances]] (min distance over ALL seeds), the output keeps
+    * the per-landmark distance. (Reference analog: k-hop entity
+    * exposure queries, dataengineering/tigergraph/v1/queries.py.)
+    *
+    * Scale shape per round (broadcast regime): one broadcast join of
+    * the (node, mask) frontier against the dst-partitioned cached edge
+    * table, one `bit_or` agg on the SAME dst key (exchange-free), and
+    * one reached-set-sized mask merge — the bitmask replaces what would
+    * be a 64× wider (node, src) frontier. Set-bit explosion to
+    * (id, src, dist) rows happens ONCE at the end, against a 64-row
+    * broadcast bit map, never inside the loop. Above the resolved node
+    * limit the loop degrades to per-round shuffle joins (the mask state
+    * is 64× denser than per-source rows, so the broadcast regime
+    * stretches much further than running k separate BFS).
+    *
+    * @param seeds one `id` column, at most 64 distinct ids
+    * @return (id, src, dist) — dist ∈ [0, maxHops] hops from seed `src` */
+  def multiSourceBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    // Bit assignment = rank of the distinct seed ids: a <= 64-row
+    // single-partition window, deterministic across engines.
+    val sd = seeds.select(col("id").cast("long")).distinct()
+      .withColumn("bit",
+        row_number().over(Window.orderBy(col("id"))) - 1)
+      .localCheckpoint(true)
+    require(sd.count() <= 64, "multiSourceBfs packs at most 64 seeds")
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
+    val edgeUpper = GraphTuning.rowUpperBound(edges)
+    val (nodeEst, nodeSrc) = edgeUpper match {
+      case Some((u, s)) if u <= limit => (u, s)
+      case _ => (edges.agg(approx_count_distinct(col("dst")).as("n"))
+        .first().getLong(0), "hll")
+    }
+    val d = GraphTuning.decide(spark, "multiSourceBfs", nodeEst, nodeSrc,
+      edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit)
+    val small = d.broadcast
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("dst")).cache()
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val f0 = sd.select(col("id"),
+        expr("shiftleft(CAST(1 AS BIGINT), bit)").as("bits"),
+        lit(0L).as("hop"))
+      .localCheckpoint(true)
+    var frontiers = List(f0)
+    var frontier = f0
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      // Reached masks so far: lazy union of the checkpointed frontiers,
+      // re-merged per round (reached-set-sized, the bfsDistances
+      // anti-join-scan discipline — never rewritten, only re-read).
+      val seen = frontiers.map(_.select("id", "bits"))
+        .reduce(_ unionByName _)
+        .groupBy("id").agg(expr("bit_or(bits)").as("seen"))
+      val gathered = ew
+        .join(maybeB(frontier.select(col("id").as("src"), col("bits"))),
+          Seq("src"))
+        .groupBy(col("dst").as("id")).agg(expr("bit_or(bits)").as("g"))
+      frontier = gathered
+        .join(maybeB(seen), Seq("id"), "left")
+        .select(col("id"), col("g")
+          .bitwiseAND(bitwise_not(coalesce(col("seen"), lit(0L))))
+          .as("bits"))
+        .filter(col("bits") =!= 0L)
+        .withColumn("hop", lit(hop.toLong))
+        .localCheckpoint(true)
+      frontiers ::= frontier
+    }
+    ew.unpersist(blocking = false)
+    frontiers.reduce(_ unionByName _)
+      .select(col("id"), col("hop").as("dist"), explode(expr(
+        "filter(sequence(0, 63), b -> ((bits >> b) & 1) = 1)")).as("bit"))
+      .join(broadcast(sd.select(col("bit"), col("id").as("src"))),
+        Seq("bit"))
+      .select(col("id"), col("src"), col("dist"))
+  }
+
   /** Big-graph regime — the cluster answer above `broadcastNodeLimit`
     * that the adaptive path's scaladoc promises: edges live as a table
     * bucketed by src (degree attached at layout time), and each round's

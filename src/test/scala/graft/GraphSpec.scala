@@ -675,4 +675,39 @@ class GraphSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(shuffled == want && want.nonEmpty)
   }
+
+  test("multiSourceBfs: per-landmark hop distances on a path") {
+    // undirected path 1-2-3-4-5, landmarks {1, 5}
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val e = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = Seq(1L, 5L).toDF("id")
+    val got = Graph.multiSourceBfs(e, seeds, maxHops = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 2L),
+      (5L, 5L, 0L), (4L, 5L, 1L), (3L, 5L, 2L))
+    assert(got == want)
+  }
+
+  test("multiSourceBfs: all 64 bits carry (star graph), regimes agree") {
+    // star: center 100 <-> leaves 0..63; all 64 leaves are landmarks
+    val fwd = (0L to 63L).map(i => (i, 100L)).toDF("src", "dst")
+    val e = fwd.unionByName(fwd.select($"dst".as("src"), $"src".as("dst")))
+    val seeds = (0L to 63L).toDF("id")
+    val got = Graph.multiSourceBfs(e, seeds, maxHops = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // 64 self rows + 64 center@1 rows + 64*63 cross-leaf@2 rows
+    assert(got.size == 64 + 64 + 64 * 63)
+    assert(got.count(_._3 == 0L) == 64)
+    assert((0L to 63L).forall(s => got.contains((100L, s, 1L))))
+    assert(got.contains((0L, 63L, 2L)))   // bit 63 (1L<<63 is negative)
+    val shuffled = Graph.multiSourceBfs(e.repartition(17), seeds,
+      maxHops = 2, broadcastNodeLimit = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(shuffled == got)
+    // > 64 seeds rejected
+    intercept[IllegalArgumentException] {
+      Graph.multiSourceBfs(e, (0L to 64L).toDF("id"), maxHops = 1)
+    }
+  }
 }
