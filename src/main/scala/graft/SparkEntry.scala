@@ -2400,12 +2400,59 @@ object SparkEntry {
         .orderBy("id").limit(16)
       Graph.multiSourceBfs(edges, seeds, maxHops = 2)
         .orderBy("id", "src")
+    }),
+
+    // Time-respecting earliest arrival over the user↔entity interaction
+    // graph (edge time = event time, both directions): exposure within
+    // 3 strictly-time-increasing hops from the seed users. Plain BFS
+    // walks backwards in time; this can't.
+    "q167_temporal_reach" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
+        .select((col("user_id") * 2).as("u"),
+          (get_json_object(col("props"), "$.k").cast("long") * 2 + 1)
+            .as("kk"),
+          expr("ts_ns div 1000").as("t"))
+      val edges = ev.select(col("u").as("src"), col("kk").as("dst"), col("t"))
+        .unionByName(
+          ev.select(col("kk").as("src"), col("u").as("dst"), col("t")))
+      val seeds = Tables.events(s, dir).filter(col("user_id") % 17 === 0)
+        .select((col("user_id") * 2).as("id")).distinct()
+      Graph.temporalEarliestArrival(edges, seeds, maxRounds = 3)
+        .orderBy("id")
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // Temporal earliest arrival replayed as three unrolled full-table
+    // relaxation rounds (the delta frontier is an optimization, not a
+    // semantics change — non-improved nodes re-contribute identical
+    // candidates that the min folds away).
+    "q167_temporal_reach" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""a$k AS (
+           |  SELECT id, min(arr) AS arr FROM (
+           |    SELECT id, arr FROM a${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS id, e.t AS arr
+           |    FROM e JOIN a${k - 1} a ON a.id = e.src AND e.t > a.arr)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id * 2 AS u,
+         |    CAST(props->>'k' AS BIGINT) * 2 + 1 AS kk,
+         |    epoch_us(ts) AS t
+         |  FROM events WHERE props->>'k' IS NOT NULL),
+         |e AS (SELECT u AS src, kk AS dst, t FROM ev
+         |      UNION ALL SELECT kk, u, t FROM ev),
+         |a0 AS (SELECT DISTINCT user_id * 2 AS id, CAST(-1 AS BIGINT) AS arr
+         |       FROM events WHERE user_id % 17 = 0),
+         |$rounds
+         |SELECT id, CAST(arr AS BIGINT) AS arr FROM a3 ORDER BY id""".stripMargin
+    },
+
     // Per-landmark BFS replayed as two unrolled min-dist rounds per
     // (src, id) — the bitmask is an execution encoding, not semantics.
     "q166_msbfs" -> {

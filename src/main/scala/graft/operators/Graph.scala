@@ -883,6 +883,74 @@ object Graph {
     best
   }
 
+  /** Time-respecting earliest-arrival reachability: over temporal edges
+    * (src, dst, t), a path is valid only if its edge times STRICTLY
+    * increase, and each reached node gets the minimum arrival time over
+    * valid paths of at most `maxRounds` edges from any seed — the
+    * "taint/exposure propagation" query class (who could information or
+    * funds have reached, and when) that plain BFS gets wrong because it
+    * happily walks backwards in time. (Reference analog: transaction
+    * tracing over the TigerGraph projection,
+    * dataengineering/tigergraph/v1/queries.py.)
+    *
+    * Same delta-frontier Bellman-Ford shape as [[ssspDistances]] — a
+    * node can RE-improve in a later round, and an improved (earlier)
+    * arrival can newly open edges whose t lies between the old and new
+    * arrival, so relaxation must re-run from every improved node: the
+    * frontier is exactly those. Per-round cost: one edges⋈frontier join
+    * (broadcast when the node state fits the resolved limit) with the
+    * `t > arrival` relaxation filter map-side, one (dst, min t) agg, one
+    * frontier-vs-best compare, one zero-shuffle best REPLACE rewrite.
+    *
+    * @param edges (src, dst, t); parallel edges fold via the min agg
+    * @param seeds one `id` column; seeds get arrival -1 (before every
+    *              edge time — times must be >= 0)
+    * @return (id, arr): minimum arrival time over time-respecting paths
+    *         of ≤ `maxRounds` edges; seeds carry arr = -1 */
+  def temporalEarliestArrival(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int,
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
+    require(maxRounds >= 0, "maxRounds must be >= 0")
+    val spark = edges.sparkSession
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
+    val edgeUpper = GraphTuning.rowUpperBound(edges)
+    val (nodeEst, nodeSrc) = edgeUpper match {
+      case Some((u, s)) if u <= limit => (u, s)
+      case _ => (edges.agg(approx_count_distinct(col("dst")).as("n"))
+        .first().getLong(0), "hll")
+    }
+    val d = GraphTuning.decide(spark, "temporalEarliestArrival", nodeEst,
+      nodeSrc, edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
+      requestedLimit = broadcastNodeLimit)
+    val small = d.broadcast
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("t").cast("long")).repartition(col("dst")).cache()
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    var best = seeds.select(col("id").cast("long"), lit(-1L).as("arr"))
+      .distinct().localCheckpoint(true)
+    var frontier = best
+    var round = 0
+    while (round < maxRounds && !frontier.isEmpty) {
+      round += 1
+      val cand = ew
+        .join(maybeB(frontier.select(col("id").as("src"),
+          col("arr").as("fa"))), Seq("src"))
+        .filter(col("t") > col("fa"))
+        .groupBy(col("dst").as("id")).agg(min(col("t")).as("cand"))
+      frontier = cand
+        .join(maybeB(best.withColumnRenamed("arr", "old")), Seq("id"), "left")
+        .filter(col("old").isNull || col("cand") < col("old"))
+        .select(col("id"), col("cand").as("arr"))
+        .localCheckpoint(true)
+      if (!frontier.isEmpty)
+        best = best.join(maybeB(frontier.select("id")), Seq("id"), "left_anti")
+          .unionByName(frontier)
+          .localCheckpoint(true)
+    }
+    ew.unpersist(blocking = false)
+    best
+  }
+
   /** One co-bucketed SSSP relaxation round (exposed for plan
     * inspection): the edges⋈frontier join is bucket-to-bucket
     * [0 Exchange]; the round's 1 Exchange is the repartition onto the

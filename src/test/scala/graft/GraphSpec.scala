@@ -710,4 +710,29 @@ class GraphSpec extends SparkSpec {
       Graph.multiSourceBfs(e, (0L to 64L).toDF("id"), maxHops = 1)
     }
   }
+
+  test("temporalEarliestArrival: strict time order, re-improvement opens edges") {
+    // 1→2@10, 1→4@3, 4→2@4, 2→3@5 and 2→5@7 (usable only AFTER arr(2)
+    // improves 10 → 4), 2→3@20 (usable immediately via 2@10)
+    val e = Seq(
+      (1L, 2L, 10L), (1L, 4L, 3L), (4L, 2L, 4L),
+      (2L, 3L, 5L), (2L, 3L, 20L), (2L, 5L, 7L))
+      .toDF("src", "dst", "t")
+    val seeds = Seq(1L).toDF("id")
+    def run(r: Int) = Graph.temporalEarliestArrival(e, seeds, maxRounds = r)
+      .as[(Long, Long)].collect().toMap
+    val r1 = run(1)
+    assert(r1 == Map(1L -> -1L, 2L -> 10L, 4L -> 3L))
+    val r2 = run(2)
+    // 4@3 relaxes 2 down to 4; 2@10 opens 3@20 but NOT 5@7 (7 < 10)
+    assert(r2 == Map(1L -> -1L, 2L -> 4L, 4L -> 3L, 3L -> 20L))
+    val r3 = run(3)
+    // round 3: the improved 2@4 re-relaxes, opening 5@7 and 3@5 (< 20)
+    assert(r3 == Map(1L -> -1L, 2L -> 4L, 4L -> 3L, 3L -> 5L, 5L -> 7L))
+    // shuffle regime and partitioning agree
+    val sh = Graph.temporalEarliestArrival(e.repartition(13), seeds,
+      maxRounds = 3, broadcastNodeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(sh == r3)
+  }
 }
