@@ -2420,12 +2420,48 @@ object SparkEntry {
         .select((col("user_id") * 2).as("id")).distinct()
       Graph.temporalEarliestArrival(edges, seeds, maxRounds = 3)
         .orderBy("id")
-    })
+    }),
+
+    // BM25 lexical retrieval in exact integer ppm (rational plus-one
+    // odds-ratio IDF — see Corpus.bm25Scores): one corpus scan, tf via
+    // scan-stage filter() expressions, 1-row broadcast stats join; the
+    // only exchange is the single-row stats agg.
+    "q168_bm25" -> ((s, dir) =>
+      Corpus.bm25Scores(Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "merge", "window"))
+        .orderBy("doc_id"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // BM25 integer-ppm arithmetic replayed term by term (k1=1.2, b=0.75
+    // in milli units; every division is integer floor).
+    "q168_bm25" -> {
+      val terms = Seq("spark", "merge", "window")
+      val tf = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(t0, x -> x = '$t')) AS tf$i" }.mkString(",\n|  ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val contrib = terms.indices.map(i =>
+        s"""CASE WHEN tf$i > 0 THEN
+           |   (((1000000 * (n - df$i + 1)) // (df$i + 1)) *
+           |    ((tf$i * 2200 * 1000000000) //
+           |     (tf$i * 1000000 + 1200 * nm))) // 1000000
+           | ELSE 0 END""".stripMargin).mkString(" +\n|")
+      s"""WITH tk AS (SELECT doc_id,
+         |  string_split_regex(lower(trim(text)), '\\s+') AS t0 FROM documents),
+         |d AS (SELECT doc_id, CAST(len(t0) AS BIGINT) AS len,
+         |  $tf
+         | FROM tk),
+         |st AS (SELECT count(*) AS n, sum(len) // count(*) AS avglen,
+         |  $dfs FROM d),
+         |sc AS (SELECT doc_id, len, tf0, tf1, tf2, n, df0, df1, df2,
+         |  250 + (750 * len) // avglen AS nm FROM d, st)
+         |SELECT doc_id, CAST($contrib AS BIGINT) AS score_ppm
+         |FROM sc WHERE tf0 + tf1 + tf2 > 0 ORDER BY doc_id""".stripMargin
+    },
+
     // Temporal earliest arrival replayed as three unrolled full-table
     // relaxation rounds (the delta frontier is an optimization, not a
     // semantics change — non-improved nodes re-contribute identical

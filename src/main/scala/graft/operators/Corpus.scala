@@ -501,4 +501,55 @@ object Corpus {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  /** BM25 relevance scores for a FIXED query-term set, in exact integer
+    * parts-per-million — the lexical-retrieval ranking half of a hybrid
+    * (BM25 + embedding) retrieval pipeline. Classic Okapi shape with a
+    * rational IDF (plus-one odds ratio `(N − df + 1)/(df + 1)` instead
+    * of its log — keeps every step in 64-bit integer arithmetic, so the
+    * ranking is bit-reproducible cross-engine; the log is monotone in
+    * the odds ratio, so top-k ORDER is the classic one for any single
+    * term and the blend differs only in how multi-term scores mix).
+    *
+    * Scale shape: per-term tf columns are scan-stage `filter(toks, …)`
+    * expressions (the query is a handful of literals — NO explode, NO
+    * token shuffle); corpus stats (N, integer avg length, per-term df)
+    * are ONE single-row aggregate broadcast back over the scan. Total
+    * exchanges: the 1-row stats agg. A 100 TB corpus is scored in one
+    * pass.
+    *
+    * @param queryTerms lowercase alphanumeric tokens (literal-injected)
+    * @return (idCol, score_ppm) for docs containing ≥ 1 query term */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1Milli: Long = 1200L,
+      bMilli: Long = 750L): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.forall(_.matches("[a-z0-9]+")),
+      "query terms must be lowercase alphanumeric tokens")
+    require(k1Milli >= 0 && bMilli >= 0 && bMilli <= 1000,
+      "k1Milli >= 0 and bMilli in [0, 1000]")
+    val idx = queryTerms.indices
+    val d = docs.select(col(idCol),
+        TextFunctions.tokens(lower(trim(col(textCol)))).as("toks"))
+      .select(Seq(col(idCol), size(col("toks")).cast("long").as("len")) ++
+        idx.map(i => expr(
+          s"CAST(size(filter(toks, x -> x = '${queryTerms(i)}')) AS BIGINT)")
+          .as(s"tf$i")): _*)
+    val aggs = Seq(count(lit(1)).as("n"),
+      expr("sum(len) div count(1)").as("avglen")) ++
+      idx.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val st = d.agg(aggs.head, aggs.tail: _*)
+    val scored = d.join(broadcast(st))
+      .withColumn("nm",
+        lit(1000L - bMilli) + expr(s"($bMilli * len) div avglen"))
+    val score = idx.map { i =>
+      expr(s"""CASE WHEN tf$i > 0 THEN
+        |(((1000000 * (n - df$i + 1)) div (df$i + 1)) *
+        | ((tf$i * ${k1Milli + 1000L} * CAST(1000000000 AS BIGINT)) div
+        |  (tf$i * 1000000 + $k1Milli * nm))) div 1000000
+        |ELSE CAST(0 AS BIGINT) END""".stripMargin.replace('\n', ' '))
+    }.reduce(_ + _)
+    scored
+      .filter(idx.map(i => col(s"tf$i")).reduce(_ + _) > 0)
+      .select(col(idCol), score.cast("long").as("score_ppm"))
+  }
 }

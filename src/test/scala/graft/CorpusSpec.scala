@@ -337,4 +337,28 @@ class CorpusSpec extends SparkSpec {
     got.foreach { case (a, b, s) =>
       assert((fpSets(a).intersect(fpSets(b)).intersect(dfAll)).size == s) }
   }
+
+  test("bm25Scores: hand-computed integer ppm, absent when no term hits") {
+    val docs = Seq(
+      (1L, "spark merge spark"), (2L, "merge table"), (3L, "table row"))
+      .toDF("doc_id", "text")
+    // n=3, avglen = 7 div 3 = 2; df(spark)=1, df(merge)=2
+    // idf(spark) = 1000000*3 div 2 = 1500000; idf(merge) = 2000000 div 3
+    // nm(doc1) = 250 + 2250 div 2 = 1375; nm(doc2) = 250 + 750 = 1000
+    // doc1 spark: tf=2 -> (2*2200e9) div (2e6 + 1200*1375) = 1205479
+    //      merge: tf=1 -> 2200e9 div (1e6 + 1650000) = 830188
+    //      score = (1500000*1205479) div 1e6 + (666666*830188) div 1e6
+    // doc2 merge: tf=1 -> 2200e9 div 2200000 = 1000000 -> 666666
+    val got = Corpus.bm25Scores(docs, "doc_id", "text",
+      Seq("spark", "merge")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> (1808218L + 553458L), 2L -> 666666L))
+    // partitioning-independent
+    val rep = Corpus.bm25Scores(docs.repartition(5), "doc_id", "text",
+      Seq("spark", "merge")).as[(Long, Long)].collect().toMap
+    assert(rep == got)
+    // injection guard
+    intercept[IllegalArgumentException] {
+      Corpus.bm25Scores(docs, "doc_id", "text", Seq("a'b"))
+    }
+  }
 }
