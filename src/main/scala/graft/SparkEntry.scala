@@ -2429,12 +2429,92 @@ object SparkEntry {
     "q168_bm25" -> ((s, dir) =>
       Corpus.bm25Scores(Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "merge", "window"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // ranking (q168) and the bigram-LM fluency ranking (q161), top-100
+    // each. Both candidate lists reduce via TakeOrdered top-k — the
+    // fusion join touches <= 200 rows regardless of corpus size.
+    "q169_rrf_fusion" -> ((s, dir) => {
+      val lex = Corpus.bm25Scores(Tables.documents(s, dir), "doc_id",
+          "text", Seq("spark", "merge", "window"))
+        .select(col("doc_id").as("id"), col("score_ppm").as("score"))
+      val lm = Corpus.bigramLmScore(Tables.documents(s, dir), "doc_id",
+          "text")
+        .select(col("doc_id").as("id"), col("lm_ppm").as("score"))
+      Corpus.rrfFuse(Seq(lex, lm), kRrf = 60L, topK = 100)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // RRF over the q168 BM25 ranking and the q161 LM ranking: both CTE
+    // pipelines inlined, row_number with id tie-break, top-100 cut,
+    // 1e6/(60+rank) integer contributions.
+    "q169_rrf_fusion" ->
+      """WITH tk AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t0 FROM documents),
+        |d AS (SELECT doc_id, CAST(len(t0) AS BIGINT) AS len,
+        |  len(list_filter(t0, x -> x = 'spark')) AS tf0,
+        |  len(list_filter(t0, x -> x = 'merge')) AS tf1,
+        |  len(list_filter(t0, x -> x = 'window')) AS tf2
+        | FROM tk),
+        |st AS (SELECT count(*) AS n, sum(len) // count(*) AS avglen,
+        |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM d),
+        |sc AS (SELECT doc_id, len, tf0, tf1, tf2, n, df0, df1, df2,
+        |  250 + (750 * len) // avglen AS nm FROM d, st),
+        |bm AS (SELECT doc_id,
+        |  CASE WHEN tf0 > 0 THEN
+        |   (((1000000 * (n - df0 + 1)) // (df0 + 1)) *
+        |    ((tf0 * 2200 * 1000000000) //
+        |     (tf0 * 1000000 + 1200 * nm))) // 1000000 ELSE 0 END +
+        |  CASE WHEN tf1 > 0 THEN
+        |   (((1000000 * (n - df1 + 1)) // (df1 + 1)) *
+        |    ((tf1 * 2200 * 1000000000) //
+        |     (tf1 * 1000000 + 1200 * nm))) // 1000000 ELSE 0 END +
+        |  CASE WHEN tf2 > 0 THEN
+        |   (((1000000 * (n - df2 + 1)) // (df2 + 1)) *
+        |    ((tf2 * 2200 * 1000000000) //
+        |     (tf2 * 1000000 + 1200 * nm))) // 1000000 ELSE 0 END
+        |  AS score_ppm
+        | FROM sc WHERE tf0 + tf1 + tf2 > 0),
+        |t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS k FROM bi GROUP BY 1, 2, 3),
+        |bc AS (SELECT w1, w2, sum(k) AS c_xy FROM db GROUP BY 1, 2),
+        |pc AS (SELECT w1, sum(c_xy) AS c_x FROM bc GROUP BY 1),
+        |v AS (SELECT count(DISTINCT u.w) AS v
+        |      FROM t, UNNEST(toks) AS u(w) WHERE u.w <> ''),
+        |s AS (
+        |  SELECT db.doc_id, db.k,
+        |    (1000000 * (bc.c_xy + 1)) // (pc.c_x + v.v) AS ppm
+        |  FROM db JOIN bc USING (w1, w2) JOIN pc USING (w1), v),
+        |lm AS (SELECT doc_id, sum(k * ppm) // sum(k) AS lm_ppm
+        |  FROM s GROUP BY doc_id),
+        |ra AS (SELECT doc_id AS id, row_number()
+        |    OVER (ORDER BY score_ppm DESC, doc_id) AS rank0
+        |  FROM bm QUALIFY rank0 <= 100),
+        |rb AS (SELECT doc_id AS id, row_number()
+        |    OVER (ORDER BY lm_ppm DESC, doc_id) AS rank1
+        |  FROM lm QUALIFY rank1 <= 100)
+        |SELECT COALESCE(ra.id, rb.id) AS doc_id,
+        |  CAST(COALESCE(rank0, 0) AS BIGINT) AS rank0,
+        |  CAST(COALESCE(rank1, 0) AS BIGINT) AS rank1,
+        |  CAST(COALESCE(1000000 // (60 + rank0), 0)
+        |     + COALESCE(1000000 // (60 + rank1), 0) AS BIGINT) AS rrf_ppm
+        |FROM ra FULL OUTER JOIN rb ON ra.id = rb.id
+        |ORDER BY doc_id""".stripMargin,
+
     // BM25 integer-ppm arithmetic replayed term by term (k1=1.2, b=0.75
     // in milli units; every division is integer floor).
     "q168_bm25" -> {

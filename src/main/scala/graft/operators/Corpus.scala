@@ -552,4 +552,40 @@ object Corpus {
       .filter(idx.map(i => col(s"tf$i")).reduce(_ + _) > 0)
       .select(col(idCol), score.cast("long").as("score_ppm"))
   }
+
+  /** Reciprocal-rank fusion of retrieval rankings — the standard hybrid
+    * (lexical + semantic) list merge: each ranking contributes
+    * `1e6 / (kRrf + rank)` ppm for its top-`topK` items, absent items
+    * contribute 0. Ties break by id ascending, so ranks (and the
+    * `topK` cut) are total-ordered and bit-reproducible.
+    *
+    * Scale shape: each ranking reduces through `ORDER BY … LIMIT topK`
+    * — Spark plans TakeOrderedAndProject (per-partition top-k heaps +
+    * one driver merge of P·topK rows), never a global sort; the
+    * row_number window then runs on ≤ topK rows. The fusion join is
+    * topK-row-sized. Fusing corpus-scale rankings whole is never the
+    * workload — retrieval fuses candidate LISTS.
+    *
+    * @param rankings frames with columns (id, score), higher = better
+    * @return (id, rank0…rankN-1, rrf_ppm); absent ranks are 0 */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Long = 60L,
+      topK: Int = 100): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(topK >= 1 && kRrf >= 1, "topK and kRrf must be >= 1")
+    val ranked = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("id"), col("score"))
+        .orderBy(col("score").desc, col("id")).limit(topK)
+        .select(col("id"), row_number().over(
+          Window.orderBy(col("score").desc, col("id"))).as(s"rank$i"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val idxs = rankings.indices
+    val rrf = idxs.map(i =>
+      coalesce(expr(s"1000000 div ($kRrf + rank$i)"), lit(0L)))
+      .reduce(_ + _)
+    joined.select(Seq(col("id")) ++
+      idxs.map(i =>
+        coalesce(col(s"rank$i"), lit(0)).cast("long").as(s"rank$i")) :+
+      rrf.cast("long").as("rrf_ppm"): _*)
+  }
 }

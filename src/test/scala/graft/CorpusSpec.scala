@@ -361,4 +361,24 @@ class CorpusSpec extends SparkSpec {
       Corpus.bm25Scores(docs, "doc_id", "text", Seq("a'b"))
     }
   }
+
+  test("rrfFuse: rank arithmetic, topK cut, absent-list zeros") {
+    val a = Seq((1L, 90L), (2L, 80L), (3L, 70L), (4L, 60L))
+      .toDF("id", "score")
+    val b = Seq((3L, 99L), (1L, 50L), (5L, 10L)).toDF("id", "score")
+    val got = Corpus.rrfFuse(Seq(a, b), kRrf = 60L, topK = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // a ranks: 1->1, 2->2, 3->3 (4 cut by topK); b: 3->1, 1->2, 5->3
+    assert(got(1L) == ((1L, 2L, 1000000L / 61 + 1000000L / 62)))
+    assert(got(2L) == ((2L, 0L, 1000000L / 62)))
+    assert(got(3L) == ((3L, 1L, 1000000L / 63 + 1000000L / 61)))
+    assert(got(5L) == ((0L, 3L, 1000000L / 63)))
+    assert(!got.contains(4L))
+    // score ties break by id ascending
+    val t = Seq((7L, 5L), (6L, 5L)).toDF("id", "score")
+    val ranks = Corpus.rrfFuse(Seq(t), topK = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(ranks == Map(6L -> 1L, 7L -> 2L))
+  }
 }
