@@ -2445,12 +2445,61 @@ object SparkEntry {
       Corpus.rrfFuse(Seq(lex, lm), kRrf = 60L, topK = 100)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
-    })
+    }),
+
+    // Local clustering coefficient over q111's co-occurrence graph:
+    // exact integer-ppm neighborhood-clique density per node (the
+    // oriented triangle core plus one node-sized degree agg).
+    "q170_clustering_coeff" -> ((s, dir) =>
+      Graph.clusteringCoefficient(
+        Graph.coOccurrenceEdges(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p", maxGroupSize = 8))
+        .orderBy("id"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // q111's triangle pipeline extended with the degree join and the
+    // integer-ppm clique-density formula.
+    "q170_clustering_coeff" ->
+      """WITH os0 AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |os AS (
+        |  SELECT o, p FROM (
+        |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+        |  WHERE ns <= 8),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+        |  GROUP BY id),
+        |og AS (
+        |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.a ELSE e0.b END AS u,
+        |         CASE WHEN da.d < db.d OR (da.d = db.d AND e0.a < e0.b)
+        |              THEN e0.b ELSE e0.a END AS v
+        |  FROM e0 JOIN deg da ON da.id = e0.a JOIN deg db ON db.id = e0.b),
+        |tri AS (
+        |  SELECT o1.u, o1.v, o2.v AS w
+        |  FROM og o1 JOIN og o2 ON o1.u = o2.u AND o1.v < o2.v
+        |  JOIN e0 ON e0.a = o1.v AND e0.b = o2.v),
+        |t AS (
+        |  SELECT id, count(*) AS n FROM (
+        |    SELECT u AS id FROM tri UNION ALL SELECT v AS id FROM tri
+        |    UNION ALL SELECT w AS id FROM tri)
+        |  GROUP BY id)
+        |SELECT deg.id AS id, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(COALESCE(t.n, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN deg.d >= 2 THEN
+        |    (2000000 * COALESCE(t.n, 0)) // (deg.d * (deg.d - 1))
+        |    ELSE 0 END AS BIGINT) AS cc_ppm
+        |FROM deg LEFT JOIN t ON t.id = deg.id ORDER BY id""".stripMargin,
+
     // RRF over the q168 BM25 ranking and the q161 LM ranking: both CTE
     // pipelines inlined, row_number with id tie-break, top-100 cut,
     // 1e6/(60+rank) integer contributions.

@@ -1563,6 +1563,39 @@ object Graph {
     out
   }
 
+  /** Local clustering coefficient per node, in exact integer ppm:
+    * `1e6 · 2·tri(v) / (deg(v)·(deg(v)−1))` over the canonical
+    * undirected simple graph (deg < 2 nodes get 0) — how close each
+    * node's neighborhood is to a clique, the standard community-ness
+    * node feature next to [[triangleCounts]].
+    *
+    * Scale shape: [[triangleCounts]]'s oriented O(m^1.5) enumeration
+    * does all the heavy lifting; degrees are one map-side endpoint
+    * explode + node-sized agg on the SAME canonical edge cache, and the
+    * final join is node-sized. Integer floor division keeps the output
+    * bit-reproducible cross-engine.
+    *
+    * @return (id, degree, triangles, cc_ppm) for every node */
+  def clusteringCoefficient(edges: DataFrame,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
+      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
+    val tri = triangleCounts(edges, broadcastNodeLimit, broadcastEdgeLimit)
+    val canon = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon
+      .select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(tri, Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          expr("(2000000 * coalesce(triangles, 0)) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("cc_ppm"))
+  }
+
   /** Per-edge triangle support — the k-truss kernel: an edge survives
     * a k-truss iff its support (triangles containing it) stays
     * ≥ k − 2 under peeling; this one-pass support table is both the

@@ -711,6 +711,20 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("clusteringCoefficient: K4 plus pendant — closed form") {
+    // K4 on {1,2,3,4} plus pendant 4-5
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(e)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 1,2,3: deg 3, tri 3 -> 2e6*3/(3*2) = 1000000 (their nbhd is a clique)
+    Seq(1L, 2L, 3L).foreach(i => assert(got(i) == ((3L, 3L, 1000000L))))
+    // 4: deg 4, tri 3 -> 6e6/12 = 500000; 5: deg 1 -> 0
+    assert(got(4L) == ((4L, 3L, 500000L)))
+    assert(got(5L) == ((1L, 0L, 0L)))
+  }
+
   test("temporalEarliestArrival: strict time order, re-improvement opens edges") {
     // 1→2@10, 1→4@3, 4→2@4, 2→3@5 and 2→5@7 (usable only AFTER arr(2)
     // improves 10 → 4), 2→3@20 (usable immediately via 2@10)
