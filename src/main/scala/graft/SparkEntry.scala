@@ -2456,12 +2456,49 @@ object SparkEntry {
           Tables.lineitem(s, dir)
             .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
           "o", "p", maxGroupSize = 8))
-        .orderBy("id"))
+        .orderBy("id")),
+
+    // Dominant principal direction of the embedding Gram matrix:
+    // two fixed-point power-iteration rounds, every half-matvec
+    // re-normalized to max-abs = 1e6 with truncating integer division
+    // (identical in Spark div and DuckDB //) — bit-exact spectral
+    // analytics, d-row state, corpus never leaves the two matvec aggs.
+    "q171_power_iteration" -> ((s, dir) =>
+      Spectral.dominantDirection(Tables.embeddings(s, dir),
+        "vec_id", "embedding", rounds = 2)
+        .select(col("pos").cast("long").as("pos"), col("v"))
+        .orderBy("pos"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // Two unrolled power-iteration rounds; // and div both truncate
+    // toward zero on integers (measured), so the normalization steps
+    // replay exactly.
+    "q171_power_iteration" -> {
+      val rounds = (1 to 2).map { k =>
+        s"""u$k AS (SELECT vid, sum(qx * v) AS u
+           |  FROM q JOIN v${k - 1} USING (pos) GROUP BY vid),
+           |mu$k AS (SELECT max(abs(u)) AS m FROM u$k),
+           |un$k AS (SELECT vid, (u * 1000000) // m AS un FROM u$k, mu$k),
+           |w$k AS (SELECT pos, sum(qx * un) AS w
+           |  FROM q JOIN un$k USING (vid) GROUP BY pos),
+           |mw$k AS (SELECT max(abs(w)) AS m FROM w$k),
+           |v$k AS (SELECT pos, (w * 1000000) // m AS v FROM w$k, mw$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id AS vid,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+         |      AS BIGINT) AS qx
+         |  FROM embeddings),
+         |v0 AS (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM q),
+         |$rounds
+         |SELECT pos, CAST(v AS BIGINT) AS v FROM v2 ORDER BY pos""".stripMargin
+    },
+
     // q111's triangle pipeline extended with the degree join and the
     // integer-ppm clique-density formula.
     "q170_clustering_coeff" ->

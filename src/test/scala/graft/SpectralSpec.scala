@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Spectral
+
+class SpectralSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dominantDirection: single-vector fixed point, exact integers") {
+    // A = [(0.3, 0.4)]: the dominant direction IS the vector; max-abs
+    // normalization lands on (750000, 1000000) and stays there.
+    val e = Seq((1L, Array(0.3f, 0.4f))).toDF("vec_id", "embedding")
+    val v1 = Spectral.dominantDirection(e, "vec_id", "embedding", rounds = 1)
+      .as[(Int, Long)].collect().toMap
+    assert(v1 == Map(0 -> 750000L, 1 -> 1000000L))
+    val v3 = Spectral.dominantDirection(e, "vec_id", "embedding", rounds = 3)
+      .as[(Int, Long)].collect().toMap
+    assert(v3 == v1)
+  }
+
+  test("dominantDirection: axis-aligned cloud finds the axis, partition-independent") {
+    // strong x-axis spread, weak y noise: leading direction ~ x-axis
+    val rows = Seq(
+      (1L, Array(1.0f, 0.05f)), (2L, Array(-0.9f, 0.04f)),
+      (3L, Array(0.8f, -0.06f)), (4L, Array(-1.0f, -0.03f)),
+      (5L, Array(0.95f, 0.02f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val v = Spectral.dominantDirection(e, "vec_id", "embedding", rounds = 3)
+      .as[(Int, Long)].collect().toMap
+    assert(math.abs(v(0)) == 1000000L)
+    assert(math.abs(v(1)) < 150000L)
+    val rep = Spectral.dominantDirection(e.repartition(7), "vec_id",
+      "embedding", rounds = 3).as[(Int, Long)].collect().toMap
+    assert(rep == v)
+  }
+}
