@@ -2467,12 +2467,68 @@ object SparkEntry {
       Spectral.dominantDirection(Tables.embeddings(s, dir),
         "vec_id", "embedding", rounds = 2)
         .select(col("pos").cast("long").as("pos"), col("v"))
-        .orderBy("pos"))
+        .orderBy("pos")),
+
+    // Embedding drift monitor: per-label mean projection onto the
+    // 2-round dominant direction — when a class's mass moves along the
+    // corpus's leading axis, this number moves first.
+    "q172_label_drift" -> ((s, dir) =>
+      Spectral.labelProjections(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", rounds = 2)
+        .orderBy("label")),
+
+    // Vocabulary-free featurization: signed feature hashing into 64
+    // bins (portable md5 bin + sign), the linear-probe input that needs
+    // no vocab table and no OOV handling.
+    "q173_feature_hash" -> ((s, dir) =>
+      Corpus.hashedBagOfWords(Tables.documents(s, dir), "doc_id", "text",
+        bins = 64)
+        .orderBy("doc_id", "bin"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // Signed feature hashing: md5-31 bin, independent md5-nibble sign.
+    "q173_feature_hash" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents)
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 % 64 AS bin,
+        |  CAST(sum(1 - 2 * (('0x' || substr(md5(tok), 9, 1))::BIGINT % 2))
+        |    AS BIGINT) AS v
+        |FROM tk WHERE tok <> ''
+        |GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin,
+
+    // q171's unrolled iteration plus the projection and label agg.
+    "q172_label_drift" -> {
+      val rounds = (1 to 2).map { k =>
+        s"""u$k AS (SELECT vid, sum(qx * v) AS u
+           |  FROM q JOIN v${k - 1} USING (pos) GROUP BY vid),
+           |mu$k AS (SELECT max(abs(u)) AS m FROM u$k),
+           |un$k AS (SELECT vid, (u * 1000000) // m AS un FROM u$k, mu$k),
+           |w$k AS (SELECT pos, sum(qx * un) AS w
+           |  FROM q JOIN un$k USING (vid) GROUP BY pos),
+           |mw$k AS (SELECT max(abs(w)) AS m FROM w$k),
+           |v$k AS (SELECT pos, (w * 1000000) // m AS v FROM w$k, mw$k)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id AS vid, CAST(label AS BIGINT) AS label,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+         |      AS BIGINT) AS qx
+         |  FROM embeddings),
+         |v0 AS (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM q),
+         |$rounds,
+         |pr AS (SELECT vid, label, sum(qx * v) AS proj
+         |  FROM q JOIN v2 USING (pos) GROUP BY vid, label)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(proj) // count(*) AS BIGINT) AS mean_proj
+         |FROM pr GROUP BY label ORDER BY label""".stripMargin
+    },
+
     // Two unrolled power-iteration rounds; // and div both truncate
     // toward zero on integers (measured), so the normalization steps
     // replay exactly.

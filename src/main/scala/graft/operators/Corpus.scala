@@ -588,4 +588,31 @@ object Corpus {
         coalesce(col(s"rank$i"), lit(0)).cast("long").as(s"rank$i")) :+
       rrf.cast("long").as("rrf_ppm"): _*)
   }
+
+  /** Signed feature hashing (the hashing trick): each token lands in
+    * `md5_31(token) mod bins` with a ±1 sign from an independent md5
+    * nibble, giving every document a fixed-width sparse vector with
+    * unbiased collisions — the vocabulary-free featurizer for linear
+    * probes / classifiers at corpus scale (no vocab table, no OOV).
+    * Portable md5 family keeps bins and signs identical in DuckDB.
+    *
+    * Scale shape: token explode is scan-stage; the only exchange is the
+    * (doc, bin) partial+final agg, output ≤ bins rows per doc. No
+    * vocabulary state of any size exists anywhere.
+    *
+    * @return (idCol, bin, v) — signed collision-summed counts */
+  def hashedBagOfWords(docs: DataFrame, idCol: String, textCol: String,
+      bins: Int = 64): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    docs.select(col(idCol),
+        explode(TextFunctions.tokens(lower(trim(col(textCol))))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(idCol),
+        expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)" +
+          s" % 2147483647 % $bins").as("bin"),
+        (lit(1L) - lit(2L) *
+          expr("CAST(conv(substring(md5(tok), 9, 1), 16, 10) AS BIGINT) % 2"))
+          .as("sgn"))
+      .groupBy(col(idCol), col("bin")).agg(sum(col("sgn")).as("v"))
+  }
 }

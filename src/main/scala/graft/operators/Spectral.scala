@@ -66,4 +66,31 @@ object Spectral {
     q.unpersist(blocking = false)
     v
   }
+
+  /** Per-label mean projection onto the [[dominantDirection]] — the
+    * embedding-drift monitor: when a label's (class's, source's,
+    * epoch's) mass shifts along the corpus's leading direction, its
+    * mean projection moves. Same integer fixed-point discipline; the
+    * projection is one broadcast join of the d-row direction into the
+    * scan + a label-keyed agg, so the corpus is read once past the
+    * iteration itself.
+    *
+    * @return (label, n, mean_proj) — mean in qx·v units, floor div */
+  def labelProjections(embeddings: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, rounds: Int,
+      quantScale: Long = 10000L, normScale: Long = 1000000L): DataFrame = {
+    val v = dominantDirection(embeddings, idCol, vecCol, rounds,
+      quantScale, normScale)
+    val proj = embeddings.select(col(idCol).as("vid"),
+        col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("vid"), col("label"), col("pos"),
+        floor(col("x").cast("double") * quantScale + 0.5).cast("long")
+          .as("qx"))
+      .join(broadcast(v), Seq("pos"))
+      .groupBy("vid", "label").agg(sum(col("qx") * col("v")).as("proj"))
+    proj.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(proj) div count(1)").as("mean_proj"))
+  }
 }

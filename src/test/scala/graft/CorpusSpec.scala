@@ -381,4 +381,24 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(ranks == Map(6L -> 1L, 7L -> 2L))
   }
+
+  test("hashedBagOfWords: signed sums match a driver-side md5 replay") {
+    val docs = Seq((1L, "a b a c"), (2L, "b b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.hashedBagOfWords(docs, "doc_id", "text", bins = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bin(t: String) =
+      java.lang.Long.parseLong(md5hex(t).take(8), 16) % 2147483647L % 8L
+    def sgn(t: String) =
+      1L - 2L * (java.lang.Long.parseLong(md5hex(t).substring(8, 9), 16) % 2L)
+    val want = Seq((1L, Seq("a", "b", "a", "c")), (2L, Seq("b", "b")))
+      .flatMap { case (id, ts) => ts.map(t => (id, bin(t), sgn(t))) }
+      .groupBy(p => (p._1, p._2))
+      .map { case ((id, b), xs) => (id, b, xs.map(_._3).sum) }.toSet
+    assert(got == want && got.nonEmpty)
+    // empty doc contributes nothing
+    assert(!got.exists(_._1 == 3L))
+  }
 }

@@ -32,4 +32,24 @@ class SpectralSpec extends SparkSpec {
       "embedding", rounds = 3).as[(Int, Long)].collect().toMap
     assert(rep == v)
   }
+
+  test("labelProjections: drifted label separates, exact integer means") {
+    // label 0 sits at +x, label 1 at -x; direction is the x axis, so
+    // the mean projections must straddle zero and mirror approximately
+    val rows = (1L to 6L).map { i =>
+      val s = if (i <= 3) 1.0f else -1.0f
+      (i, Array(s * (0.8f + 0.05f * i), 0.01f * i), if (i <= 3) 0 else 1)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = Spectral.labelProjections(e, "vec_id", "embedding", "label",
+      rounds = 2).as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L)._1 == 3L && got(1L)._1 == 3L)
+    assert(got(0L)._2 * got(1L)._2 < 0)   // opposite sides of the axis
+    val rep = Spectral.labelProjections(e.repartition(5), "vec_id",
+      "embedding", "label", rounds = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep == got)
+  }
 }
