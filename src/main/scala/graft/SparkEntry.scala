@@ -2483,12 +2483,78 @@ object SparkEntry {
     "q173_feature_hash" -> ((s, dir) =>
       Corpus.hashedBagOfWords(Tables.documents(s, dir), "doc_id", "text",
         bins = 64)
-        .orderBy("doc_id", "bin"))
+        .orderBy("doc_id", "bin")),
+
+    // Seasonal anomaly surface: per-(dow, hour) integer cent baseline
+    // (pure epoch arithmetic — engine date functions disagree on week
+    // start, `(days + 4) % 7` doesn't), top-100 residuals via
+    // TakeOrdered. Baseline is 168 rows, broadcast back over the scan.
+    "q174_seasonal" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"),
+          expr("((ts_ns div 1000) div 86400000000 + 4) % 7").as("dow"),
+          expr("((ts_ns div 1000) div 3600000000) % 24").as("hr"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val base = ev.groupBy("dow", "hr")
+        .agg(expr("sum(c) div count(1)").as("base_c"))
+      ev.join(broadcast(base), Seq("dow", "hr"))
+        .select(col("event_id"), col("dow"), col("hr"), col("c"),
+          (col("c") - col("base_c")).as("resid_c"))
+        .orderBy(abs(col("resid_c")).desc, col("event_id")).limit(100)
+        .orderBy("event_id")
+    }),
+
+    // Behavioral Markov chain: per-user event-type transition counts
+    // and integer-ppm probabilities. The lag window sorts on MICROS
+    // (ts_ns div 1000) — the oracle's timestamps are micro-truncated,
+    // so nano-resolution sorting would diverge on sub-µs ties.
+    "q175_markov" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(expr("ts_ns div 1000"), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("from_type").agg(sum("n").as("tot"))
+      tr.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("(n * 1000000) div tot").as("p_ppm"))
+        .orderBy("from_type", "to_type")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q175_markov" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS next_type FROM events),
+        |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n FROM x WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n) AS tot FROM tr GROUP BY 1)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST((n * 1000000) // tot AS BIGINT) AS p_ppm
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q174_seasonal" ->
+      """WITH ev AS (SELECT event_id,
+        |  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |b AS (SELECT dow, hr, sum(c) // count(*) AS base_c
+        |      FROM ev GROUP BY 1, 2),
+        |r AS (SELECT event_id, ev.dow, ev.hr, c, c - base_c AS resid_c
+        |      FROM ev JOIN b USING (dow, hr)
+        |      ORDER BY abs(c - base_c) DESC, event_id LIMIT 100)
+        |SELECT event_id, CAST(dow AS BIGINT) AS dow,
+        |  CAST(hr AS BIGINT) AS hr, c, CAST(resid_c AS BIGINT) AS resid_c
+        |FROM r ORDER BY event_id""".stripMargin,
+
     // Signed feature hashing: md5-31 bin, independent md5-nibble sign.
     "q173_feature_hash" ->
       """WITH tk AS (SELECT doc_id,
