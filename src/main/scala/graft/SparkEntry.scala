@@ -2523,12 +2523,86 @@ object SparkEntry {
         .select(col("from_type"), col("to_type"), col("n"),
           expr("(n * 1000000) div tot").as("p_ppm"))
         .orderBy("from_type", "to_type")
+    }),
+
+    // Training-data governance: k-anonymity / l-diversity audit over
+    // quasi-identifier classes (nation, segment, balance-thousand) with
+    // exact balance cents as the sensitive attribute. One grouped agg;
+    // the single count(DISTINCT) plans as a plain two-phase agg (no
+    // Expand — that trap needs multiple distincts).
+    "q176_k_anonymity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("CAST(round(c_acctbal) AS BIGINT) div 1000").as("bal_k"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      c.groupBy("nation", "segment", "bal_k")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("cents")).as("l_div"))
+        .select(col("nation"), col("segment"), col("bal_k"), col("n"),
+          col("l_div"),
+          (col("n") < 5).cast("int").as("k_risk"),
+          (col("l_div") < 2).cast("int").as("l_risk"))
+        .orderBy("nation", "segment", "bal_k")
+    }),
+
+    // Volume-weighted PageRank over the order↔part graph: mass splits
+    // by total line quantity instead of edge count (multi-edges folded
+    // first — per-row flooring is semantics, see weightedPageRank).
+    "q177_weighted_pagerank" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_orderkey") * 2).as("o"), (col("l_partkey") * 2 + 1).as("p"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+      val e = li.select(col("o").as("src"), col("p").as("dst"), col("q"))
+        .unionByName(
+          li.select(col("p").as("src"), col("o").as("dst"), col("q")))
+        .groupBy("src", "dst").agg(sum("q").as("w"))
+      Graph.weightedPageRank(e, iterations = 2).orderBy("id")
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // Two unrolled weight-proportional rank rounds, integer floor at
+    // every division exactly as the loop computes them.
+    "q177_weighted_pagerank" -> {
+      def round(k: Int, prev: String) =
+        s"""s$k AS (SELECT e.dst AS id,
+           |    sum(($prev * e.w) // wo.wout) AS s
+           |  FROM e JOIN wout wo ON wo.src = e.src
+           |  ${if (k == 1) "" else s"JOIN r${k - 1} r ON r.id = e.src"}
+           |  GROUP BY e.dst),
+           |r$k AS (SELECT n.id,
+           |    150000 + (850000 * COALESCE(s$k.s, 0)) // 1000000 AS rank
+           |  FROM n LEFT JOIN s$k ON s$k.id = n.id)""".stripMargin
+      s"""WITH li AS (SELECT l_orderkey * 2 AS o, l_partkey * 2 + 1 AS p,
+         |  CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem),
+         |e AS (SELECT src, dst, CAST(sum(q) AS BIGINT) AS w FROM (
+         |  SELECT o AS src, p AS dst, q FROM li
+         |  UNION ALL SELECT p, o, q FROM li) GROUP BY 1, 2),
+         |wout AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+         |n AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |${round(1, "1000000")},
+         |${round(2, "r.rank")}
+         |SELECT id, CAST(rank AS BIGINT) AS rank FROM r2
+         |ORDER BY id""".stripMargin
+    },
+
+    "q176_k_anonymity" ->
+      """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+        |  c_mktsegment AS segment,
+        |  CAST(round(c_acctbal) AS BIGINT) // 1000 AS bal_k,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        | FROM customer)
+        |SELECT nation, segment, bal_k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT cents) AS BIGINT) AS l_div,
+        |  CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS INT) AS k_risk,
+        |  CAST(CASE WHEN count(DISTINCT cents) < 2 THEN 1 ELSE 0 END AS INT)
+        |    AS l_risk
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q175_markov" ->
       """WITH x AS (SELECT user_id, event_id, event_type,
         |  lead(event_type) OVER (PARTITION BY user_id

@@ -174,6 +174,70 @@ object Graph {
     ranks
   }
 
+  /** Weight-proportional PageRank, same integer fixed point as
+    * [[pageRankFixedPoint]]: each edge carries
+    * `(rank_src · w) div wout_src` instead of `rank div deg`, so mass
+    * splits by edge weight — transaction-volume-weighted importance
+    * instead of plain link counting. Out-weight is attached in the same
+    * pass that materializes the working edge table (a sum window over
+    * src fused into the one edge shuffle), and the loop body in the
+    * broadcast regime is one broadcast join + one exchange-free agg per
+    * round on the dst-partitioned cache.
+    *
+    * Parallel edges: each ROW floors independently — pre-aggregate
+    * (src, dst) to fold multi-edges if combined-weight semantics are
+    * wanted (the q177 construction does). Overflow: |rank · w| must fit
+    * 64 bits — rank is O(scale · n) worst-case on a star, so keep
+    * scale · n · w_max under ~9e18 (defaults give ample room through
+    * billion-node graphs with bounded weights). No co-bucketed route —
+    * above the resolved limit the loop degrades to per-round shuffle
+    * joins; the [[pageRankCoBucketed]] layout argument ports verbatim
+    * when a measured threshold justifies it.
+    *
+    * @param edges (src, dst, w) with w > 0
+    * @return (id, rank) in `scale`-ths */
+  def weightedPageRank(edges: DataFrame, iterations: Int,
+      scale: Long = 1000000L, dampingScaled: Long = 850000L,
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val spark = edges.sparkSession
+    val ew = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .withColumn("wout", sum(col("w")).over(Window.partitionBy("src")))
+      .repartition(col("dst")).cache()
+    val nodes = ew.select(col("src").as("id"))
+      .unionByName(ew.select(col("dst").as("id"))).distinct().cache()
+    val small = GraphTuning.decide(spark, "weightedPageRank",
+      nodes.count(), "exact-count", edgeEstimate = -1L,
+      requestedLimit = broadcastNodeLimit).broadcast
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val base = scale - dampingScaled
+    def damped(sums: DataFrame): DataFrame =
+      nodes.join(maybeB(sums), Seq("id"), "left")
+        .select(col("id"), (lit(base) +
+          expr(s"($dampingScaled * coalesce(s, CAST(0 AS BIGINT))) div $scale"))
+          .as("rank"))
+        .localCheckpoint(true)
+    var ranks =
+      if (iterations <= 0)
+        nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+      else damped(ew.select(col("dst").as("id"),
+          expr(s"($scale * w) div wout").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s")))
+    var it = 1
+    while (it < iterations) {
+      it += 1
+      ranks = damped(ew
+        .join(maybeB(ranks.withColumnRenamed("id", "src")), Seq("src"))
+        .select(col("dst").as("id"), expr("(rank * w) div wout").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s")))
+    }
+    nodes.unpersist(blocking = false)
+    ew.unpersist(blocking = false)
+    ranks
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge set,
     * UNNORMALIZED integer fixed point: aₖ(v) = Σ_{(u,v)∈E} hₖ₋₁(u),
     * hₖ(u) = Σ_{(u,v)∈E} aₖ(v), h₀ ≡ 1. Dropping the per-round L2

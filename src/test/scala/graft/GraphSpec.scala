@@ -711,6 +711,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("weightedPageRank: hand-computed two rounds, regimes agree") {
+    // 1→2 (w3), 1→3 (w1), 2→1 (w1): wout(1)=4, wout(2)=1
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.weightedPageRank(e, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 1000000L, 2L -> 787500L, 3L -> 362500L))
+    val r2 = Graph.weightedPageRank(e, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 819375L, 2L -> 787500L, 3L -> 362500L))
+    val sh = Graph.weightedPageRank(e.repartition(9), iterations = 2,
+      broadcastNodeLimit = 0L).as[(Long, Long)].collect().toMap
+    assert(sh == r2)
+  }
+
   test("clusteringCoefficient: K4 plus pendant — closed form") {
     // K4 on {1,2,3,4} plus pendant 4-5
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
