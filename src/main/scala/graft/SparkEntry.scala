@@ -2558,12 +2558,77 @@ object SparkEntry {
           li.select(col("p").as("src"), col("o").as("dst"), col("q")))
         .groupBy("src", "dst").agg(sum("q").as("w"))
       Graph.weightedPageRank(e, iterations = 2).orderBy("id")
+    }),
+
+    // Bipartite cohesion: per-part butterfly (4-cycle) counts over the
+    // order↔part incidence — bipartite graphs have no triangles, the
+    // butterfly is their clustering primitive. Hub-capped like q111.
+    "q178_butterflies" -> ((s, dir) =>
+      Graph.butterflyCounts(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8)
+        .orderBy("id")),
+
+    // Categorical data profiling with exact integer Gini impurity:
+    // unpivot -> (key, value) counts -> per-key rollup (the Profile
+    // lesson: never multi-count(DISTINCT) in one Aggregate). Shares are
+    // ppm floors; gini_ppm = 1e6 - sum(share^2 div 1e6) — an exact
+    // integer contract, overflow-safe at any n.
+    "q179_gini_profile" -> ((s, dir) => {
+      val u = Tables.orders(s, dir).select(expr(
+        "stack(3, 'status', o_orderstatus, 'priority', o_orderpriority," +
+          " 'cust', CAST(o_custkey AS STRING)) AS (k, value)"))
+      val counts = u.groupBy("k", "value").agg(count(lit(1)).as("cnt"))
+      val tot = counts.groupBy("k")
+        .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
+          max("cnt").as("top"))
+      counts.join(broadcast(tot), Seq("k"))
+        .withColumn("share", expr("(cnt * 1000000) div n"))
+        .groupBy(col("k"), col("n"), col("n_distinct"),
+          expr("(top * 1000000) div n").as("top_share_ppm"))
+        .agg((lit(1000000L) - sum(expr("(share * share) div 1000000")))
+          .as("gini_ppm"))
+        .select("k", "n", "n_distinct", "top_share_ppm", "gini_ppm")
+        .orderBy("k")
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q179_gini_profile" ->
+      """WITH u AS (
+        |  SELECT 'status' AS k, o_orderstatus AS value FROM orders
+        |  UNION ALL
+        |  SELECT 'priority', o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'cust', CAST(o_custkey AS VARCHAR) FROM orders),
+        |c AS (SELECT k, value, count(*) AS cnt FROM u GROUP BY 1, 2),
+        |t AS (SELECT k, sum(cnt) AS n, count(*) AS n_distinct,
+        |  max(cnt) AS top FROM c GROUP BY 1)
+        |SELECT c.k, CAST(t.n AS BIGINT) AS n,
+        |  CAST(t.n_distinct AS BIGINT) AS n_distinct,
+        |  CAST((t.top * 1000000) // t.n AS BIGINT) AS top_share_ppm,
+        |  CAST(1000000 - sum((((cnt * 1000000) // t.n)
+        |    * ((cnt * 1000000) // t.n)) // 1000000) AS BIGINT) AS gini_ppm
+        |FROM c JOIN t USING (k)
+        |GROUP BY c.k, t.n, t.n_distinct, t.top
+        |ORDER BY c.k""".stripMargin,
+
+    "q178_butterflies" ->
+      """WITH os0 AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |os AS (
+        |  SELECT o, p FROM (
+        |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+        |  WHERE ns <= 8),
+        |pw AS (SELECT x.p AS a, y.p AS b, count(*) AS w
+        |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2)
+        |SELECT id, CAST(sum((w * (w - 1)) // 2) AS BIGINT) AS butterflies
+        |FROM (SELECT a AS id, w FROM pw UNION ALL SELECT b, w FROM pw)
+        |GROUP BY id ORDER BY id""".stripMargin,
+
     // Two unrolled weight-proportional rank rounds, integer floor at
     // every division exactly as the loop computes them.
     "q177_weighted_pagerank" -> {

@@ -1226,6 +1226,28 @@ object Graph {
     } finally wt.dropAll()
   }
 
+  /** Per-item butterfly counts — the bipartite clustering signal
+    * (bipartite graphs have no triangles; the 4-cycle "butterfly" is
+    * their cohesion primitive): for item u,
+    * `bf(u) = Σ_v C(w(u,v), 2)` where `w(u,v)` = groups shared by items
+    * u and v. High butterfly mass = densely co-purchased / co-clicked
+    * neighborhoods.
+    *
+    * Scale shape: rides [[coOccurrenceEdges]] (one fact shuffle,
+    * hub-capped groups so the pair explosion is bounded map-side at
+    * cap²/2), then one (a, b) pair agg and one item-sized node agg.
+    * `w·(w−1)` is always even, so the halving stays exact.
+    *
+    * @return (id, butterflies) over the item side */
+  def butterflyCounts(facts: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 8): DataFrame = {
+    val pw = coOccurrenceEdges(facts, groupCol, itemCol, maxGroupSize)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    pw.select(explode(array(col("src"), col("dst"))).as("id"),
+        expr("(w * (w - 1)) div 2").as("bf"))
+      .groupBy("id").agg(sum("bf").as("butterflies"))
+  }
+
   /** Co-occurrence edge generation straight from a (group, item) fact
     * stream — "wallets sharing a transaction", "parts sharing an order".
     * ONE groupBy shuffle collects each group's distinct items via

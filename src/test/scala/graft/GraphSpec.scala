@@ -711,6 +711,19 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("butterflyCounts: K(2,3)-ish closed form") {
+    // orders 10:{1,2,3}, 20:{1,2}, 30:{1,2} -> w(1,2)=3, w(1,3)=w(2,3)=1
+    val f = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L)).toDF("o", "p")
+    val got = Graph.butterflyCounts(f, "o", "p")
+      .as[(Long, Long)].collect().toMap
+    // bf(1) = C(3,2) + C(1,2) = 3; bf(2) = 3; bf(3) = 0
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 0L))
+    val rep = Graph.butterflyCounts(f.repartition(7), "o", "p")
+      .as[(Long, Long)].collect().toMap
+    assert(rep == got)
+  }
+
   test("weightedPageRank: hand-computed two rounds, regimes agree") {
     // 1→2 (w3), 1→3 (w1), 2→1 (w1): wout(1)=4, wout(2)=1
     val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L))
