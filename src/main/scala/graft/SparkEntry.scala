@@ -2591,12 +2591,81 @@ object SparkEntry {
           .as("gini_ppm"))
         .select("k", "n", "n_distinct", "top_share_ppm", "gini_ppm")
         .orderBy("k")
+    }),
+
+    // Corpus originality: fraction of a doc's distinct 3-gram hashes
+    // that appear in NO other document (df = 1) — the inverse of q147's
+    // contamination. Gram df is one gram-keyed agg; the doc score is a
+    // doc-keyed agg over the df join (the TF-IDF shuffle shape).
+    "q180_originality" -> ((s, dir) => {
+      val dg = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokens(lower(trim(col("text")))).as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(toks) - 3)," +
+            " i -> CAST(conv(substring(md5(concat_ws(' '," +
+            " slice(toks, i + 1, 3))), 1, 8), 16, 10) AS BIGINT)" +
+            " % 2147483647))")).as("g"))
+      val df = dg.groupBy("g").agg(count(lit(1)).as("df"))
+      dg.join(df, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_grams"), col("n_unique"),
+          expr("(n_unique * 1000000) div n_grams").as("originality_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // Recency-decayed activity scores with EXACT halving decay: each
+    // event contributes cents >> age_days (arithmetic shift = floor
+    // halving per day — bit-identical cross-engine, no float decay).
+    "q181_decay_score" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val mx = ev.agg(max("day").as("maxd"))
+      ev.join(broadcast(mx))
+        .select(col("user_id"),
+          expr("shiftright(c, CAST(least(maxd - day, 62) AS INT))").as("d"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("d").as("decayed_c"))
+        .orderBy("user_id")
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q181_decay_score" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT max(day) AS maxd FROM ev)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c >> CAST(least(maxd - day, 62) AS INT)) AS BIGINT)
+        |    AS decayed_c
+        |FROM ev, m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q180_originality" -> {
+      val cat = (0 until 3).map(k => if (k == 0) "t0[i]" else s"t0[i+$k]")
+        .mkString(" || ' ' || ")
+      s"""WITH tk AS (SELECT doc_id,
+         |  string_split_regex(lower(trim(text)), '\\s+') AS t0 FROM documents),
+         |dg AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(generate_series(1, len(t0) - 2),
+         |    i -> ('0x' || substr(md5($cat), 1, 8))::BIGINT % 2147483647)))
+         |    AS g
+         | FROM tk WHERE len(t0) >= 3),
+         |df AS (SELECT g, count(*) AS df FROM dg GROUP BY g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unique,
+         |  CAST((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) AS originality_ppm
+         |FROM dg JOIN df USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "q179_gini_profile" ->
       """WITH u AS (
         |  SELECT 'status' AS k, o_orderstatus AS value FROM orders
