@@ -490,8 +490,14 @@ object Corpus {
       minShared: Int = 2, maxDf: Int = 8): DataFrame = {
     require(minShared >= 1, "minShared must be >= 1")
     require(maxDf >= 2, "maxDf must allow at least one pair")
+    // The fingerprint sketch feeds three plan branches (df counts, the
+    // semi-filter, both self-join sides) — materialize it ONCE or the
+    // md5 window pipeline re-executes per branch (2.04 s → 1.78 s min
+    // at sf0.1). The checkpoint is sketch-sized (~2/(w+1) of the gram
+    // stream), the same storage class the LSH family pays.
     val fps = winnowedFingerprints(docs, idCol, textCol, n, w)
       .select(col(idCol).as("id"), col("fp")).distinct()
+      .localCheckpoint(true)
     val kept = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     val blocked = fps.join(kept, "fp")

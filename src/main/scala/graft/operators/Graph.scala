@@ -1665,21 +1665,31 @@ object Graph {
   def clusteringCoefficient(edges: DataFrame,
       broadcastNodeLimit: Long = GraphTuning.Auto,
       broadcastEdgeLimit: Long = 8000000L): DataFrame = {
-    val tri = triangleCounts(edges, broadcastNodeLimit, broadcastEdgeLimit)
+    // Canonicalize ONCE and feed the cached edge set to both the
+    // triangle kernel and the degree agg — handing triangleCounts the
+    // raw plan would re-run the whole upstream (e.g. co-occurrence
+    // generation) a second time for the degree branch.
     val canon = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .cache()
+    val tri = triangleCounts(
+      canon.select(col("a").as("src"), col("b").as("dst")),
+      broadcastNodeLimit, broadcastEdgeLimit)
     val deg = canon
       .select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    deg.join(tri, Seq("id"), "left")
+    val out = deg.join(tri, Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         when(col("degree") >= 2,
           expr("(2000000 * coalesce(triangles, 0)) div (degree * (degree - 1))"))
           .otherwise(lit(0L)).as("cc_ppm"))
+      .localCheckpoint(true)
+    canon.unpersist(blocking = false)
+    out
   }
 
   /** Per-edge triangle support — the k-truss kernel: an edge survives
