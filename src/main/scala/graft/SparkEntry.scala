@@ -2631,12 +2631,111 @@ object SparkEntry {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), sum("d").as("decayed_c"))
         .orderBy("user_id")
+    }),
+
+    // Degree assortativity of the co-occurrence graph — do high-degree
+    // parts co-occur with high-degree parts? Pearson over (deg_src,
+    // deg_dst) of every directed edge, through the exact DECIMAL(38,0)
+    // moment machinery of q149 (hash-exact where corr() cannot be).
+    "q182_assortativity" -> ((s, dir) => {
+      val e = Graph.coOccurrenceEdges(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+          "o", "p", maxGroupSize = 8)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val dir2 = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      val xy = dir2
+        .join(deg.select(col("id").as("a"), col("d").as("dx")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("d").as("dy")), Seq("b"))
+        .select(lit("all").as("g"), col("dx"), col("dy"))
+      Aggregations.groupedPearson(xy, Seq("g"), "dx", "dy").orderBy("g")
+    }),
+
+    // Near-clone CLUSTERS: the q165 winnow candidate pairs closed into
+    // connected components (hash-min CC over the measured regime
+    // ladder) — the dedup unit a curation pipeline actually deletes by.
+    "q183_clone_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Corpus.winnowedNearClonePairs(docs, "doc_id", "text",
+        n = 3, w = 4, minShared = 2, maxDf = 8)
+      Dedup.duplicateClusters(docs, "doc_id", pairs).orderBy("doc_id")
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // q165's winnow-pair pipeline closed by a recursive reachability
+    // CTE (the q48 closure pattern), min id as cluster label.
+    "q183_clone_clusters" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t0 FROM documents),
+        |gi AS (SELECT doc_id, t0,
+        |  unnest(generate_series(1, len(t0) - 2)) AS i
+        | FROM tk WHERE len(t0) >= 3),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |  ('0x' || substr(md5(t0[i] || ' ' || t0[i+1] || ' ' || t0[i+2]),
+        |    1, 8))::BIGINT % 2147483647 AS h
+        | FROM gi),
+        |kk AS (SELECT doc_id, pos,
+        |  min(h * 4294967296 + (4294967295 - pos)) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        | FROM g),
+        |fp AS (SELECT DISTINCT doc_id AS id, mk // 4294967296 AS fp
+        |  FROM kk WHERE pos >= 3),
+        |kept AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 8),
+        |bl AS MATERIALIZED (
+        |  SELECT f.id, f.fp FROM fp f JOIN kept USING (fp)),
+        |pr AS (SELECT x.id AS id_a, y.id AS id_b
+        |  FROM bl x JOIN bl y ON x.fp = y.fp AND x.id < y.id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION SELECT id_b, id_a FROM pr),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(comp) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // The q149 exact-moment Pearson over edge endpoint degrees.
+    "q182_assortativity" ->
+      """WITH os0 AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |os AS (
+        |  SELECT o, p FROM (
+        |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+        |  WHERE ns <= 8),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT id, count(*) AS d FROM (
+        |    SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0)
+        |  GROUP BY id),
+        |d2 AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |t AS (SELECT 'all' AS g, da.d AS x, db.d AS y
+        |  FROM d2 JOIN deg da ON da.id = d2.a JOIN deg db ON db.id = d2.b),
+        |m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT g, CAST(n AS BIGINT) AS n,
+        |  CAST(sxy * n - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(sxx * n - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(syy * n - sy * sy AS DOUBLE))) AS r
+        |FROM m
+        |WHERE sxx * n - sx * sx > 0 AND syy * n - sy * sy > 0
+        |ORDER BY g""".stripMargin,
+
     "q181_decay_score" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
         |  CAST(round(value * 100) AS BIGINT) AS c FROM events),
