@@ -2664,12 +2664,98 @@ object SparkEntry {
       val pairs = Corpus.winnowedNearClonePairs(docs, "doc_id", "text",
         n = 3, w = 4, minShared = 2, maxDf = 8)
       Dedup.duplicateClusters(docs, "doc_id", pairs).orderBy("doc_id")
+    }),
+
+    // Co-visitation item similarity: binary-incidence cosine² in exact
+    // ppm — cos²(a,b) = shared² / (deg_a · deg_b), top-200 via
+    // TakeOrdered. The squared cosine avoids sqrt entirely, keeping the
+    // ranking integer-exact.
+    "q184_item_sim" -> ((s, dir) => {
+      val os = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy("o")))
+        .filter(col("ns") <= 8).select("o", "p")
+        .localCheckpoint(true)
+      val deg = os.groupBy(col("p").as("id")).agg(count(lit(1)).as("d"))
+      val pw = os.as("x").join(os.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      pw.join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+        .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+        .select(col("a"), col("b"), col("w"),
+          expr("(w * w * 1000000) div (da * db)").as("cos2_ppm"))
+        .orderBy(col("cos2_ppm").desc, col("a"), col("b")).limit(200)
+        .orderBy("a", "b")
+    }),
+
+    // Referential-integrity audit: orphan foreign keys per relationship
+    // (the complement of q138's FD audit) — three anti-join counts
+    // unioned into one report.
+    "q185_ri_audit" -> ((s, dir) => {
+      def audit(rel: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String) = {
+        val orphans = child.select(col(fk).as("k"))
+          .join(parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+        child.agg(count(lit(1)).as("n_child"))
+          .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"))
+      }
+      val li = Tables.lineitem(s, dir)
+      audit("lineitem->orders", li, "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey")
+        .unionByName(audit("lineitem->part", li, "l_partkey",
+          Tables.part(s, dir), "p_partkey"))
+        .unionByName(audit("orders->customer", Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey"))
+        .orderBy("relation")
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q185_ri_audit" ->
+      """SELECT 'lineitem->orders' AS relation,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                     WHERE o.o_orderkey = l.l_orderkey))
+        |    AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |   WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                     WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                     WHERE c.c_custkey = o.o_custkey))
+        |ORDER BY relation""".stripMargin,
+
+    "q184_item_sim" ->
+      """WITH os0 AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |os AS (
+        |  SELECT o, p FROM (
+        |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+        |  WHERE ns <= 8),
+        |deg AS (SELECT p AS id, count(*) AS d FROM os GROUP BY p),
+        |pw AS (SELECT x.p AS a, y.p AS b, count(*) AS w
+        |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sc AS (SELECT a, b, CAST(w AS BIGINT) AS w,
+        |    CAST((w * w * 1000000) // (da.d * db.d) AS BIGINT) AS cos2_ppm
+        |  FROM pw JOIN deg da ON da.id = pw.a JOIN deg db ON db.id = pw.b),
+        |top AS (SELECT * FROM sc
+        |  ORDER BY cos2_ppm DESC, a, b LIMIT 200)
+        |SELECT a, b, w, cos2_ppm FROM top ORDER BY a, b""".stripMargin,
+
     // q165's winnow-pair pipeline closed by a recursive reachability
     // CTE (the q48 closure pattern), min id as cluster label.
     "q183_clone_clusters" ->
