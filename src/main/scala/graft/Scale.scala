@@ -430,6 +430,43 @@ object Scale {
     time("bfs_1x") { bfsShape(li1) }
     time(s"bfs_${mult}x") { bfsShape(liT) }
 
+    // bit-packed multi-source BFS: the 64-landmark mask state is 64×
+    // denser than per-source frontier rows, so the broadcast regime
+    // must stretch much further than k separate BFS runs would
+    def msbfsShape(li: DataFrame): Long = {
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+        .orderBy("id").limit(16)
+      Graph.multiSourceBfs(edges, seeds, maxHops = 2).count()
+    }
+    time("msbfs_1x") { msbfsShape(li1) }
+    time(s"msbfs_${mult}x") { msbfsShape(liT) }
+
+    // time-respecting earliest arrival: temporal Bellman-Ford over the
+    // user↔entity interaction graph (frontier = improved nodes only)
+    def temporalShape(ev: DataFrame): Long = {
+      val base = ev
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
+        .select((col("user_id") * 2).as("u"),
+          (get_json_object(col("props"), "$.k").cast("long") * 2 + 1)
+            .as("kk"),
+          expr("ts_ns div 1000").as("t"))
+      val edges = base
+        .select(col("u").as("src"), col("kk").as("dst"), col("t"))
+        .unionByName(
+          base.select(col("kk").as("src"), col("u").as("dst"), col("t")))
+      val seeds = ev.filter(col("user_id") % 17 === 0)
+        .select((col("user_id") * 2).as("id")).distinct()
+      Graph.temporalEarliestArrival(edges, seeds, maxRounds = 3).count()
+    }
+    time("temporal_1x") { temporalShape(ev1) }
+    time(s"temporal_${mult}x") { temporalShape(evN) }
+
     // HITS (q131 shape): two cached edge layouts (by src / by dst) make
     // each half-round a broadcast join + exchange-free agg; N× disjoint
     // copies grow the score tables and edges together — per-round cost
