@@ -2711,12 +2711,128 @@ object SparkEntry {
         .unionByName(audit("orders->customer", Tables.orders(s, dir),
           "o_custkey", Tables.customer(s, dir), "c_custkey"))
         .orderBy("relation")
+    }),
+
+    // Iteration-convergence monitor: L1 and max deltas between PR
+    // iterations 2 and 3 in exact scaled integers — the fixed-point
+    // stopping-criterion telemetry an operator dashboard needs.
+    "q186_pr_convergence" -> ((s, dir) => {
+      val fwd = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val r2 = Graph.pageRankFixedPoint(edges, iterations = 2,
+        symmetric = true)
+      val r3 = Graph.pageRankFixedPoint(edges, iterations = 3,
+        symmetric = true)
+      r2.withColumnRenamed("rank", "rank2")
+        .join(r3.withColumnRenamed("rank", "rank3"), Seq("id"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(abs(col("rank3") - col("rank2"))).as("l1_delta"),
+          max(abs(col("rank3") - col("rank2"))).as("max_delta"))
+    }),
+
+    // Cluster-label purity: q159's integer Lloyd assignment judged
+    // against the embedding labels — per-cluster majority share in ppm
+    // (deterministic count-desc/label-asc majority tie-break).
+    "q187_cluster_purity" -> ((s, dir) => {
+      val a = KMeans.integerLloydAssign(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, rounds = 2, scale = 1000)
+      val lab = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val cl = a.join(lab, Seq("vec_id"))
+        .groupBy("cluster", "label").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("cluster")
+        .orderBy(col("cnt").desc, col("label"))
+      cl.withColumn("rk", row_number().over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("cluster")))
+        .filter(col("rk") === 1)
+        .select(col("cluster"), col("n"),
+          col("label").as("top_label"), col("cnt").as("top_n"),
+          expr("(cnt * 1000000) div n").as("purity_ppm"))
+        .orderBy("cluster")
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    // q65's unrolled rank rounds, diffed between iterations 2 and 3.
+    "q186_pr_convergence" -> {
+      val iters = (1 to 3).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id, CAST(150000 + (850000 * COALESCE(s.c, 0)) // 1000000
+           |    AS BIGINT) AS rank
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(r.rank // d.deg) AS BIGINT) AS c
+           |    FROM e JOIN r${k - 1} r ON r.id = e.src
+           |           JOIN deg d ON d.id = e.src
+           |    GROUP BY e.dst) s ON s.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |n AS (SELECT DISTINCT src AS id FROM e
+         |      UNION SELECT DISTINCT dst FROM e),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM n),
+         |$iters
+         |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(abs(r3.rank - r2.rank)) AS BIGINT) AS l1_delta,
+         |  CAST(max(abs(r3.rank - r2.rank)) AS BIGINT) AS max_delta
+         |FROM r2 JOIN r3 USING (id)""".stripMargin
+    },
+
+    // q159's assignment CTEs joined to labels, majority per cluster.
+    "q187_cluster_purity" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v
+        |  FROM q ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT q.vec_id, q.v, c.cl,
+        |      list_aggregate(list_transform(range(64), i ->
+        |        (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1])), 'sum') AS d2
+        |    FROM q, c0 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cl) = 1),
+        |m1 AS (
+        |  SELECT cl, i,
+        |    CAST(floor(sum(v[i+1])::DOUBLE / count(*) + 0.5) AS BIGINT) AS m
+        |  FROM a1, range(64) t(i) GROUP BY cl, i),
+        |c1n AS (SELECT cl, list(m ORDER BY i) AS v FROM m1 GROUP BY cl),
+        |c1 AS (SELECT c0.cl, COALESCE(c1n.v, c0.v) AS v
+        |       FROM c0 LEFT JOIN c1n USING (cl)),
+        |a2 AS (
+        |  SELECT vec_id, cl FROM (
+        |    SELECT q.vec_id, c.cl,
+        |      list_aggregate(list_transform(range(64), i ->
+        |        (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1])), 'sum') AS d2
+        |    FROM q, c1 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cl) = 1),
+        |j AS (SELECT a2.cl AS cluster, CAST(e.label AS BIGINT) AS label
+        |  FROM a2 JOIN embeddings e USING (vec_id)),
+        |g AS (SELECT cluster, label, count(*) AS cnt
+        |  FROM j GROUP BY 1, 2),
+        |t AS (SELECT cluster, label, cnt,
+        |    sum(cnt) OVER (PARTITION BY cluster) AS n,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY cnt DESC, label) AS rk
+        |  FROM g)
+        |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(n AS BIGINT) AS n,
+        |  label AS top_label, CAST(cnt AS BIGINT) AS top_n,
+        |  CAST((cnt * 1000000) // n AS BIGINT) AS purity_ppm
+        |FROM t WHERE rk = 1 ORDER BY cluster""".stripMargin,
+
     "q185_ri_audit" ->
       """SELECT 'lineitem->orders' AS relation,
         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
