@@ -2753,12 +2753,40 @@ object SparkEntry {
           col("label").as("top_label"), col("cnt").as("top_n"),
           expr("(cnt * 1000000) div n").as("purity_ppm"))
         .orderBy("cluster")
+    }),
+
+    // Dataset card: the one-row corpus summary a data release ships
+    // with. Each count(DISTINCT) lives in its OWN single-row aggregate
+    // crossJoined together — never several distincts in one Aggregate
+    // (the q105 Expand lesson: Catalyst would replicate every input row
+    // once per distinct).
+    "q188_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("lang"), col("source"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("tok"),
+        md5(col("text")).as("h"))
+      d.agg(count(lit(1)).as("n_docs"), sum("tok").as("total_tokens"))
+        .crossJoin(d.agg(countDistinct("lang").as("n_langs")))
+        .crossJoin(d.agg(countDistinct("source").as("n_sources")))
+        .crossJoin(d.agg((count(lit(1)) - countDistinct("h"))
+          .as("redundant_docs")))
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q188_dataset_card" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+        |  (SELECT CAST(sum(len(string_split_regex(trim(text), '\s+')))
+        |     AS BIGINT) FROM documents) AS total_tokens,
+        |  (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)
+        |    AS n_langs,
+        |  (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+        |    AS n_sources,
+        |  (SELECT CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+        |     FROM documents) AS redundant_docs""".stripMargin,
+
     // q65's unrolled rank rounds, diffed between iterations 2 and 3.
     "q186_pr_convergence" -> {
       val iters = (1 to 3).map { k =>
