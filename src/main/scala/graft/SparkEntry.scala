@@ -2769,12 +2769,115 @@ object SparkEntry {
         .crossJoin(d.agg(countDistinct("source").as("n_sources")))
         .crossJoin(d.agg((count(lit(1)) - countDistinct("h"))
           .as("redundant_docs")))
+    }),
+
+    // Lexical diversity: per-doc Gini impurity of the token
+    // distribution in exact ppm (1e6 = every token distinct, 0 = one
+    // token repeated) — the q88 repetition score's distribution-shaped
+    // sibling. Shares are ppm floors, so the contract is integer-exact.
+    "q189_token_gini" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokens(lower(trim(col("text"))))).as("t"))
+        .filter(col("t") =!= "")
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      tf.withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+        .withColumn("share", expr("(c * 1000000) div n"))
+        .groupBy("doc_id")
+        .agg(max("n").as("n_tokens"), count(lit(1)).as("n_types"),
+          (lit(1000000L) - sum(expr("(share * share) div 1000000")))
+            .as("gini_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // Join-skew diagnosis: the 50 hottest join-key values with ppm
+    // shares — the report that decides salting/AQE-skew settings.
+    "q190_skew_report" -> ((s, dir) => {
+      val cnt = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
+      cnt.join(broadcast(cnt.agg(sum("cnt").as("n"))))
+        .select(col("k"), col("cnt"),
+          expr("(cnt * 1000000) div n").as("share_ppm"))
+        .orderBy(col("cnt").desc, col("k")).limit(50)
+        .orderBy("k")
+    }),
+
+    // Session-duration quantiles: gap sessions (1 h) -> per-session
+    // duration in micros -> exact p50/p90 through the one-window-pass
+    // discrete quantile machinery (q146).
+    "q191_session_quantiles" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ns"),
+          expr("ts_ns div 1000").as("tus"))
+      val sess = Sessions.sessionize(ev, "user_id", "ts_ns",
+        gapNanos = 3600L * 1000000000L)
+      val dur = sess.groupBy("user_id", "session_id")
+        .agg((max("tus") - min("tus")).as("dur_us"))
+        .select(lit("all").as("g"), col("dur_us"), lit(1L).as("w"))
+      Aggregations.quantilesDisc(dur, Seq("g"), "dur_us", "w",
+        Seq(500000L, 900000L)).orderBy("g")
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q189_token_gini" ->
+      """WITH tk AS (SELECT doc_id,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        | FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS c FROM tk
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, c,
+        |  sum(c) OVER (PARTITION BY doc_id) AS n FROM tf)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(1000000 - sum((((c * 1000000) // n) * ((c * 1000000) // n))
+        |    // 1000000) AS BIGINT) AS gini_ppm
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q190_skew_report" ->
+      """WITH c AS (SELECT l_partkey AS k, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS n FROM c),
+        |top AS (SELECT k, cnt, (cnt * 1000000) // n AS share_ppm
+        |  FROM c, t ORDER BY cnt DESC, k LIMIT 50)
+        |SELECT k, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(share_ppm AS BIGINT) AS share_ppm
+        |FROM top ORDER BY k""".stripMargin,
+
+    // q100's sessionization, per-session micro duration, then the q146
+    // cumulative-weight quantile pattern on one global group.
+    "q191_session_quantiles" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, epoch_us(ts) AS tus,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |    sum(CASE WHEN pts IS NOT NULL AND ts - pts > INTERVAL 1 HOUR
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+        |      AS session_id
+        |  FROM x),
+        |d AS (SELECT 'all' AS g, max(tus) - min(tus) AS v,
+        |    CAST(1 AS BIGINT) AS w
+        |  FROM sess GROUP BY user_id, session_id),
+        |pv AS (SELECT g, v, CAST(sum(w) AS BIGINT) AS w FROM d
+        |  GROUP BY 1, 2),
+        |cu AS (SELECT g, v,
+        |    CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cw,
+        |    CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS tw
+        |  FROM pv)
+        |SELECT g,
+        |  min(CASE WHEN cw * 1000000 >= 500000 * tw THEN v END) AS p500000,
+        |  min(CASE WHEN cw * 1000000 >= 900000 * tw THEN v END) AS p900000,
+        |  max(tw) AS total_w
+        |FROM cu GROUP BY g ORDER BY g""".stripMargin,
+
     "q188_dataset_card" ->
       """SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
