@@ -2816,12 +2816,32 @@ object SparkEntry {
         .select(lit("all").as("g"), col("dur_us"), lit(1L).as("w"))
       Aggregations.quantilesDisc(dur, Seq("g"), "dur_us", "w",
         Seq(500000L, 900000L)).orderBy("g")
-    })
+    }),
+
+    // Activity heatmap: the full (dow, hour) grid of event counts and
+    // exact cent sums — q174's baseline surface as a first-class
+    // report. One grouped agg, 168 output rows at any scale.
+    "q192_activity_heatmap" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+          expr("((ts_ns div 1000) div 86400000000 + 4) % 7").as("dow"),
+          expr("((ts_ns div 1000) div 3600000000) % 24").as("hr"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy("dow", "hr")
+        .agg(count(lit(1)).as("n"), sum("c").as("total_c"))
+        .orderBy("dow", "hr"))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q192_activity_heatmap" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_c
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+
     "q189_token_gini" ->
       """WITH tk AS (SELECT doc_id,
         |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
