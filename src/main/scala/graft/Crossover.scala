@@ -306,6 +306,13 @@ object Crossover {
         Graph.kCoreCoBucketed(e, 3, 4, tablePrefix = "graft_xw_kc").count()
         e.unpersist()
       }
+      if (algos("tri")) {
+        val e = kcoreEdges(1)
+        Graph.edgeSupport(e, broadcastEdgeLimit = Long.MaxValue).count()
+        Graph.edgeSupport(e, broadcastEdgeLimit = 0L).count()
+        noAutoBroadcast(Graph.edgeSupport(e, broadcastEdgeLimit = 0L).count())
+        e.unpersist()
+      }
       println("XOVER warmup done")
     }
 
@@ -387,6 +394,25 @@ object Crossover {
           "cobucket" -> ((ed: DataFrame) => Graph.ssspDistancesCoBucketed(
             ed, sd, 4, tablePrefix = s"graft_x_sssp_$mult").count())))
         e.unpersist(); sd.unpersist()
+      }
+      // Triangle-core family (edgeSupport = the shared engine of
+      // trussPeel and clusteringCoefficient): A/B the two enumeration
+      // regimes that `broadcastEdgeLimit` switches — sorted-adjacency
+      // intersection (adjacency agg broadcast to both join legs) vs
+      // wedge self-join + Bloom-pruned closure. Same canonical co-order
+      // graph as kcore, so mult≈8/15/30 lands ~8M/16M/32M canonical
+      // edges — the grid the 8M default literal inherits from.
+      if (algos("tri")) {
+        val e = kcoreEdges(mult)
+        val nodes = e.select("src").distinct().count()
+        runGrid(mult, "tri", e, nodes, Seq(
+          "adjintersect" -> ((ed: DataFrame) => Graph.edgeSupport(ed,
+            broadcastEdgeLimit = Long.MaxValue).count()),
+          "wedgebloom" -> ((ed: DataFrame) => Graph.edgeSupport(ed,
+            broadcastEdgeLimit = 0L).count()),
+          "wedgebloom_nobc" -> ((ed: DataFrame) => noAutoBroadcast(
+            Graph.edgeSupport(ed, broadcastEdgeLimit = 0L).count()))))
+        e.unpersist()
       }
       if (algos("kcore")) {
         val e = kcoreEdges(mult)

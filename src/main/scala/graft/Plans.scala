@@ -37,7 +37,14 @@ object Plans {
       "q146_quantiles" -> "discrete quantiles: occurrences collapse to (group, value) partial+final agg FIRST, one window over distinct values, all quantiles as conditional-mins of the same pass",
       "q147_contamination" -> "benchmark decontamination: per-doc gram dedup map-side (array_distinct before explode), benchmark gram set BROADCAST into the hit join, single doc-id partial-agg exchange",
       "q151_heavy_hitters" -> "exact heavy hitters pass 2: tokens semi-join the BROADCAST Misra-Gries candidate set at the scan stage, then one O(candidates) partial+final agg — the only exchanges carry summary/candidate rows, never the corpus",
-      "q153_image_dhash" -> "perceptual image dedup: PNG encode+decode+dHash all inside scan-stage mapPartitions (payloads never shuffle); the cluster agg's exchange carries (hash_hi, hash_lo, id) only")
+      "q153_image_dhash" -> "perceptual image dedup: PNG encode+decode+dHash all inside scan-stage mapPartitions (payloads never shuffle); the cluster agg's exchange carries (hash_hi, hash_lo, id) only",
+      "q150_sssp" -> "weighted SSSP final round: delta frontier joins the cached (src)-partitioned edges, best-table rewrite is a broadcast-anti-join replacement (union, never re-aggregated) — per-round exchanges carry node-sized tables only",
+      "q160_scc" -> "SCC coloring: fwd+bwd reachability FUSED into one tagged min-label loop — one (tag,dst)-partitioned edge cache, per-round candidate join + replacement rewrite covers BOTH directions",
+      "q162_edge_support" -> "edge support: ONE cached canonical edge set feeds both the capped-adjacency build and the per-edge merge-scan intersection (IntersectSortedLongs) — no wedge stream, degree joins broadcast",
+      "q163_truss_peel" -> "k-truss peel round: support recount over the shared oriented-triangle core, zero-fill via union-into-agg instead of an edge-sized join, monotone shrink checkpointed per round",
+      "q170_clustering_coeff" -> "clustering coefficient: triangle and degree branches read the SAME cached canonical edges (materialized once — the shared-branch lesson); final is one node-keyed agg over broadcast-joined counts",
+      "q182_assortativity" -> "degree assortativity: hub-capped co-occurrence kernel bounds the pair explosion, node-sized degree join correctly NOT broadcast at scale, single Pearson aggregate",
+      "q186_pr_convergence" -> "PR convergence telemetry: ONE fixed-point loop with the round-2 iterate captured (localCheckpoint reference, zero recompute) — the delta join reads two checkpointed node-sized tables")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`, sf0.01)\n\n")
     sb.append("Evidence for ARCHITECTURE.md's claims: `PushedFilters`/`ReadSchema`\n")

@@ -647,6 +647,27 @@ object Scale {
         Seq("l_returnflag"), "price_c", "qty").count()
     time("wmedian_1x") { wmedShape(li1) }
     time(s"wmedian_${mult}x") { wmedShape(liN) }
+
+    // spectral power iteration (q171 shape): the quantized triple store
+    // caches once; each round is one (vid)-keyed agg + one (pos)-keyed
+    // agg with the d-row iterate BROADCAST into the scan (no GraphTuning
+    // regime — the iterate state is d rows at any corpus size), so N×
+    // vectors must scale by the two matvec aggs, ~linearly
+    def spectralShape(e: DataFrame): Long =
+      operators.Spectral.dominantDirection(e, "vec_id", "embedding",
+        rounds = 2).count()
+    time("spectral_1x") { spectralShape(emb1) }
+    time(s"spectral_${mult}x") { spectralShape(embN) }
+
+    // integer Lloyd assignment (q159 shape): centroids are a k-row
+    // driver-collected state per round (the licensed k-bounded collect);
+    // assignment is scan-stage Column math + one k-row agg — N× vectors
+    // must stay scan-bound
+    def kmeansShape(e: DataFrame): Long =
+      operators.KMeans.integerLloydAssign(e, "vec_id", "embedding", k = 8,
+        rounds = 2, scale = 1000).count()
+    time("kmeans_1x") { kmeansShape(emb1) }
+    time(s"kmeans_${mult}x") { kmeansShape(embN) }
     spark.stop()
   }
 }

@@ -2723,10 +2723,14 @@ object SparkEntry {
       val edges = fwd
         .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-      val r2 = Graph.pageRankFixedPoint(edges, iterations = 2,
-        symmetric = true)
-      val r3 = Graph.pageRankFixedPoint(edges, iterations = 3,
-        symmetric = true)
+      // ONE fixed-point loop with the round-2 iterate captured (each
+      // round already localCheckpoints, so the capture is a free
+      // reference) — running two independent loops would recompute
+      // rounds 1-2, the edge cache, the degree window and the stats job
+      // (the round-9 shared-branch lesson across loop invocations).
+      val its = Graph.pageRankIterates(edges, iterations = 3,
+        captureAt = Set(2), symmetric = true)
+      val (r2, r3) = (its(2), its(3))
       r2.withColumnRenamed("rank", "rank2")
         .join(r3.withColumnRenamed("rank", "rank3"), Seq("id"))
         .agg(count(lit(1)).as("n_nodes"),

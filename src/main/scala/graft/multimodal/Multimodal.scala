@@ -690,13 +690,16 @@ object Multimodal {
       rows.map { r =>
         val p = r.getAs[Array[Byte]]("payload")
         if (p == null) Row(r.getAs[Long]("media_id"), null)
-        else {
+        else try {
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(p)))
           try {
             val fmt = in.getFormat
-            require(fmt.getSampleSizeInBits == 16,
-              s"audioFingerprint expects PCM16, got $fmt")
+            if (fmt.getSampleSizeInBits != 16)
+              // non-PCM16 = undecodable for this fingerprint — absence,
+              // not failure (the imageDHash contract)
+              Row(r.getAs[Long]("media_id"), null)
+            else {
             val bytes = in.readAllBytes()
             val bb = java.nio.ByteBuffer.wrap(bytes).order(
               if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
@@ -718,7 +721,15 @@ object Multimodal {
             var k = 0
             while (k < 63) { if (e(k + 1) > e(k)) bits |= 1L << k; k += 1 }
             Row(r.getAs[Long]("media_id"), bits)
+            }
           } finally in.close()
+        } catch {
+          // Undecodable payload (non-WAV bytes, truncated header) emits
+          // an explicit null fingerprint — a corrupt row must not fail
+          // the corpus-wide task.
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException =>
+            Row(r.getAs[Long]("media_id"), null)
         }
       }
     }(enc)

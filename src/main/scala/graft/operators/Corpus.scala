@@ -512,10 +512,13 @@ object Corpus {
     * parts-per-million — the lexical-retrieval ranking half of a hybrid
     * (BM25 + embedding) retrieval pipeline. Classic Okapi shape with a
     * rational IDF (plus-one odds ratio `(N − df + 1)/(df + 1)` instead
-    * of its log — keeps every step in 64-bit integer arithmetic, so the
-    * ranking is bit-reproducible cross-engine; the log is monotone in
-    * the odds ratio, so top-k ORDER is the classic one for any single
-    * term and the blend differs only in how multi-term scores mix).
+    * of its log — keeps every step in exact integer arithmetic (the
+    * two wide products route through DECIMAL(38,0), matching DuckDB's
+    * HUGEINT promotion, so neither engine can wrap 64 bits at any
+    * corpus size), so the ranking is bit-reproducible cross-engine;
+    * the log is monotone in the odds ratio, so top-k ORDER is the
+    * classic one for any single term and the blend differs only in how
+    * multi-term scores mix).
     *
     * Scale shape: per-term tf columns are scan-stage `filter(toks, …)`
     * expressions (the query is a handful of literals — NO explode, NO
@@ -547,10 +550,17 @@ object Corpus {
     val scored = d.join(broadcast(st))
       .withColumn("nm",
         lit(1000L - bMilli) + expr(s"($bMilli * len) div avglen"))
+    // idf_ppm reaches ~1e6·n for rare terms and the tf factor ~2.2e6, so
+    // their product (and the tf numerator for multi-megatoken docs) runs
+    // through DECIMAL(38,0) — DuckDB computes the same products in
+    // HUGEINT, and both `div`s truncate toward zero, so parity holds
+    // with no 64-bit wrap on any corpus size (the former bigint product
+    // overflowed ANSI at ~8M documents).
     val score = idx.map { i =>
       expr(s"""CASE WHEN tf$i > 0 THEN
-        |(((1000000 * (n - df$i + 1)) div (df$i + 1)) *
-        | ((tf$i * ${k1Milli + 1000L} * CAST(1000000000 AS BIGINT)) div
+        |(CAST((1000000 * (CAST(n AS DECIMAL(38,0)) - df$i + 1)) div (df$i + 1)
+        |   AS DECIMAL(38,0)) *
+        | ((CAST(tf$i AS DECIMAL(38,0)) * ${k1Milli + 1000L} * 1000000000) div
         |  (tf$i * 1000000 + $k1Milli * nm))) div 1000000
         |ELSE CAST(0 AS BIGINT) END""".stripMargin.replace('\n', ' '))
     }.reduce(_ + _)

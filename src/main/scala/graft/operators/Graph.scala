@@ -54,6 +54,30 @@ object Graph {
       broadcastNodeLimit: Long = GraphTuning.Auto,
       symmetric: Boolean = false,
       coBucketEdgeThreshold: Long = 14000000L): DataFrame = {
+    val fin = math.max(iterations, 0)
+    pageRankIterates(edges, iterations, Set(fin), scale, dampingScaled,
+      broadcastNodeLimit, symmetric, coBucketEdgeThreshold)(fin)
+  }
+
+  /** [[pageRankFixedPoint]] with intermediate-iterate capture: ONE loop,
+    * one edge cache, one regime decision, one stats job — and every
+    * requested round's rank table returned alongside the final one.
+    * Convergence telemetry (q186: L1/max delta between rounds k and
+    * k+1) joins two captured iterates of a single run instead of
+    * re-running the whole fixed point per telemetry point — each round
+    * already localCheckpoints its rank table, so a capture is a free
+    * reference, not extra work. The final round is always included.
+    *
+    * @param captureAt round numbers to keep (1-based; values outside
+    *        [1, iterations] are ignored; `iterations` implied)
+    * @return round → (id, rank); key 0 holds the flat start when
+    *         `iterations <= 0` */
+  def pageRankIterates(edges: DataFrame, iterations: Int,
+      captureAt: Set[Int],
+      scale: Long = 1000000L, dampingScaled: Long = 850000L,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
+      symmetric: Boolean = false,
+      coBucketEdgeThreshold: Long = 14000000L): Map[Int, DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val spark = edges.sparkSession
     val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
@@ -97,8 +121,8 @@ object Graph {
         nodeEstimateSource = "stats-agg-hll",
         edgeEstimate = symStats.get.getLong(0),
         requestedLimit = broadcastNodeLimit)
-      return pageRankCoBucketed(edges, iterations, scale = scale,
-        dampingScaled = dampingScaled)
+      return pageRankCoBucketedIterates(edges, iterations, captureAt,
+        scale = scale, dampingScaled = dampingScaled)
     }
     // Degree is loop-invariant, so attach it in the SAME pass that
     // materializes the working edge table: a count window over src fuses
@@ -154,24 +178,28 @@ object Graph {
           .as("rank"))
         .localCheckpoint(true)
     }
+    val captures = scala.collection.mutable.Map[Int, DataFrame]()
     var ranks =
       if (iterations <= 0) allNodes.withColumn("rank", lit(scale)).localCheckpoint(true)
       else damped( // round 1 propagates the constant flat rank — no join
         ew.select(col("dst").as("id"), expr(s"$scale div deg").as("c"))
           .groupBy("id").agg(sum(col("c")).as("s")))
-    var it = 1
+    var it = if (iterations <= 0) 0 else 1
+    if (captureAt(it)) captures(it) = ranks
     while (it < iterations) {
       it += 1
       ranks = damped(ew
         .join(maybeB(ranks.withColumnRenamed("id", "src")), Seq("src"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s")))
+      if (captureAt(it)) captures(it) = ranks
     }
-    // final ranks are checkpointed (no lineage into the caches) — release
-    // the working tables so repeated invocations don't leak storage
+    captures(it) = ranks // final round always captured
+    // every captured table is checkpointed (no lineage into the caches) —
+    // release the working tables so repeated invocations don't leak storage
     nodes.foreach(_.unpersist(blocking = false))
     ew.unpersist(blocking = false)
-    ranks
+    captures.toMap
   }
 
   /** Weight-proportional PageRank, same integer fixed point as
@@ -510,7 +538,19 @@ object Graph {
   def pageRankCoBucketed(edges: DataFrame, iterations: Int,
       numBuckets: Int = 0, scale: Long = 1000000L,
       dampingScaled: Long = 850000L,
-      tablePrefix: String = "graft_pr"): DataFrame = {
+      tablePrefix: String = "graft_pr"): DataFrame =
+    pageRankCoBucketedIterates(edges, iterations, Set(iterations),
+      numBuckets, scale, dampingScaled, tablePrefix)(iterations)
+
+  /** Iterate-capturing form of [[pageRankCoBucketed]] (the co-bucketed
+    * leg of [[pageRankIterates]]): every round's rank table already
+    * exists as a bucketed work table, so capturing round k is one
+    * bucketed-table read + localCheckpoint before the `finally` drops
+    * the work tables. Same single-Exchange-per-round layout. */
+  def pageRankCoBucketedIterates(edges: DataFrame, iterations: Int,
+      captureAt: Set[Int], numBuckets: Int = 0, scale: Long = 1000000L,
+      dampingScaled: Long = 850000L,
+      tablePrefix: String = "graft_pr"): Map[Int, DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     require(iterations >= 1, "co-bucketed loop needs >= 1 iteration")
     val spark = edges.sparkSession
@@ -544,8 +584,12 @@ object Graph {
           coBucketedRound(spark, edgesTbl, rankTbl(it - 1), scale, dampingScaled),
           rankTbl(it), Seq("src"))
       }
-      spark.table(rankTbl(it))
-        .select(col("src").as("id"), col("rank")).localCheckpoint(true)
+      // Captures materialize (eager localCheckpoint) BEFORE the finally
+      // drops the bucketed work tables they read from.
+      (captureAt + it).filter(r => r >= 1 && r <= it).map { r =>
+        r -> spark.table(rankTbl(r))
+          .select(col("src").as("id"), col("rank")).localCheckpoint(true)
+      }.toMap
     } finally wt.dropAll()
   }
 
@@ -1807,8 +1851,14 @@ object Graph {
     val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
     val (nodeEst, nodeSrc) = edgeUpper match {
       case Some((u, s)) if 2 * u <= limit => (2 * u, s)
-      case _ => (2 * edges.agg(
-        approx_count_distinct(col("src")).as("n")).first().getLong(0), "hll")
+      // Estimate what actually broadcasts: the best table holds 2 rows
+      // per node of src∪dst (the tagged/doubled edge set makes every
+      // node a src). Counting only the ORIGINAL srcs under-estimates a
+      // hub-and-spokes graph by ~n and would wrongly license broadcast.
+      case _ => (2 * edges.select(col("src").cast("long").as("id"))
+        .unionByName(edges.select(col("dst").cast("long").as("id")))
+        .agg(approx_count_distinct(col("id")).as("n"))
+        .first().getLong(0), "hll")
     }
     val d = GraphTuning.decide(spark, "sccColoring", nodeEst, nodeSrc,
       edgeEstimate = edgeUpper.map(2 * _._1).getOrElse(-1L),

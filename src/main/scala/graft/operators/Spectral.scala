@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * to max-abs = `normScale` after every half-matvec with truncating
   * integer division (Spark `div` and DuckDB `//` both truncate toward
   * zero — measured, not assumed), so every round is bit-reproducible
-  * across engines, partitionings and reruns. Overflow headroom:
-  * |Σ qx·u'| ≤ quantScale·normScale·rows, safe through ~1.5e9 rows at
-  * the defaults; drop `normScale` for more.
+  * across engines, partitionings and reruns. Overflow headroom: the
+  * renormalization multiply routes through DECIMAL(38,0) (DuckDB runs
+  * the same product in HUGEINT — both truncate toward zero, so parity
+  * holds while neither side can wrap 64 bits), leaving the matvec sum
+  * |Σ qx·u'| ≤ quantScale·normScale·rows as the only 64-bit bound —
+  * safe through ~9e8 rows at the defaults; drop `normScale` for more.
   *
   * Scale shape per round: one (vid)-keyed agg for the forward matvec
   * (u = A·v, broadcast of the d-row iterate into the scan), one
@@ -54,13 +57,14 @@ object Spectral {
       val mu = u.agg(max(abs(col("u")))).first().getLong(0)
       require(mu > 0, "power iteration hit an all-zero iterate")
       val un = u.select(col("vid"),
-        expr(s"(u * $normScale) div $mu").as("un"))
+        expr(s"(CAST(u AS DECIMAL(38,0)) * $normScale) div $mu").as("un"))
       val w = q.join(un, Seq("vid"))
         .groupBy("pos").agg(sum(col("qx") * col("un")).as("w"))
         .localCheckpoint(true)
       val mw = w.agg(max(abs(col("w")))).first().getLong(0)
       require(mw > 0, "power iteration hit an all-zero iterate")
-      v = w.select(col("pos"), expr(s"(w * $normScale) div $mw").as("v"))
+      v = w.select(col("pos"),
+        expr(s"(CAST(w AS DECIMAL(38,0)) * $normScale) div $mw").as("v"))
         .localCheckpoint(true)
     }
     q.unpersist(blocking = false)

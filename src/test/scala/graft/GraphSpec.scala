@@ -36,6 +36,44 @@ class GraphSpec extends SparkSpec {
     assert(small == big)
   }
 
+  test("pageRankIterates: captured rounds are bit-identical to standalone runs") {
+    val pairs = (Seq.tabulate(30)(i => (90L, i.toLong + 1)) ++
+      Seq.tabulate(50)(i => (i.toLong + 1, (i + 1).toLong % 50 + 1)))
+      .filter { case (a, b) => a != b }.distinct
+    val e = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val its = Graph.pageRankIterates(e, iterations = 3, captureAt = Set(1, 2),
+      symmetric = true)
+    assert(its.keySet == Set(1, 2, 3)) // final round always present
+    for (k <- 1 to 3) {
+      val want = Graph.pageRankFixedPoint(e, iterations = k, symmetric = true)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      val got = its(k).orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(got == want, s"round $k capture diverged")
+    }
+    // out-of-range capture requests are ignored, final still returned
+    val only = Graph.pageRankIterates(e, iterations = 2, captureAt = Set(0, 9),
+      symmetric = true)
+    assert(only.keySet == Set(2))
+  }
+
+  test("co-bucketed iterate capture matches the broadcast-regime rounds") {
+    val pairs = (Seq.tabulate(20)(i => (70L, i.toLong + 1)) ++
+      Seq.tabulate(40)(i => (i.toLong + 1, (i + 1).toLong % 40 + 1)))
+      .filter { case (a, b) => a != b }.distinct
+    val e = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val its = Graph.pageRankCoBucketedIterates(e, iterations = 3,
+      captureAt = Set(2), numBuckets = 4, tablePrefix = "graftspec_pri")
+    assert(its.keySet == Set(2, 3))
+    for (k <- Seq(2, 3)) {
+      val want = Graph.pageRankFixedPoint(e, iterations = k, symmetric = true)
+        .orderBy("id").as[(Long, Long)].collect().toSeq
+      assert(its(k).orderBy("id").as[(Long, Long)].collect().toSeq == want)
+    }
+    // captures stay readable after the work tables are dropped
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graftspec_pri")))
+  }
+
   test("co-bucketed regime matches the broadcast regime bit-for-bit") {
     // symmetric graph (the regime's contract), mixed hub + ring
     val pairs = (Seq.tabulate(40)(i => (100L, i.toLong + 1)) ++

@@ -413,6 +413,17 @@ class MultimodalSpec extends SparkSpec {
     val nulls = Multimodal.audioFingerprint(media)
       .filter(col("afp").isNull).as[(Long, Option[Long])].collect().toSeq
     assert(nulls == Seq((2L, None)))
+    // UNDECODABLE (non-WAV) payloads also emit null instead of failing
+    // the task — the imageDHash absence contract
+    val garbage = Multimodal.fromSyntheticAudio(docs)
+      .select(col("media_id"),
+        when(col("media_id") === 42L,
+          lit("not a riff header at all".getBytes("UTF-8")))
+          .otherwise(col("payload")).as("payload"))
+    val mixed = Multimodal.audioFingerprint(garbage)
+      .orderBy("media_id").as[(Long, Option[Long])].collect().toSeq
+    assert(mixed.map(_._1) == Seq(1L, 2L, 42L))
+    assert(mixed(2)._2.isEmpty && mixed(0)._2.nonEmpty && mixed(1)._2.nonEmpty)
   }
 
   test("dHash64: re-encode-invariant, pixel-sensitive, null-safe") {

@@ -33,6 +33,18 @@ class SpectralSpec extends SparkSpec {
     assert(rep == v)
   }
 
+  test("dominantDirection: renormalization survives iterates past 64-bit products") {
+    // quantScale = 1e9 makes the matvec outputs ~1e16, so the former
+    // bigint renorm product (w * normScale ≈ 1e22) wrapped 64 bits and
+    // threw under ANSI — the DECIMAL(38,0) route must stay exact. The
+    // 1-vector fixed point is still the vector itself.
+    val e = Seq((1L, Array(6.0f, 8.0f))).toDF("vec_id", "embedding")
+    val v = Spectral.dominantDirection(e, "vec_id", "embedding",
+      rounds = 2, quantScale = 1000000000L)
+      .as[(Int, Long)].collect().toMap
+    assert(v == Map(0 -> 750000L, 1 -> 1000000L))
+  }
+
   test("labelProjections: drifted label separates, exact integer means") {
     // label 0 sits at +x, label 1 at -x; direction is the x axis, so
     // the mean projections must straddle zero and mirror approximately
