@@ -2832,12 +2832,125 @@ object SparkEntry {
           expr("CAST(round(value * 100) AS BIGINT)").as("c"))
         .groupBy("dow", "hr")
         .agg(count(lit(1)).as("n"), sum("c").as("total_c"))
-        .orderBy("dow", "hr"))
+        .orderBy("dow", "hr")),
+
+    // First-seen bigram novelty curve per 50-doc ingest bucket — the
+    // marginal-value telemetry that gates further ingestion from a
+    // source (Corpus.ngramNovelty: map-side gram dedup, one gram-keyed
+    // window, one bucket agg).
+    "q193_ngram_novelty" -> ((s, dir) =>
+      Corpus.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 2, bucketSize = 50L)),
+
+    // Order-independent content checksums for three tables in one sync
+    // report — count parity upgraded to content parity
+    // (Validations.tableChecksum: scan-stage md5 prefix, one single-row
+    // agg per table, zero wide exchanges).
+    "q194_table_checksum" -> ((s, dir) =>
+      checks.Validations.tableChecksum(Tables.orders(s, dir), "orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .unionByName(checks.Validations.tableChecksum(
+          Tables.lineitem(s, dir), "lineitem",
+          Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
+        .unionByName(checks.Validations.tableChecksum(
+          Tables.customer(s, dir), "customer",
+          Seq("c_custkey", "c_nationkey")))
+        .orderBy("tbl")),
+
+    // Exact chi-square independence of (lang, source) — the
+    // composition-drift test a dataset release runs; full grid
+    // including zero cells, integer-ppm statistic, one corpus-sized
+    // exchange (Aggregations.chiSquareIndependence).
+    "q195_chi2_mix" -> ((s, dir) =>
+      Aggregations.chiSquareIndependence(Tables.documents(s, dir),
+        "lang", "source")),
+
+    // Watermark-bounded stream dedup, batch-parity path: replayed
+    // event_ids (exact copies, the at-least-once redelivery shape)
+    // collapse before a per-type rollup — streaming side is
+    // spec-driven (StreamDedupSpec), this gates the batch semantics
+    // through DuckDB.
+    "q196_stream_dedup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val withDupes = ev.unionByName(ev.filter(col("event_id") % 7 === 0))
+      streaming.StreamDedup.dedupWithinWatermark(withDupes,
+          Seq("event_id"), "ts", "10 minutes")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_c"))
+        .orderBy("event_type")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q193_ngram_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+        |  string_split_regex(lower(trim(text)), '\s+') AS t0 FROM documents),
+        |dg AS (SELECT doc_id,
+        |  unnest(list_distinct(list_transform(generate_series(1, len(t0) - 1),
+        |    i -> ('0x' || substr(md5(t0[i] || ' ' || t0[i+1]), 1, 8))::BIGINT
+        |      % 2147483647))) AS g
+        | FROM tk),
+        |fs AS (SELECT doc_id, g,
+        |  min(doc_id) OVER (PARTITION BY g) AS first_id FROM dg)
+        |SELECT doc_id // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST((sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM fs GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q194_table_checksum" ->
+      """WITH ho AS (SELECT ('0x' || substr(md5(
+        |    concat_ws('|', o_orderkey, o_custkey, o_orderstatus)), 1, 8))::BIGINT
+        |    AS h FROM orders),
+        |hl AS (SELECT ('0x' || substr(md5(concat_ws('|', l_orderkey,
+        |    l_linenumber, l_partkey, l_suppkey)), 1, 8))::BIGINT AS h
+        |  FROM lineitem),
+        |hc AS (SELECT ('0x' || substr(md5(
+        |    concat_ws('|', c_custkey, c_nationkey)), 1, 8))::BIGINT AS h
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+        |    CAST(sum(h) % 2147483647 AS BIGINT) AS sum_sig FROM ho
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+        |    CAST(bit_xor(h) AS BIGINT),
+        |    CAST(sum(h) % 2147483647 AS BIGINT) FROM hl
+        |  UNION ALL
+        |  SELECT 'customer', CAST(count(*) AS BIGINT),
+        |    CAST(bit_xor(h) AS BIGINT),
+        |    CAST(sum(h) % 2147483647 AS BIGINT) FROM hc)
+        |ORDER BY tbl""".stripMargin,
+
+    "q195_chi2_mix" ->
+      """WITH ob AS (SELECT lang AS r, source AS c, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o) AS rt FROM ob GROUP BY 1),
+        |ct AS (SELECT c, sum(o) AS ct FROM ob GROUP BY 1),
+        |m AS (SELECT (SELECT sum(rt) FROM rt) AS n,
+        |  (SELECT count(*) FROM rt) AS nr,
+        |  (SELECT count(*) FROM ct) AS nc),
+        |cells AS (SELECT rt.rt, ct.ct, coalesce(ob.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN ob ON ob.r = rt.r AND ob.c = ct.c)
+        |SELECT CAST(max(m.n) AS BIGINT) AS n,
+        |  CAST(max(m.nr) AS BIGINT) AS n_row_cats,
+        |  CAST(max(m.nc) AS BIGINT) AS n_col_cats,
+        |  CAST(max((m.nr - 1) * (m.nc - 1)) AS BIGINT) AS dof,
+        |  CAST(sum(((o * m.n - rt * ct) * (o * m.n - rt * ct) * 1000000)
+        |    // (m.n * rt * ct)) AS BIGINT) AS chi2_ppm
+        |FROM cells CROSS JOIN m""".stripMargin,
+
+    "q196_stream_dedup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
     "q192_activity_heatmap" ->
       """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
         |  (epoch_us(ts) // 3600000000) % 24 AS hr,

@@ -41,6 +41,41 @@ object Validations {
         col("max_card"))
   }
 
+  /** Order-independent table checksum — the content-equality upgrade of
+    * V1's count parity (`validate_bt_bq_counts`,
+    * `airflow/bitquery.py:354-424`): two systems can agree on COUNT
+    * while rows differ; agreeing on (count, xor-of-row-hashes,
+    * sum-of-row-hashes mod p) makes silent row corruption/divergence
+    * visible without moving either table. One summary row per call so
+    * many tables union into a single sync report.
+    *
+    * Scale shape: the row hash (md5 prefix of the '|'-joined key
+    * columns — the PORTABLE md5 family, identical in DuckDB) is
+    * scan-stage expression work; the whole check is one single-row
+    * partial+final aggregate — zero wide exchanges, nothing collected.
+    * XOR commutes and never overflows; the sum rides DECIMAL(38,0)
+    * (DuckDB sums in HUGEINT) and reduces mod 2^31−1, so both
+    * signatures are exact at any row count and partitioning.
+    *
+    * @param keyCols integer/string columns whose canonical cast
+    *        stringification matches across engines (stick to integer
+    *        keys and raw strings; floats/timestamps stringify
+    *        differently) */
+  def tableChecksum(df: DataFrame, name: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val h = conv(substring(md5(
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*)
+          .cast("binary")), 1, 8), 16, 10).cast("long")
+    df.select(h.as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_sig"),
+        expr("CAST(CAST(sum(__h) AS DECIMAL(38,0)) % 2147483647 AS BIGINT)")
+          .as("sum_sig"))
+      .select(lit(name).as("tbl"), col("n_rows"), col("xor_sig"),
+        col("sum_sig"))
+  }
+
   /** V2 price sanity (`check_prices`, `coinprice/pricing_checks.py:76-120`):
     *  - the native token's price must be > 0
     *  - fewer than half the tokens may be zero-priced

@@ -162,6 +162,52 @@ object Aggregations {
       .agg(qAggs.head, qAggs.tail :+ max(col("__tw")).as("total_w"): _*)
   }
 
+  /** Exact chi-square independence statistic for two categorical
+    * columns — the composition-drift test a dataset release runs
+    * (is `lang` independent of `source`? did this month's mix shift?).
+    * Pearson's X² = Σ_cells (o·n − r·c)² / (n·r·c) over the FULL
+    * r×c contingency grid, zero cells included (their (r·c/n) term is
+    * exactly what the sparse-join formulation would drop), reported in
+    * integer ppm: each cell's term is ((o·n − r·c)² · 10⁶) div (n·r·c)
+    * with the products in DECIMAL(38,0) — DuckDB runs the same
+    * arithmetic in HUGEINT and both `div`s truncate toward zero, so
+    * the statistic is hash-exact cross-engine at any corpus size (the
+    * all-long version would wrap at o·n > 2⁶³).
+    *
+    * Scale shape: one (row,col)-keyed partial+final count agg over the
+    * corpus — the only corpus-sized exchange — then category-sized
+    * aggs; the dense grid is a BROADCAST cross join of the two margin
+    * tables (categories × categories rows, never corpus rows) left-
+    * joined with observed counts. Output is one row.
+    *
+    * @return (n, n_rows_cat, n_cols_cat, dof, chi2_ppm) */
+  def chiSquareIndependence(df: DataFrame, rowCol: String,
+      colCol: String): DataFrame = {
+    // the contingency table feeds THREE branches (row margins, col
+    // margins, cells) — materialize the corpus-sized agg once
+    val o = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint(true)
+    val rt = o.groupBy("__r").agg(sum("__o").as("__rt"))
+    val ct = o.groupBy("__c").agg(sum("__o").as("__ct"))
+    val margins = rt.agg(count(lit(1)).as("__nr"), sum("__rt").as("__n"))
+      .crossJoin(ct.agg(count(lit(1)).as("__nc")))
+    val term = expr(
+      """((CAST(__o AS DECIMAL(38,0)) * __n - CAST(__rt AS DECIMAL(38,0)) * __ct)
+        | * (CAST(__o AS DECIMAL(38,0)) * __n - CAST(__rt AS DECIMAL(38,0)) * __ct)
+        | * 1000000) div (CAST(__n AS DECIMAL(38,0)) * __rt * __ct)"""
+        .stripMargin.replace('\n', ' '))
+    broadcast(rt).crossJoin(broadcast(ct))
+      .join(o, Seq("__r", "__c"), "left")
+      .select(col("__rt"), col("__ct"), coalesce(col("__o"), lit(0L)).as("__o"))
+      .crossJoin(broadcast(margins))
+      .agg(max(col("__n")).cast("long").as("n"),
+        max(col("__nr")).cast("long").as("n_row_cats"),
+        max(col("__nc")).cast("long").as("n_col_cats"),
+        max((col("__nr") - 1) * (col("__nc") - 1)).cast("long").as("dof"),
+        sum(term).as("chi2_ppm"))
+  }
+
   /** Exact per-group Pearson correlation of two INTEGER-encoded
     * columns — the feature-vs-feature dependence screen (length vs
     * quality score per source, price vs quantity per class). The

@@ -413,6 +413,42 @@ object Corpus {
           .cast("int"))
   }
 
+  /** First-seen n-gram novelty curve — the marginal-value telemetry a
+    * crawl / training-mix pipeline tracks as data accumulates: bucket
+    * the corpus by ingest order (`idCol div bucketSize`) and report,
+    * per bucket, the distinct gram occurrences it contributes and the
+    * fraction never seen in any earlier document. A flattening curve
+    * is the "additional data is redundant" signal that gates further
+    * ingestion from a source. (Reference analog: incremental-load
+    * accounting, dataengineering/airflow/bitquery.py sync windows.)
+    *
+    * Scale shape: per-doc gram sets build MAP-SIDE (`array_distinct`
+    * before explode — no corpus-wide distinct shuffle) over the
+    * portable md5-31 gram family; ONE gram-keyed window attaches each
+    * gram's global first-seen doc id, and the bucket rollup is a
+    * second narrow partial agg — two exchanges total, both carrying
+    * (8-byte id, 8-byte hash) pairs, never text. Integer ppm keeps the
+    * ratio hash-exact cross-engine.
+    *
+    * @return (bucket, n_grams, n_new, novelty_ppm) ordered by bucket */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 2, bucketSize: Long = 50L): DataFrame = {
+    require(shingleSize >= 1, "shingleSize must be >= 1")
+    require(bucketSize >= 1, "bucketSize must be >= 1")
+    val pairs = docs.select(col(idCol).cast("long").as("__id"),
+      explode(array_distinct(graft.expressions.TextHash.shingleHashes31(
+        col(textCol), shingleSize))).as("__g"))
+    val first = pairs.withColumn("__first",
+      min(col("__id")).over(Window.partitionBy(col("__g"))))
+    first.groupBy(expr(s"__id div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__id") === col("__first"), 1L).otherwise(0L))
+          .as("n_new"))
+      .select(col("bucket"), col("n_grams"), col("n_new"),
+        expr("(n_new * 1000000) div n_grams").as("novelty_ppm"))
+      .orderBy("bucket")
+  }
+
   /** Winnowed document fingerprints (the MOSS local fingerprinting
     * scheme): hash every word `n`-gram, slide a window over `w`
     * consecutive gram hashes, keep each window's minimum — rightmost

@@ -112,6 +112,27 @@ class AggregationsSpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("chiSquareIndependence: exact hand case incl. zero cells, independence reads 0") {
+    // perfectly independent 2x2: every cell o = rt*ct/n exactly → X² = 0
+    val indep = Seq.tabulate(8)(i =>
+      (if (i % 2 == 0) "r0" else "r1", if (i % 4 < 2) "c0" else "c1"))
+      .toDF("r", "c")
+    val gi = Aggregations.chiSquareIndependence(indep, "r", "c")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gi == ((8L, 2L, 2L, 1L, 0L)))
+    // fully dependent 2x2 (diagonal): o*n - rt*ct = ±4 per cell, incl.
+    // the two ZERO cells; each term (16*1e6)/(4*2*2) = 1e6 → X² = 4e6 ppm
+    val dep = Seq(("r0", "c0"), ("r0", "c0"), ("r1", "c1"), ("r1", "c1"))
+      .toDF("r", "c")
+    val gd = Aggregations.chiSquareIndependence(dep, "r", "c")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gd == ((4L, 2L, 2L, 1L, 4000000L)))
+    // partitioning cannot move the statistic (pure integer arithmetic)
+    val gp = Aggregations.chiSquareIndependence(dep.repartition(5), "r", "c")
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(gp == gd)
+  }
+
   test("groupedPearson: exact ±1 hand cases, zero-variance group dropped") {
     val df = Seq(
       ("p", 1L, 2L), ("p", 2L, 4L), ("p", 3L, 6L),   // y = 2x  -> r = 1

@@ -382,6 +382,28 @@ class CorpusSpec extends SparkSpec {
     assert(ranks == Map(6L -> 1L, 7L -> 2L))
   }
 
+  test("ngramNovelty: first-seen attribution, within-doc dedup, partitioning") {
+    // bucketSize=2: bucket 0 = docs {0,1}, bucket 1 = docs {2,3}.
+    // doc 0: grams {a b, b a} (the repeat "a b" dedups within-doc)
+    // doc 1: {a b}           — seen (doc 0)
+    // doc 2: {c d}           — new
+    // doc 3: {a b, b c}      — "a b" seen, "b c" new
+    val docs = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c d"),
+      (3L, "a b c")).toDF("doc_id", "text")
+    val got = Corpus.ngramNovelty(docs, "doc_id", "text",
+      shingleSize = 2, bucketSize = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 2L, 666666L), (1L, 3L, 2L, 666666L)))
+    val rep = Corpus.ngramNovelty(docs.repartition(7), "doc_id", "text",
+      shingleSize = 2, bucketSize = 2L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rep == got)
+    // docs shorter than the gram width contribute nothing
+    val tiny = Corpus.ngramNovelty(Seq((1L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text", shingleSize = 2, bucketSize = 2L)
+    assert(tiny.count() == 0L)
+  }
+
   test("hashedBagOfWords: signed sums match a driver-side md5 replay") {
     val docs = Seq((1L, "a b a c"), (2L, "b b"), (3L, ""))
       .toDF("doc_id", "text")

@@ -25,6 +25,30 @@ class ValidationsSpec extends SparkSpec {
     assert(!rs("no_missing_tokens"))    // MISSING has no price
   }
 
+  test("tableChecksum: order/partitioning-independent, content-sensitive") {
+    val rows = Seq((1L, 10L, "A"), (2L, 20L, "B"), (3L, 30L, "C"))
+    val base = rows.toDF("k", "fk", "s")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      Validations.tableChecksum(df, "t", Seq("k", "fk", "s"))
+        .as[(String, Long, Long, Long)].collect().head
+    val a = sig(base.repartition(1))
+    val b = sig(base.orderBy(col("k").desc).repartition(7))
+    assert(a == b) // xor and modular sum commute — layout can't matter
+    // one changed VALUE at equal row count flips both signatures
+    val drifted = sig(Seq((1L, 10L, "A"), (2L, 21L, "B"), (3L, 30L, "C"))
+      .toDF("k", "fk", "s"))
+    assert(drifted._2 == a._2 && drifted._3 != a._3 && drifted._4 != a._4)
+    // signatures match a driver-side md5 replay of the same canonical form
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = rows.map { case (k, fk, s) =>
+      val hex = md.digest(s"$k|$fk|$s".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    assert(a._2 == 3L && a._3 == hs.reduce(_ ^ _) &&
+      a._4 == hs.sum % 2147483647L)
+  }
+
   test("fdAudit: held and violated dependencies, duplicate-insensitive") {
     // key 1 maps to {x, y} (violates), key 2 maps to {z} — and the
     // repeated (1, x) row must not inflate any count
