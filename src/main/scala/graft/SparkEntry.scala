@@ -2880,12 +2880,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(expr("CAST(round(value * 100) AS BIGINT)")).as("total_c"))
         .orderBy("event_type")
-    })
+    }),
+
+    // Top-2 drift plane: dominant direction + exactly-deflated second
+    // direction (Spectral.deflatedDirections — integer deflation, the
+    // residual pass in DECIMAL(38,0) ≙ DuckDB HUGEINT, oracle replays
+    // both loops round-for-round).
+    "q197_drift_plane" -> ((s, dir) =>
+      Spectral.deflatedDirections(Tables.embeddings(s, dir),
+        "vec_id", "embedding", rounds = 2))
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q197_drift_plane" -> {
+      def loop(pfx: String, src: String, acc: String) = (1 to 2).map { k =>
+        val prev = if (k == 1) s"${pfx}0" else s"$pfx${k - 1}"
+        s"""${pfx}u$k AS MATERIALIZED (SELECT vid, sum($acc * v) AS u
+           |  FROM $src JOIN $prev USING (pos) GROUP BY vid),
+           |${pfx}mu$k AS MATERIALIZED (SELECT max(abs(u)) AS m FROM ${pfx}u$k),
+           |${pfx}un$k AS MATERIALIZED (SELECT vid, (u * 1000000) // m AS un
+           |  FROM ${pfx}u$k, ${pfx}mu$k),
+           |${pfx}w$k AS MATERIALIZED (SELECT pos, sum($acc * un) AS w
+           |  FROM $src JOIN ${pfx}un$k USING (vid) GROUP BY pos),
+           |${pfx}mw$k AS MATERIALIZED (SELECT max(abs(w)) AS m FROM ${pfx}w$k),
+           |$pfx$k AS MATERIALIZED (SELECT pos, (w * 1000000) // m AS v
+           |  FROM ${pfx}w$k, ${pfx}mw$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS vid,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5)
+         |      AS BIGINT) AS qx
+         |  FROM embeddings),
+         |a0 AS MATERIALIZED (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM q),
+         |${loop("a", "q", "qx")},
+         |g AS MATERIALIZED (SELECT sum(v * v) AS g FROM a2),
+         |pj AS MATERIALIZED (SELECT vid, sum(qx * v) AS p
+         |  FROM q JOIN a2 USING (pos) GROUP BY vid),
+         |r AS MATERIALIZED (SELECT q.vid, q.pos,
+         |  CAST(qx AS HUGEINT) * g.g - CAST(pj.p AS HUGEINT) * a2.v AS qr
+         |  FROM q JOIN pj USING (vid) JOIN a2 USING (pos) CROSS JOIN g),
+         |b0 AS MATERIALIZED (SELECT DISTINCT pos, CAST(1000000 AS BIGINT) AS v FROM r),
+         |${loop("b", "r", "qr")}
+         |SELECT a2.pos, CAST(a2.v AS BIGINT) AS v1, CAST(b2.v AS BIGINT) AS v2
+         |FROM a2 JOIN b2 USING (pos) ORDER BY a2.pos""".stripMargin
+    },
+
     "q193_ngram_novelty" ->
       """WITH tk AS (SELECT doc_id,
         |  string_split_regex(lower(trim(text)), '\s+') AS t0 FROM documents),

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /** Spectral embedding analytics — the dominant principal direction of
   * the corpus Gram matrix (Aᵀ·A, A = row-per-vector) by fixed-point
-  * power iteration. The leading direction is the workhorse for
+  * power iteration, and the deflated SECOND direction (the top-2 drift
+  * plane). The leading directions are the workhorse for
   * embedding-drift monitoring, whitening and 1-bit semantic hashing;
   * at corpus scale the only tractable route is exactly this matvec
   * pair, never an explicit d×d eigensolve of materialized floats.
@@ -23,6 +24,9 @@ import org.apache.spark.sql.functions._
   * holds while neither side can wrap 64 bits), leaving the matvec sum
   * |Σ qx·u'| ≤ quantScale·normScale·rows as the only 64-bit bound —
   * safe through ~9e8 rows at the defaults; drop `normScale` for more.
+  * The deflated pass runs its sums in DECIMAL(38,0) outright (residual
+  * magnitudes carry the v₁ Gram factor), pushing its bound to ~1e13
+  * rows at the defaults.
   *
   * Scale shape per round: one (vid)-keyed agg for the forward matvec
   * (u = A·v, broadcast of the d-row iterate into the scan), one
@@ -33,6 +37,50 @@ import org.apache.spark.sql.functions._
   */
 object Spectral {
 
+  private def quantize(embeddings: DataFrame, idCol: String,
+      vecCol: String, quantScale: Long): DataFrame =
+    embeddings.select(col(idCol).as("vid"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("vid"), col("pos"),
+        floor(col("x").cast("double") * quantScale + 0.5).cast("long")
+          .as("qx"))
+
+  /** The fixed-point loop over a (vid, pos, qx) triple frame. With
+    * `decimalSums` the matvec aggregates run in DECIMAL(38,0) (for the
+    * deflated pass, whose triples carry the v₁ Gram factor); the
+    * returned iterate components are BIGINT either way. */
+  private def powerLoop(q: DataFrame, rounds: Int, normScale: Long,
+      decimalSums: Boolean): DataFrame = {
+    val acc = if (decimalSums) "CAST(qx AS DECIMAL(38,0))" else "qx"
+    var v = q.select("pos").distinct()
+      .select(col("pos"), lit(normScale).as("v"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val u = q.join(broadcast(v), Seq("pos"))
+        .groupBy("vid").agg(sum(expr(s"$acc * v")).as("u"))
+        .localCheckpoint(true)
+      val mu = u.agg(max(abs(col("u")))).first().get(0)
+      require(mu != null && java.math.BigDecimal.valueOf(0)
+        .compareTo(new java.math.BigDecimal(mu.toString)) < 0,
+        "power iteration hit an all-zero iterate")
+      val un = u.select(col("vid"),
+        expr(s"CAST((CAST(u AS DECIMAL(38,0)) * $normScale) div " +
+          s"CAST('$mu' AS DECIMAL(38,0)) AS BIGINT)").as("un"))
+      val w = q.join(un, Seq("vid"))
+        .groupBy("pos").agg(sum(expr(s"$acc * un")).as("w"))
+        .localCheckpoint(true)
+      val mw = w.agg(max(abs(col("w")))).first().get(0)
+      require(mw != null && java.math.BigDecimal.valueOf(0)
+        .compareTo(new java.math.BigDecimal(mw.toString)) < 0,
+        "power iteration hit an all-zero iterate")
+      v = w.select(col("pos"),
+        expr(s"CAST((CAST(w AS DECIMAL(38,0)) * $normScale) div " +
+          s"CAST('$mw' AS DECIMAL(38,0)) AS BIGINT)").as("v"))
+        .localCheckpoint(true)
+    }
+    v
+  }
+
   /** @param rounds full power-iteration rounds (v ← norm(Aᵀ norm(A v)))
     * @return (pos, v) — the direction after `rounds` rounds, 0-based
     *         component index, max-abs component = `normScale` */
@@ -41,34 +89,47 @@ object Spectral {
       normScale: Long = 1000000L): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     require(quantScale >= 1 && normScale >= 1, "scales must be >= 1")
-    val q = embeddings.select(col(idCol).as("vid"),
-        posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .select(col("vid"), col("pos"),
-        floor(col("x").cast("double") * quantScale + 0.5).cast("long")
-          .as("qx"))
-      .cache()
-    var v = q.select("pos").distinct()
-      .select(col("pos"), lit(normScale).as("v"))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val u = q.join(broadcast(v), Seq("pos"))
-        .groupBy("vid").agg(sum(col("qx") * col("v")).as("u"))
-        .localCheckpoint(true)
-      val mu = u.agg(max(abs(col("u")))).first().getLong(0)
-      require(mu > 0, "power iteration hit an all-zero iterate")
-      val un = u.select(col("vid"),
-        expr(s"(CAST(u AS DECIMAL(38,0)) * $normScale) div $mu").as("un"))
-      val w = q.join(un, Seq("vid"))
-        .groupBy("pos").agg(sum(col("qx") * col("un")).as("w"))
-        .localCheckpoint(true)
-      val mw = w.agg(max(abs(col("w")))).first().getLong(0)
-      require(mw > 0, "power iteration hit an all-zero iterate")
-      v = w.select(col("pos"),
-        expr(s"(CAST(w AS DECIMAL(38,0)) * $normScale) div $mw").as("v"))
-        .localCheckpoint(true)
-    }
+    val q = quantize(embeddings, idCol, vecCol, quantScale).cache()
+    val v = powerLoop(q, rounds, normScale, decimalSums = false)
     q.unpersist(blocking = false)
     v
+  }
+
+  /** Second principal direction by exact integer deflation: remove
+    * each row's v₁ component in the v₁-Gram-scaled residual
+    * qr = qx·g − p·v₁(pos) (g = Σ v₁², p = ⟨qx, v₁⟩ per row — both
+    * exact integers, so the residual is EXACTLY v₁-orthogonal up to
+    * quantization, no truncating division enters the deflation
+    * itself), then power-iterate the residual triples with
+    * DECIMAL(38,0) matvec sums. The (v₁, v₂) pair is the drift PLANE:
+    * one direction flags scale drift, two separate rotation from
+    * translation. Two extra exchanges over [[dominantDirection]]: the
+    * d-row projection agg (vid-keyed) and the residual build — the
+    * corpus triples shuffle no more than the single-direction pass.
+    *
+    * @return (pos, v1, v2) — both max-abs-normalized to `normScale` */
+  def deflatedDirections(embeddings: DataFrame, idCol: String,
+      vecCol: String, rounds: Int, quantScale: Long = 10000L,
+      normScale: Long = 1000000L): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(quantScale >= 1 && normScale >= 1, "scales must be >= 1")
+    val q = quantize(embeddings, idCol, vecCol, quantScale).cache()
+    val v1 = powerLoop(q, rounds, normScale, decimalSums = false)
+    val g = v1.agg(sum(col("v") * col("v"))).first().getLong(0)
+    val p = q.join(broadcast(v1), Seq("pos"))
+      .groupBy("vid").agg(sum(col("qx") * col("v")).as("p"))
+    val resid = q.join(p, Seq("vid"))
+      .join(broadcast(v1), Seq("pos"))
+      .select(col("vid"), col("pos"),
+        expr(s"CAST(qx AS DECIMAL(38,0)) * $g - CAST(p AS DECIMAL(38,0)) * v")
+          .as("qx"))
+      .cache()
+    val v2 = powerLoop(resid, rounds, normScale, decimalSums = true)
+    resid.unpersist(blocking = false)
+    q.unpersist(blocking = false)
+    v1.withColumnRenamed("v", "v1")
+      .join(v2.withColumnRenamed("v", "v2"), Seq("pos"))
+      .orderBy("pos")
   }
 
   /** Per-label mean projection onto the [[dominantDirection]] — the

@@ -45,6 +45,26 @@ class SpectralSpec extends SparkSpec {
     assert(v == Map(0 -> 750000L, 1 -> 1000000L))
   }
 
+  test("deflatedDirections: second axis recovered, partition-independent") {
+    // dominant x spread + independent weaker y spread: v1 ~ x-axis, and
+    // after exact deflation the residual iteration must find ~y
+    val rows = Seq(
+      (1L, Array(1.0f, 0.3f)), (2L, Array(-1.0f, 0.3f)),
+      (3L, Array(0.9f, -0.3f)), (4L, Array(-0.9f, -0.3f)),
+      (5L, Array(1.0f, 0.29f)), (6L, Array(-1.0f, -0.29f)))
+    val e = rows.toDF("vec_id", "embedding")
+    val got = Spectral.deflatedDirections(e, "vec_id", "embedding",
+      rounds = 3).as[(Int, Long, Long)].collect().sortBy(_._1)
+    val v1 = got.map(_._2); val v2 = got.map(_._3)
+    assert(math.abs(v1(0)) == 1000000L && math.abs(v1(1)) < 400000L,
+      s"v1 should hug x: ${v1.toSeq}")
+    assert(math.abs(v2(1)) == 1000000L && math.abs(v2(0)) < 400000L,
+      s"v2 should hug y: ${v2.toSeq}")
+    val rep = Spectral.deflatedDirections(e.repartition(5), "vec_id",
+      "embedding", rounds = 3).as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq == got.toSeq)
+  }
+
   test("labelProjections: drifted label separates, exact integer means") {
     // label 0 sits at +x, label 1 at -x; direction is the x axis, so
     // the mean projections must straddle zero and mirror approximately
