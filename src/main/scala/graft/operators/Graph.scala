@@ -1648,9 +1648,21 @@ object Graph {
     TriangleStream(tris, deg, small, oriented.toSeq :+ deg)
   }
 
+  /** `broadcastEdgeLimit` (the adjacency-intersection vs wedge+Bloom
+    * switch for the whole triangle family) was raised 8M → 32M in
+    * round 10 from a measured grid (graft.Crossover `tri` family,
+    * honest AQE-disabled arms, CROSSOVER.json
+    * `triangle_family_broadcastEdgeLimit`): adjacency-intersection won
+    * 1.8× at 8.5M canonical edges (10.91 s vs 19.82), 3.2× at 16M
+    * (9.83 vs 31.04) and 2.3× at 32M (42.23 vs 95.75) — the wedge
+    * regime never wins inside the measured range. The true ceiling is
+    * EXECUTOR MEMORY, not time: the broadcast adjacency costs
+    * ~8 B/edge per executor copy (32M edges ≈ 256 MB), so
+    * memory-tight clusters should lower the limit; the wedge+Bloom
+    * regime remains the only option once the adjacency cannot fit. */
   def triangleCounts(edges: DataFrame,
       broadcastNodeLimit: Long = GraphTuning.Auto,
-      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
+      broadcastEdgeLimit: Long = 32000000L): DataFrame = {
     val canon = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -1708,7 +1720,7 @@ object Graph {
     * @return (id, degree, triangles, cc_ppm) for every node */
   def clusteringCoefficient(edges: DataFrame,
       broadcastNodeLimit: Long = GraphTuning.Auto,
-      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
+      broadcastEdgeLimit: Long = 32000000L): DataFrame = {
     // Canonicalize ONCE and feed the cached edge set to both the
     // triangle kernel and the degree agg — handing triangleCounts the
     // raw plan would re-run the whole upstream (e.g. co-occurrence
@@ -1749,7 +1761,7 @@ object Graph {
     * @return (a, b, support) for EVERY canonical edge, zero included */
   def edgeSupport(edges: DataFrame,
       broadcastNodeLimit: Long = GraphTuning.Auto,
-      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
+      broadcastEdgeLimit: Long = 32000000L): DataFrame = {
     val canon = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -1801,7 +1813,7 @@ object Graph {
     * @return surviving canonical edges (a, b) after the peel */
   def trussPeel(edges: DataFrame, k: Int, maxRounds: Int,
       broadcastNodeLimit: Long = GraphTuning.Auto,
-      broadcastEdgeLimit: Long = 8000000L): DataFrame = {
+      broadcastEdgeLimit: Long = 32000000L): DataFrame = {
     require(k >= 2, "k must be >= 2")
     require(maxRounds >= 1, "maxRounds must be >= 1")
     var cur = edges.select(col("src"), col("dst"))
