@@ -2888,12 +2888,115 @@ object SparkEntry {
     // both loops round-for-round).
     "q197_drift_plane" -> ((s, dir) =>
       Spectral.deflatedDirections(Tables.embeddings(s, dir),
-        "vec_id", "embedding", rounds = 2))
+        "vec_id", "embedding", rounds = 2)),
+
+    // Stream-stream band join, batch-parity path: views attributed to
+    // same-user purchases within 30 minutes (streaming/StreamJoin —
+    // watermark + time-band keeps join state finite; the stream side
+    // is StreamJoinSpec's job, this gates the join semantics).
+    "q198_band_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("p_c"))
+      streaming.StreamJoin.bandedEquiJoin(views, purchases,
+          Seq("user_id"), "v_ts", "p_ts",
+          "0 seconds", "0 seconds", "30 minutes")
+        .groupBy((col("user_id") % 10).as("user_mod"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("p_c")).as("total_c"))
+        .orderBy("user_mod")
+    }),
+
+    // Outlier-robust rollup: per-flag winsorized price-cent sums at
+    // the exact p05/p95 discrete quantiles
+    // (Aggregations.winsorizedSums — two scans, broadcast cutoffs).
+    "q199_winsorized" -> ((s, dir) =>
+      Aggregations.winsorizedSums(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")),
+        Seq("l_returnflag"), "price_c", 50000L, 950000L)
+        .orderBy("l_returnflag")),
+
+    // Landmark harmonic centrality over the bit-packed msbfs core
+    // (q166's 16 seeds, 2 hops): Σ 1e6 div dist per node, top 100 by
+    // score (Graph.harmonicCentrality).
+    "q200_harmonic" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+        .orderBy("id").limit(16)
+      Graph.harmonicCentrality(edges, seeds, maxHops = 2)
+        .orderBy(col("harmonic_ppm").desc, col("id")).limit(100)
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q198_band_join" ->
+      """SELECT v.user_id % 10 AS user_mod, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND p.ts >= v.ts
+        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
+        |GROUP BY 1 ORDER BY user_mod""".stripMargin,
+
+    "q199_winsorized" ->
+      """WITH src AS (SELECT l_returnflag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |pv AS (SELECT l_returnflag, v, count(*) AS w FROM src GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v,
+        |  sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY l_returnflag) AS tw FROM pv),
+        |cuts AS (SELECT l_returnflag,
+        |  min(CASE WHEN cw * 1000000 >= 50000 * tw THEN v END) AS lo,
+        |  min(CASE WHEN cw * 1000000 >= 950000 * tw THEN v END) AS hi
+        |  FROM c GROUP BY 1)
+        |SELECT s.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN s.v < lo OR s.v > hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clipped,
+        |  CAST(max(lo) AS BIGINT) AS lo, CAST(max(hi) AS BIGINT) AS hi,
+        |  CAST(sum(s.v) AS BIGINT) AS sum_raw,
+        |  CAST(sum(greatest(lo, least(hi, s.v))) AS BIGINT) AS sum_wins
+        |FROM src s JOIN cuts USING (l_returnflag)
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q200_harmonic" -> {
+      val rounds = (1 to 2).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT src, id, min(dist) AS dist FROM (
+           |    SELECT src, id, dist FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT d.src, e.dst AS id, d.dist + 1 AS dist
+           |    FROM e JOIN d${k - 1} d ON d.id = e.src)
+           |  GROUP BY src, id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |sd AS (
+         |  SELECT DISTINCT l_partkey * 2 + 1 AS id FROM lineitem
+         |  WHERE l_partkey % 97 = 0 ORDER BY id LIMIT 16),
+         |d0 AS (SELECT id AS src, id, CAST(0 AS BIGINT) AS dist FROM sd),
+         |$rounds
+         |SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_ppm
+         |FROM d2 WHERE dist > 0 GROUP BY id
+         |ORDER BY harmonic_ppm DESC, id LIMIT 100""".stripMargin
+    },
+
     "q197_drift_plane" -> {
       def loop(pfx: String, src: String, acc: String) = (1 to 2).map { k =>
         val prev = if (k == 1) s"${pfx}0" else s"$pfx${k - 1}"

@@ -162,6 +162,41 @@ object Aggregations {
       .agg(qAggs.head, qAggs.tail :+ max(col("__tw")).as("total_w"): _*)
   }
 
+  /** Winsorized per-group sums — the outlier-robust rollup a metrics
+    * pipeline ships next to the raw one (a fat-finger trade or a bot
+    * burst must not own the day's total): values clip to the group's
+    * exact discrete [loPpm, hiPpm] quantiles ([[quantilesDisc]] rank
+    * semantics, so the cutoffs themselves are engine-exact integers)
+    * and both the raw and clipped sums are reported with the clip
+    * count.
+    *
+    * Scale shape: pass 1 is the quantile operator (one partial agg on
+    * (group, value) + one window over distinct values); pass 2
+    * re-scans the input against the BROADCAST group-sized cutoff table
+    * and partial-aggregates — two corpus scans total, which is the
+    * floor for exact two-sided winsorization (the cutoffs depend on
+    * the full distribution). Integer arithmetic end-to-end.
+    *
+    * @return (groupCols..., n, n_clipped, lo, hi, sum_raw, sum_wins) */
+  def winsorizedSums(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, loPpm: Long, hiPpm: Long): DataFrame = {
+    require(0 < loPpm && loPpm < hiPpm && hiPpm <= 1000000L,
+      "need 0 < loPpm < hiPpm <= 1000000")
+    val g = groupCols.map(col)
+    val cuts = quantilesDisc(df.withColumn("__w", lit(1L)), groupCols,
+        valueCol, "__w", Seq(loPpm, hiPpm))
+      .select(g :+ col(s"p$loPpm").as("__lo") :+ col(s"p$hiPpm").as("__hi"): _*)
+    val v = col(valueCol).cast("long")
+    df.join(broadcast(cuts), groupCols)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(v < col("__lo") || v > col("__hi"), 1L).otherwise(0L))
+          .as("n_clipped"),
+        max(col("__lo")).as("lo"), max(col("__hi")).as("hi"),
+        sum(v).as("sum_raw"),
+        sum(greatest(col("__lo"), least(col("__hi"), v))).as("sum_wins"))
+  }
+
   /** Exact chi-square independence statistic for two categorical
     * columns — the composition-drift test a dataset release runs
     * (is `lang` independent of `source`? did this month's mix shift?).

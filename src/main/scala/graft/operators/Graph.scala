@@ -452,6 +452,26 @@ object Graph {
     *
     * @param seeds one `id` column, at most 64 distinct ids
     * @return (id, src, dist) — dist ∈ [0, maxHops] hops from seed `src` */
+  /** Landmark harmonic centrality over [[multiSourceBfs]]: each node's
+    * Σ 10⁶ div dist(landmark, node) across the ≤ 64 bit-packed seeds
+    * (self-distances excluded; unreached landmarks contribute 0 — the
+    * harmonic convention, which is why harmonic beats closeness on
+    * disconnected graphs). The landmark trick is the standard
+    * scale-out: exact all-pairs centrality is O(n·m), landmarks bound
+    * it at one shared bit-packed frontier sweep (the msbfs shape: the
+    * 64 seeds ride ONE 64-bit mask through the loop) plus a node-keyed
+    * rollup of the ≤ 64·n exploded distance rows. Integer ppm keeps
+    * the score hash-exact cross-engine.
+    *
+    * @return (id, n_reached, harmonic_ppm) */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame =
+    multiSourceBfs(edges, seeds, maxHops, broadcastNodeLimit)
+      .filter(col("dist") > 0)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_ppm"))
+
   def multiSourceBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")

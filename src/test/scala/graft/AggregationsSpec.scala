@@ -112,6 +112,20 @@ class AggregationsSpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("winsorizedSums: exact cutoffs, clip count, raw vs clipped sums") {
+    // group g: values 1..10 → p200000 = 2, p800000 = 8 (discrete ranks);
+    // clipped: 1→2 and 9,10→8 ⇒ n_clipped = 3,
+    // sum_raw = 55, sum_wins = 2+2..8+8+8 = 55 +1 -1 -2 = 53
+    val df = (1L to 10L).map(v => ("g", v)).toDF("k", "v")
+    val got = Aggregations.winsorizedSums(df, Seq("k"), "v", 200000L, 800000L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == (("g", 10L, 3L, 2L, 8L, 55L, 53L)))
+    val rep = Aggregations.winsorizedSums(df.repartition(7), Seq("k"), "v",
+      200000L, 800000L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(rep == got)
+  }
+
   test("chiSquareIndependence: exact hand case incl. zero cells, independence reads 0") {
     // perfectly independent 2x2: every cell o = rt*ct/n exactly → X² = 0
     val indep = Seq.tabulate(8)(i =>

@@ -36,6 +36,21 @@ class GraphSpec extends SparkSpec {
     assert(small == big)
   }
 
+  test("harmonicCentrality: path-graph hand case (self excluded, integer ppm)") {
+    // path 1-2-3-4-5, landmarks {1, 5}
+    val p = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val got = Graph.harmonicCentrality(e, seeds, maxHops = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1L, 250000L)),            // only landmark 5 at dist 4
+      2L -> ((2L, 1333333L)),           // 1e6/1 + 1e6/3
+      3L -> ((2L, 1000000L)),           // 1e6/2 twice
+      4L -> ((2L, 1333333L)),
+      5L -> ((1L, 250000L))))
+  }
+
   test("pageRankIterates: captured rounds are bit-identical to standalone runs") {
     val pairs = (Seq.tabulate(30)(i => (90L, i.toLong + 1)) ++
       Seq.tabulate(50)(i => (i.toLong + 1, (i + 1).toLong % 50 + 1)))
