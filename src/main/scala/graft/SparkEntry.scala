@@ -2934,12 +2934,114 @@ object SparkEntry {
         .orderBy("id").limit(16)
       Graph.harmonicCentrality(edges, seeds, maxHops = 2)
         .orderBy(col("harmonic_ppm").desc, col("id")).limit(100)
+    }),
+
+    // Containment-family canonicalization: q115's asymmetric-containment
+    // pairs → CC clusters → keep the LONGEST doc per family (the
+    // curation rule for quoted-in/extended-by families that symmetric
+    // near-dup misses). The keep decision is encoded arithmetically
+    // ((1e8 − n_chars)·1e10 + doc_id, one min agg) so the tie-break is
+    // total and engine-exact.
+    "q201_containment_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+          blockCols = Seq("lang", "source"), threshold = 0.5,
+          shingleSize = 2)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min((lit(100000000L) - col("n_chars")) * 10000000000L +
+            col("doc_id")).as("__k"))
+        .select(col("cluster_id"), col("n_docs"),
+          expr("__k % 10000000000").as("keep_id"),
+          expr("100000000 - __k div 10000000000").as("keep_chars"))
+        .orderBy("cluster_id")
+    }),
+
+    // Greedy quality-ordered budget mix: spend half the corpus's token
+    // budget on the highest-avg-quality sources first — the mixture
+    // planning step in front of q89's mixture sampler. Source-count-
+    // sized window, integer ppm allocation.
+    "q202_budget_mix" -> ((s, dir) => {
+      val agg = Tables.documents(s, dir)
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("tok"),
+          col("n_chars"))
+        .groupBy("source")
+        .agg(sum(col("tok")).as("toks"),
+          expr("sum(n_chars) div count(1)").as("avg_chars"))
+        // feeds the budget agg AND the allocation window — materialize
+        // the source-count-sized frame once (shared-branch rule)
+        .localCheckpoint(true)
+      val w = Window.orderBy(col("avg_chars").desc, col("source"))
+      agg.crossJoin(broadcast(
+          agg.agg(expr("sum(toks) div 2").as("budget"))))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .select(col("source"), col("toks"), col("avg_chars"),
+          greatest(lit(0L), least(col("toks"),
+            col("budget") - (col("cum") - col("toks")))).as("alloc"))
+        .withColumn("alloc_ppm", expr("(alloc * 1000000) div toks"))
+        .orderBy("source")
     })
   )
 
   // ---- oracles ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q201_containment_canonical" ->
+      """WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, lang, source, n_chars,
+        |  list_distinct(list_transform(
+        |    generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |    i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+        |         string_split_regex(lower(trim(text)), '\s+')[i+1])) AS tk
+        | FROM documents),
+        |j AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+        |   AND a.doc_id <> b.doc_id
+        | WHERE len(a.tk) > 0 AND len(b.tk) > 0
+        |   AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk)
+        |     >= 0.5),
+        |pr AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS id_a,
+        |  greatest(id_a, id_b) AS id_b FROM j),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION SELECT id_b, id_a FROM pr),
+        |reach(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |cl AS (SELECT id AS doc_id, min(comp) AS cluster_id
+        |  FROM reach GROUP BY id)
+        |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min((100000000 - n_chars) * 10000000000 + d.doc_id)
+        |    % 10000000000 AS BIGINT) AS keep_id,
+        |  CAST(100000000 - min((100000000 - n_chars) * 10000000000 + d.doc_id)
+        |    // 10000000000 AS BIGINT) AS keep_chars
+        |FROM cl JOIN documents d USING (doc_id)
+        |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    "q202_budget_mix" ->
+      """WITH s AS (SELECT source,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS toks,
+        |  sum(n_chars) // count(*) AS avg_chars
+        | FROM documents GROUP BY 1),
+        |b AS (SELECT sum(toks) // 2 AS budget FROM s),
+        |c AS (SELECT source, toks, avg_chars,
+        |  sum(toks) OVER (ORDER BY avg_chars DESC, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM s)
+        |SELECT source, toks, CAST(avg_chars AS BIGINT) AS avg_chars,
+        |  CAST(greatest(0, least(toks, budget - (cum - toks))) AS BIGINT)
+        |    AS alloc,
+        |  CAST((greatest(0, least(toks, budget - (cum - toks))) * 1000000)
+        |    // toks AS BIGINT) AS alloc_ppm
+        |FROM c CROSS JOIN b ORDER BY source""".stripMargin,
+
     "q198_band_join" ->
       """SELECT v.user_id % 10 AS user_mod, CAST(count(*) AS BIGINT) AS n_pairs,
         |  CAST(sum(CAST(round(p.value * 100) AS BIGINT)) AS BIGINT) AS total_c
