@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   * the exchange once and never again. On a BATCH frame the same call
   * degrades to exact `dropDuplicates` (watermark is a no-op), which is
   * the parity path the oracle checks.
+  *
+  * Companion: [[StatefulDedup.firstOccurrences]] is the
+  * flatMapGroupsWithState form — custom state, NO timeout, so it
+  * suppresses replays across ANY horizon at O(all keys ever) state;
+  * this operator is the bounded-state production default.
   */
 object StreamDedup {
 
