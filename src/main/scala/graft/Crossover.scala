@@ -313,6 +313,13 @@ object Crossover {
         noAutoBroadcast(Graph.edgeSupport(e, broadcastEdgeLimit = 0L).count())
         e.unpersist()
       }
+      if (algos("scc")) {
+        val e = hitsEdges(1)
+        Graph.sccColoring(e, 3, broadcastNodeLimit = Long.MaxValue).count()
+        Graph.sccColoring(e, 3, broadcastNodeLimit = 0L).count()
+        noAutoBroadcast(Graph.sccColoring(e, 3, broadcastNodeLimit = 0L).count())
+        e.unpersist()
+      }
       println("XOVER warmup done")
     }
 
@@ -412,6 +419,23 @@ object Crossover {
             broadcastEdgeLimit = 0L).count()),
           "wedgebloom_nobc" -> ((ed: DataFrame) => noAutoBroadcast(
             Graph.edgeSupport(ed, broadcastEdgeLimit = 0L).count()))))
+        e.unpersist()
+      }
+      // SCC coloring family: the fused fwd/bwd min-label loop's frontier
+      // state is 2 rows per node of src∪dst (the tagged/doubled table),
+      // so its broadcast-vs-shuffle knife edge sits at HALF the node
+      // count of the single-direction loops. Directed bipartite (q131
+      // shape — no doubling, SCC is direction-sensitive).
+      if (algos("scc")) {
+        val e = hitsEdges(mult)
+        val nodes = e.select("src").distinct().count()
+        runGrid(mult, "scc", e, nodes, Seq(
+          "bcast" -> ((ed: DataFrame) => Graph.sccColoring(ed, 3,
+            broadcastNodeLimit = Long.MaxValue).count()),
+          "shuffle" -> ((ed: DataFrame) => Graph.sccColoring(ed, 3,
+            broadcastNodeLimit = 0L).count()),
+          "shuffle_nobc" -> ((ed: DataFrame) => noAutoBroadcast(
+            Graph.sccColoring(ed, 3, broadcastNodeLimit = 0L).count()))))
         e.unpersist()
       }
       if (algos("kcore")) {

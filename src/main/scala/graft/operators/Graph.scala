@@ -1874,6 +1874,16 @@ object Graph {
     * runs on plain shuffle joins aligned to the cached edge
     * partitioning.
     *
+    * Regime evidence (round-10 `scc` crossover family, q131-shape
+    * directed bipartite, maxRounds=3): honest shuffle beats
+    * force-broadcast at 1.18M nodes (4.47 s vs 7.16) and at 4.42M
+    * nodes (14.01 vs 25.06) — the doubled (2 rows/node) state makes
+    * broadcast pay off only on small graphs, and the default 2M limit
+    * applied to the doubled estimate routes all measured sizes to the
+    * shuffle regime, confirmed right (CROSSOVER.json `sccColoring`;
+    * the one discordant 2.2M-node honest cell is recorded there as
+    * contended).
+    *
     * @return (id, fwd_min, bwd_min, scc_id nullable) */
   def sccColoring(edges: DataFrame, maxRounds: Int,
       broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
