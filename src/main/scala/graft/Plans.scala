@@ -50,7 +50,9 @@ object Plans {
       "q197_drift_plane" -> "top-2 drift plane: both power loops over the ONE cached triple store, d-row iterates broadcast into the scans, deflation residual built map-side from broadcast v1 + projection join",
       "q198_band_join" -> "stream-stream band join (batch path): range-predicate equi-join, purchase side filtered at the scan, one user-keyed exchange pair feeding the band filter",
       "q199_winsorized" -> "winsorized sums: quantile pass (partial agg on distinct values + one window), then the second scan joins the BROADCAST group-sized cutoffs — two scans, the exact-winsorization floor",
-      "q200_harmonic" -> "landmark harmonic centrality: one bit-packed msbfs frontier sweep (64 seeds in one mask), distances exploded once, node-keyed ppm rollup + TakeOrdered top-100")
+      "q200_harmonic" -> "landmark harmonic centrality: one bit-packed msbfs frontier sweep (64 seeds in one mask), distances exploded once, node-keyed ppm rollup + TakeOrdered top-100",
+      "q201_containment_canonical" -> "containment-family canonicalization: blocked containment self-join off the cached shingle sets, CC over the pair edges, one arithmetic keep-key min agg — the cluster table is the only post-pair shuffle",
+      "q202_budget_mix" -> "greedy budget mix: one corpus agg to source-count-sized rows (materialized once for both branches), broadcast 1-row budget, source-sized window — the corpus is scanned exactly once")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`, sf0.01)\n\n")
     sb.append("Evidence for ARCHITECTURE.md's claims: `PushedFilters`/`ReadSchema`\n")

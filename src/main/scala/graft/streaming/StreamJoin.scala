@@ -25,11 +25,19 @@ import org.apache.spark.sql.functions._
 object StreamJoin {
 
   /** @param band right event time must fall in
-    *        [left ts, left ts + band], e.g. "30 minutes" */
+    *        [left ts, left ts + band], e.g. "30 minutes"
+    * @param joinType "inner" (default) or "left_outer" — outer rows
+    *        (left events that never matched) emit with null right
+    *        columns once the watermark proves no match can still
+    *        arrive; Structured Streaming supports exactly this because
+    *        the watermark + band bound when "never" is known */
   def bandedEquiJoin(left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTs: String, rightTs: String,
-      leftDelay: String, rightDelay: String, band: String): DataFrame = {
+      leftDelay: String, rightDelay: String, band: String,
+      joinType: String = "inner"): DataFrame = {
     require(keyCols.nonEmpty, "need at least one equi-join key")
+    require(Set("inner", "left_outer")(joinType),
+      "joinType must be inner or left_outer")
     val l = if (left.isStreaming) left.withWatermark(leftTs, leftDelay)
             else left
     val r = if (right.isStreaming) right.withWatermark(rightTs, rightDelay)
@@ -37,6 +45,6 @@ object StreamJoin {
     val cond: Column = keyCols.map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rightTs) >= l(leftTs) &&
       r(rightTs) <= l(leftTs) + expr(s"INTERVAL $band")
-    keyCols.foldLeft(l.join(r, cond))((df, k) => df.drop(r(k)))
+    keyCols.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(r(k)))
   }
 }
