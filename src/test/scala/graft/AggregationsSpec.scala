@@ -126,6 +126,27 @@ class AggregationsSpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("winsorizedSums invariants on a skewed multi-group input") {
+    // heavy-tailed values across 3 groups: for every group the clipped
+    // sum must sit in [n·lo, n·hi], raw >= clipped iff the tail is
+    // high-sided, and cutoffs must be actual group values
+    val rows = for { g <- Seq("a", "b", "c"); i <- 1 to 40 } yield
+      (g, if (i % 13 == 0) i * 1000L else i.toLong) // planted outliers
+    val df = rows.toDF("k", "v")
+    val got = Aggregations.winsorizedSums(df, Seq("k"), "v", 100000L, 900000L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 3)
+    val values = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    got.foreach { case (k, n, nClip, lo, hi, raw, wins) =>
+      assert(n == 40 && lo < hi)
+      assert(values(k).contains(lo) && values(k).contains(hi),
+        s"cutoffs must be observed values: $k $lo $hi")
+      assert(wins >= n * lo && wins <= n * hi, s"$k clipped sum out of range")
+      assert(raw >= wins, s"$k high-sided tail must clip downward")
+      assert(nClip > 0 && nClip < n)
+    }
+  }
+
   test("chiSquareIndependence: exact hand case incl. zero cells, independence reads 0") {
     // perfectly independent 2x2: every cell o = rt*ct/n exactly → X² = 0
     val indep = Seq.tabulate(8)(i =>

@@ -69,6 +69,11 @@ class GraphSpec extends SparkSpec {
     val only = Graph.pageRankIterates(e, iterations = 2, captureAt = Set(0, 9),
       symmetric = true)
     assert(only.keySet == Set(2))
+    // iterations <= 0 keeps the flat-start contract under key 0
+    val flat = Graph.pageRankIterates(e, iterations = 0, captureAt = Set.empty)
+    assert(flat.keySet == Set(0))
+    assert(flat(0).select("rank").distinct()
+      .as[Long].collect().toSeq == Seq(1000000L))
   }
 
   test("co-bucketed iterate capture matches the broadcast-regime rounds") {
