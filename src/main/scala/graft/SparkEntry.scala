@@ -2836,8 +2836,9 @@ object SparkEntry {
 
     // First-seen bigram novelty curve per 50-doc ingest bucket — the
     // marginal-value telemetry that gates further ingestion from a
-    // source (Corpus.ngramNovelty: map-side gram dedup, one gram-keyed
-    // window, one bucket agg).
+    // source (Corpus.ngramNovelty: map-side gram dedup, partial-agg
+    // first-seen — no gram-keyed window, so df-skewed stopword grams
+    // collapse map-side — then two bucket-sized aggs joined).
     "q193_ngram_novelty" -> ((s, dir) =>
       Corpus.ngramNovelty(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 2, bucketSize = 50L)),
@@ -2869,10 +2870,18 @@ object SparkEntry {
     // event_ids (exact copies, the at-least-once redelivery shape)
     // collapse before a per-type rollup — streaming side is
     // spec-driven (StreamDedupSpec), this gates the batch semantics
-    // through DuckDB.
+    // through DuckDB. The plain-SELECT oracle is valid ONLY while
+    // event_id is unique in the source table (the injected duplicates
+    // are exact copies), so that precondition is asserted loudly here:
+    // a generator change introducing natural event_id duplicates fails
+    // the verify run instead of silently invalidating the oracle.
     "q196_stream_dedup" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
         .select("event_id", "ts", "event_type", "value")
+      val dupIds = ev.groupBy("event_id").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).count()
+      require(dupIds == 0L,
+        "q196 oracle precondition violated: event_id is not unique in events")
       val withDupes = ev.unionByName(ev.filter(col("event_id") % 7 === 0))
       streaming.StreamDedup.dedupWithinWatermark(withDupes,
           Seq("event_id"), "ts", "10 minutes")
@@ -3176,7 +3185,8 @@ object SparkEntry {
 
     "q195_chi2_mix" ->
       """WITH ob AS (SELECT lang AS r, source AS c, count(*) AS o
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
         |rt AS (SELECT r, sum(o) AS rt FROM ob GROUP BY 1),
         |ct AS (SELECT c, sum(o) AS ct FROM ob GROUP BY 1),
         |m AS (SELECT (SELECT sum(rt) FROM rt) AS n,

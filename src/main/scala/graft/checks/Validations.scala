@@ -70,7 +70,7 @@ object Validations {
     df.select(h.as("__h"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(__h)").as("xor_sig"),
-        expr("CAST(CAST(sum(__h) AS DECIMAL(38,0)) % 2147483647 AS BIGINT)")
+        expr("CAST(sum(CAST(__h AS DECIMAL(38,0))) % 2147483647 AS BIGINT)")
           .as("sum_sig"))
       .select(lit(name).as("tbl"), col("n_rows"), col("xor_sig"),
         col("sum_sig"))

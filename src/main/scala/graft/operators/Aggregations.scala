@@ -215,9 +215,17 @@ object Aggregations {
     * tables (categories × categories rows, never corpus rows) left-
     * joined with observed counts. Output is one row.
     *
+    * NULL contract: rows with a NULL category in EITHER column are
+    * excluded up front. Without the filter, `groupBy` keeps a NULL
+    * group (it lands in n and the margins) while the null-rejecting
+    * equi-join from the dense grid drops that cell's observed count to
+    * 0 — a silently distorted statistic that the DuckDB oracle (same
+    * join semantics) cannot catch.
+    *
     * @return (n, n_rows_cat, n_cols_cat, dof, chi2_ppm) */
-  def chiSquareIndependence(df: DataFrame, rowCol: String,
+  def chiSquareIndependence(raw: DataFrame, rowCol: String,
       colCol: String): DataFrame = {
+    val df = raw.filter(col(rowCol).isNotNull && col(colCol).isNotNull)
     // the contingency table feeds THREE branches (row margins, col
     // margins, cells) — materialize the corpus-sized agg once
     val o = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))

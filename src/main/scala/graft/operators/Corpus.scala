@@ -424,11 +424,23 @@ object Corpus {
     *
     * Scale shape: per-doc gram sets build MAP-SIDE (`array_distinct`
     * before explode — no corpus-wide distinct shuffle) over the
-    * portable md5-31 gram family; ONE gram-keyed window attaches each
-    * gram's global first-seen doc id, and the bucket rollup is a
-    * second narrow partial agg — two exchanges total, both carrying
-    * (8-byte id, 8-byte hash) pairs, never text. Integer ppm keeps the
-    * ratio hash-exact cross-engine.
+    * portable md5-31 gram family. First-seen attribution is a
+    * PARTIAL-AGG `groupBy(gram).agg(min(id))` — never a gram-keyed
+    * window: a window's `partitionBy(gram)` puts each gram's FULL
+    * document-frequency partition on one task, and at 100× a stopword
+    * bigram's partition is corpus-sized (the skewed-key straggler the
+    * Profile/Expand lesson warns about). The partial agg collapses hot
+    * grams map-side, so the gram exchange carries O(distinct grams)
+    * rows regardless of df skew. `n_new` per bucket then needs NO join
+    * back to the pairs: it is exactly the count of grams whose
+    * first-seen id falls in the bucket — a second bucket-keyed partial
+    * agg over the gram-min table. The (bucket, n_grams) side is its
+    * own partial agg over the pairs, and the two bucket tables meet in
+    * a bucket-count-sized join. Recomputing the scan+shingle stage for
+    * the two branches is deliberate: the upstream is pure scan-stage
+    * expression work, and materializing corpus-sized (id, gram) pairs
+    * would cost more at 100 TB than a second columnar scan. Integer
+    * ppm keeps the ratio hash-exact cross-engine.
     *
     * @return (bucket, n_grams, n_new, novelty_ppm) ordered by bucket */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
@@ -438,14 +450,17 @@ object Corpus {
     val pairs = docs.select(col(idCol).cast("long").as("__id"),
       explode(array_distinct(graft.expressions.TextHash.shingleHashes31(
         col(textCol), shingleSize))).as("__g"))
-    val first = pairs.withColumn("__first",
-      min(col("__id")).over(Window.partitionBy(col("__g"))))
-    first.groupBy(expr(s"__id div $bucketSize").as("bucket"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__id") === col("__first"), 1L).otherwise(0L))
-          .as("n_new"))
-      .select(col("bucket"), col("n_grams"), col("n_new"),
-        expr("(n_new * 1000000) div n_grams").as("novelty_ppm"))
+    val perBucket = pairs
+      .groupBy(expr(s"__id div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_grams"))
+    val newPerBucket = pairs.groupBy(col("__g"))
+      .agg(min(col("__id")).as("__first"))
+      .groupBy(expr(s"__first div $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    perBucket.join(newPerBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("novelty_ppm", expr("(n_new * 1000000) div n_grams"))
       .orderBy("bucket")
   }
 
