@@ -45,7 +45,7 @@ object Plans {
       "q170_clustering_coeff" -> "clustering coefficient: triangle and degree branches read the SAME cached canonical edges (materialized once — the shared-branch lesson); final is one node-keyed agg over broadcast-joined counts",
       "q182_assortativity" -> "degree assortativity: hub-capped co-occurrence kernel bounds the pair explosion, node-sized degree join correctly NOT broadcast at scale, single Pearson aggregate",
       "q186_pr_convergence" -> "PR convergence telemetry: ONE fixed-point loop with the round-2 iterate captured (localCheckpoint reference, zero recompute) — the delta join reads two checkpointed node-sized tables",
-      "q193_ngram_novelty" -> "first-seen n-gram novelty: map-side gram dedup (array_distinct before explode), ONE gram-keyed window for first-seen attribution, bucket rollup — two narrow exchanges, text never shuffles",
+      "q193_ngram_novelty" -> "first-seen n-gram novelty: map-side gram dedup (array_distinct before explode), PARTIAL-AGG first-seen (groupBy(gram).agg(min(id)) — hot stopword grams collapse map-side, no df-sized window partition), two bucket-sized aggs meet in a broadcast join — text never shuffles",
       "q194_table_checksum" -> "order-independent table checksums: scan-stage md5 prefix, one single-row partial+final agg per table — zero wide exchanges, content parity without moving either table",
       "q197_drift_plane" -> "top-2 drift plane: both power loops over the ONE cached triple store, d-row iterates broadcast into the scans, deflation residual built map-side from broadcast v1 + projection join",
       "q198_band_join" -> "stream-stream band join (batch path): range-predicate equi-join, purchase side filtered at the scan, one user-keyed exchange pair feeding the band filter",

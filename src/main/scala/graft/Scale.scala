@@ -668,6 +668,78 @@ object Scale {
         rounds = 2, scale = 1000).count()
     time("kmeans_1x") { kmeansShape(emb1) }
     time(s"kmeans_${mult}x") { kmeansShape(embN) }
+
+    // first-seen n-gram novelty (q193 shape, post-window-fix): the
+    // amplified corpus repeats every text ~mult times, so EVERY gram's
+    // document frequency scales ×mult — exactly the stopword-skew
+    // profile that straggled the old gram-keyed window on one task.
+    // With partial-agg first-seen, hot grams collapse map-side and the
+    // gram exchange carries O(distinct grams) rows — growth must be
+    // scan-bound, with no task proportional to a gram's df
+    def noveltyShape(docs: DataFrame): Long =
+      Corpus.ngramNovelty(docs, "doc_id", "text", shingleSize = 2,
+        bucketSize = 50L).count()
+    time("novelty_1x") { noveltyShape(docs1) }
+    time(s"novelty_${mult}x") { noveltyShape(docsN) }
+
+    // winsorized sums (q199 shape): exact two-sided winsorization is a
+    // provable two-scan floor (cutoffs depend on the full distribution)
+    // with group-sized BROADCAST cutoffs — N× rows over the same flag
+    // set must cost ~two scans, never a value-keyed exchange
+    def winsorShape(li: DataFrame): Long =
+      Aggregations.winsorizedSums(
+        li.select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")),
+        Seq("l_returnflag"), "price_c", 50000L, 950000L).count()
+    time("winsorize_1x") { winsorShape(li1) }
+    time(s"winsorize_${mult}x") { winsorShape(liN) }
+
+    // landmark harmonic centrality (q200 shape): one bit-packed
+    // 16-landmark msbfs sweep + an explode/agg — mult disjoint graph
+    // copies grow edges ×N while the landmark set stays fixed, so the
+    // mask-state frontier and the per-round joins must scale ~linearly
+    def harmonicShape(li: DataFrame): Long = {
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+        .orderBy("id").limit(16)
+      Graph.harmonicCentrality(edges, seeds, maxHops = 2).count()
+    }
+    time("harmonic_1x") { harmonicShape(li1) }
+    time(s"harmonic_${mult}x") { harmonicShape(liT) }
+
+    // containment-family canonicalization (q201 shape): blocked
+    // containment pairs → CC → keep-longest. The verifier is
+    // Σ block² by DESIGN (guardUnblocked rejects unblocked corpora),
+    // so the honest scale axis is MORE BLOCKS, not fatter ones: each
+    // amplified copy gets its own source suffix — blocks ×N at
+    // constant size, pairs ×N, and the CC + arithmetic keep-key agg
+    // carry the growth. GraphTuning's CC decision is recorded per row.
+    val docsB = (0 until mult).map(i =>
+      docs1.withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L))
+        .withColumn("source", concat(col("source"), lit("_" + i)))
+    ).reduce(_ unionByName _)
+    def containShape(docs: DataFrame): Long = {
+      val pairs = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+          blockCols = Seq("lang", "source"), threshold = 0.5,
+          shingleSize = 2)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+      Dedup.duplicateClusters(docs, "doc_id", pairs)
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          min((lit(100000000L) - col("n_chars")) * 10000000000L +
+            col("doc_id")).as("__k"))
+        .count()
+    }
+    time("containment_1x") { containShape(docs1) }
+    time(s"containment_${mult}x") { containShape(docsB) }
     spark.stop()
   }
 }
