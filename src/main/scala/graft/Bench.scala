@@ -41,6 +41,36 @@ object Bench {
     "q114_label_prop", "q122_kcore", "q125_ppr", "q131_hits",
     "q136_bfs", "q145_cc_cobucket", "q150_sssp")
 
+  /** Contention self-identification (round-11, VERDICT-r10 #3): the
+    * measured signature of an external CPU-load burst is WALL UP,
+    * TASK-TOTAL UNCHANGED (an in-task slowdown — more data, worse
+    * plan, GC — inflates task time too). A rep is tagged contended
+    * when its wall exceeds the query's best rep by >30% plus a 0.3 s
+    * floor while its task-time stays within 25% (+0.5 s floor) of the
+    * best rep's. The RECORD is tagged when tagged reps cost >5 s of
+    * spread or >=10 queries show the signature — a quiet run trips
+    * neither; r9/r10-style pollution (one 54 s q143 burst, or a
+    * +0.5-3.8 s smear across ~100 cheap queries) trips both.
+    *
+    * @param results per query: None if it threw, else every rep's
+    *        (wall sec, task-time-delta sec)
+    * @return (per-query contended extra wall, total, record flag) */
+  private[graft] def contentionStats(
+      results: Seq[(String, Option[Seq[(Double, Double)]])])
+      : (Seq[(String, Double)], Double, Boolean) = {
+    val perQuery: Seq[(String, Double)] = results.flatMap {
+      case (name, Some(rs)) =>
+        val (minWall, ttAtMin) = rs.minBy(_._1)
+        val extra = rs.filter { case (w, tt) =>
+          w > minWall * 1.3 + 0.3 && tt <= ttAtMin * 1.25 + 0.5
+        }.map(_._1 - minWall).sum
+        if (extra > 0) Some(name -> extra) else None
+      case _ => None
+    }
+    val spread = perQuery.map(_._2).sum
+    (perQuery, spread, spread > 5.0 || perQuery.size >= 10)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -159,28 +189,8 @@ object Bench {
         }
         name -> (if (failed) None else Some(rs))
       }
-    // Contention self-identification (round-11, VERDICT-r10 #3): the
-    // measured signature of an external CPU-load burst is WALL UP,
-    // TASK-TOTAL UNCHANGED (an in-task slowdown — more data, worse
-    // plan, GC — inflates task time too). A rep is tagged contended
-    // when its wall exceeds the query's best rep by >30% plus a 0.3 s
-    // floor while its task-time stays within 25% (+0.5 s floor) of the
-    // best rep's. The RECORD is tagged when tagged reps cost >5 s of
-    // spread or >=10 queries show the signature — a quiet run trips
-    // neither; r9/r10-style pollution (one 54 s q143 burst, or a
-    // +0.5-3.8 s smear across ~100 cheap queries) trips both.
-    val contendedPerQuery: Seq[(String, Double)] = results.flatMap {
-      case (name, Some(rs)) =>
-        val (minWall, ttAtMin) = rs.minBy(_._1)
-        val extra = rs.filter { case (w, tt) =>
-          w > minWall * 1.3 + 0.3 && tt <= ttAtMin * 1.25 + 0.5
-        }.map(_._1 - minWall).sum
-        if (extra > 0) Some(name -> extra) else None
-      case _ => None
-    }
-    val contendedSpread = contendedPerQuery.map(_._2).sum
-    val contended =
-      contendedSpread > 5.0 || contendedPerQuery.size >= 10
+    val (contendedPerQuery, contendedSpread, contended) =
+      contentionStats(results)
     if (contended) {
       val top = contendedPerQuery.sortBy(-_._2).take(5)
         .map { case (n, s) => f"$n%s(+$s%.1fs)" }.mkString(", ")
