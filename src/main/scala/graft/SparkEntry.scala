@@ -2995,7 +2995,51 @@ object SparkEntry {
             col("budget") - (col("cum") - col("toks")))).as("alloc"))
         .withColumn("alloc_ppm", expr("(alloc * 1000000) div toks"))
         .orderBy("source")
-    })
+    }),
+
+    // Exact total-variation token-mix drift per source vs the whole
+    // corpus — the integer-exact sibling of KL composition drift
+    // (Corpus.tokenMixDrift: one (source, token) agg checkpointed for
+    // three branches, dense grid incl. absent tokens, DECIMAL(38,0)).
+    "q203_tv_drift" -> ((s, dir) =>
+      Corpus.tokenMixDrift(Tables.documents(s, dir), "source", "text")
+        .orderBy("source")),
+
+    // Per-flag equi-depth price histogram, 8 equal-population buckets
+    // at exact discrete quantile cuts, zero cells emitted
+    // (Aggregations.equiDepthHistogram — two scans, broadcast cuts).
+    "q204_equidepth_hist" -> ((s, dir) =>
+      Aggregations.equiDepthHistogram(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")),
+        Seq("l_returnflag"), "price_c", buckets = 8)
+        .orderBy("l_returnflag", "bucket")),
+
+    // Sentence-df boilerplate screen per source — the C4-style template
+    // cleaning report (Corpus.boilerplate: one (doc, sentence-hash)
+    // exchange checkpointed for the df and ratio branches). The
+    // synthetic corpus is template-free (max sentence df = 2), so a
+    // deterministic footer is stamped on every third doc — the q196
+    // injection discipline: exercise the flag-and-ratio path at every
+    // SF instead of asserting on an all-zeros column.
+    "q205_boilerplate" -> ((s, dir) =>
+      Corpus.boilerplate(
+        Tables.documents(s, dir).withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"),
+              lit(". Subscribe to our newsletter for updates.")))
+            .otherwise(col("text"))),
+        "doc_id", "source", "text", minDf = 5L)
+        .orderBy("source")),
+
+    // Content-defined chunking dedup accounting per source — identical
+    // passages chunk identically regardless of offset shifts
+    // (Corpus.cdcChunkDedup: cut rule and chunk hash both portable
+    // md5-32, one (source, chunk-hash) exchange).
+    "q206_cdc_chunks" -> ((s, dir) =>
+      Corpus.cdcChunkDedup(Tables.documents(s, dir), "source", "text",
+        modulus = 16)
+        .orderBy("source"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -3202,6 +3246,103 @@ object SparkEntry {
         |  CAST(sum(((o * m.n - rt * ct) * (o * m.n - rt * ct) * 1000000)
         |    // (m.n * rt * ct)) AS BIGINT) AS chi2_ppm
         |FROM cells CROSS JOIN m""".stripMargin,
+
+    "q203_tv_drift" ->
+      """WITH tk AS (SELECT source AS s,
+        |  unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        | FROM documents WHERE source IS NOT NULL),
+        |cnt AS (SELECT s, t, count(*) AS c FROM tk
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |tt AS (SELECT t, sum(c) AS ct FROM cnt GROUP BY 1),
+        |st AS (SELECT s, sum(c) AS ns FROM cnt GROUP BY 1),
+        |m AS (SELECT CAST(sum(ct) AS HUGEINT) AS n FROM tt),
+        |grid AS (SELECT st.s, st.ns, tt.ct, coalesce(cnt.c, 0) AS c
+        |  FROM tt CROSS JOIN st
+        |  LEFT JOIN cnt ON cnt.t = tt.t AND cnt.s = st.s)
+        |SELECT s AS source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  CAST((sum(abs(CAST(c AS HUGEINT) * m.n - CAST(ct AS HUGEINT) * ns))
+        |    * 1000000) // (2 * max(CAST(ns AS HUGEINT) * m.n)) AS BIGINT)
+        |    AS tv_ppm
+        |FROM grid CROSS JOIN m GROUP BY s ORDER BY source""".stripMargin,
+
+    "q204_equidepth_hist" -> {
+      val cutPpms = (1 until 8).map(k => k.toLong * 1000000L / 8)
+      val cutDefs = cutPpms.zipWithIndex.map { case (q, i) =>
+        s"min(CASE WHEN cw * 1000000 >= $q * tw THEN v END) AS c${i + 1}"
+      }.mkString(",\n        |  ")
+      val bucketSum = (1 to 7).map(i => s"(s.v > c$i)::BIGINT").mkString(" + ")
+      s"""WITH src AS (SELECT l_returnflag AS g,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+        |pv AS (SELECT g, v, count(*) AS w FROM src GROUP BY 1, 2),
+        |c AS (SELECT g, v,
+        |  sum(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY g) AS tw FROM pv),
+        |cuts AS (SELECT g,
+        |  $cutDefs
+        |  FROM c GROUP BY 1),
+        |b AS (SELECT s.g, $bucketSum AS bucket, s.v
+        |  FROM src s JOIN cuts USING (g)),
+        |agg AS (SELECT g, bucket, count(*) AS n, sum(v) AS total
+        |  FROM b GROUP BY 1, 2),
+        |grid AS (SELECT g, unnest(generate_series(0, 7)) AS bucket FROM cuts)
+        |SELECT grid.g AS l_returnflag, CAST(grid.bucket AS BIGINT) AS bucket,
+        |  CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
+        |  CAST(coalesce(agg.total, 0) AS BIGINT) AS total
+        |FROM grid LEFT JOIN agg ON agg.g = grid.g AND agg.bucket = grid.bucket
+        |ORDER BY l_returnflag, bucket""".stripMargin
+    },
+
+    "q205_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN text ||
+        |      '. Subscribe to our newsletter for updates.' ELSE text END
+        |      AS text FROM documents),
+        |sn AS (SELECT doc_id, source, trim(s) AS s FROM
+        |    (SELECT doc_id, source,
+        |       unnest(string_split_regex(text, '[.!?]+')) AS s
+        |     FROM d)),
+        |pdh AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS h,
+        |    sum(len(s)) AS chars
+        |  FROM sn WHERE s <> '' GROUP BY 1, 2, 3),
+        |fl AS (SELECT h FROM
+        |    (SELECT h, count(*) AS df FROM pdh GROUP BY 1) WHERE df >= 5),
+        |pd AS (SELECT doc_id, source, sum(chars) AS tot,
+        |    sum(CASE WHEN h IN (SELECT h FROM fl) THEN chars ELSE 0 END)
+        |      AS boiler
+        |  FROM pdh GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tot) AS BIGINT) AS total_chars,
+        |  CAST(sum(boiler) AS BIGINT) AS boiler_chars,
+        |  CAST(sum(CASE WHEN boiler * 2 > tot THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mostly_boiler,
+        |  CAST((sum(boiler) * 1000000) // sum(tot) AS BIGINT) AS boiler_ppm
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+    "q206_cdc_chunks" ->
+      """WITH t AS (SELECT source,
+        |    string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |c AS (SELECT source,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)],
+        |      list_filter(generate_series(CAST(1 AS BIGINT),
+        |          CAST(len(toks) AS BIGINT)),
+        |        i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 16 = 0)),
+        |      [CAST(len(toks) AS BIGINT)]) AS cuts, toks
+        |  FROM t),
+        |ch AS (SELECT source, unnest(list_transform(
+        |    generate_series(1, len(cuts) - 1),
+        |    j -> array_to_string(toks[cuts[j] + 1 : cuts[j + 1]], ' ')))
+        |    AS chunk
+        |  FROM c),
+        |h AS (SELECT source, ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS h
+        |  FROM ch WHERE chunk <> ''),
+        |ph AS (SELECT source, h, count(*) AS c FROM h GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT) AS dup_ppm
+        |FROM ph GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q196_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -197,6 +197,47 @@ object Aggregations {
         sum(greatest(col("__lo"), least(col("__hi"), v))).as("sum_wins"))
   }
 
+  /** Exact per-group equi-depth histogram — the profiling primitive a
+    * release report ships for every numeric column (equal-POPULATION
+    * buckets expose skew that equal-WIDTH buckets hide: one fat bucket
+    * in an equi-width histogram is the whole story at 100 TB). Bucket
+    * boundaries are the exact discrete quantiles at k/buckets ppm
+    * ([[quantilesDisc]] rank semantics — engine-exact integers), a
+    * value lands in bucket Σ_k [v > cut_k], and every (group, bucket)
+    * cell is emitted, zero cells included, so the output shape is
+    * groups × buckets at any corpus size.
+    *
+    * Scale shape: the cutoff pass is [[quantilesDisc]] (per-value
+    * partial agg, then a group-keyed window over DISTINCT values —
+    * never corpus rows); the bucket pass re-scans the input against
+    * the BROADCAST group-sized cutoff table into a (group, bucket)
+    * partial agg. Two corpus scans, the exact-quantile floor, same as
+    * [[winsorizedSums]].
+    *
+    * @return (groupCols..., bucket, n, total) ordered by nothing —
+    *         callers add their determinism ORDER BY */
+  def equiDepthHistogram(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, "need 2 <= buckets <= 1000")
+    val g = groupCols.map(col)
+    val ppms = (1 until buckets).map(k => k.toLong * 1000000L / buckets)
+    val cuts = quantilesDisc(df.withColumn("__w", lit(1L)), groupCols,
+        valueCol, "__w", ppms)
+      .select(g ++ ppms.map(q => col(s"p$q")): _*)
+    val v = col(valueCol).cast("long")
+    val bucketOf = ppms.map(q =>
+      when(v > col(s"p$q"), 1L).otherwise(0L)).reduce(_ + _)
+    val counts = df.join(broadcast(cuts), groupCols)
+      .groupBy(g :+ bucketOf.as("bucket"): _*)
+      .agg(count(lit(1)).as("__n"), sum(v).as("__total"))
+    cuts.select(g: _*)
+      .withColumn("bucket", explode(sequence(lit(0L), lit(buckets - 1L))))
+      .join(counts, groupCols :+ "bucket", "left")
+      .select(g ++ Seq(col("bucket"),
+        coalesce(col("__n"), lit(0L)).as("n"),
+        coalesce(col("__total"), lit(0L)).as("total")): _*)
+  }
+
   /** Exact chi-square independence statistic for two categorical
     * columns — the composition-drift test a dataset release runs
     * (is `lang` independent of `source`? did this month's mix shift?).

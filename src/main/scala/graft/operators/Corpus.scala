@@ -464,6 +464,157 @@ object Corpus {
       .orderBy("bucket")
   }
 
+  /** Exact total-variation distance between each group's unigram token
+    * distribution and the whole corpus's — the composition-drift score
+    * a dataset release tracks per source / per snapshot (TV is the
+    * integer-exact sibling of KL divergence: ½·Σ_t |p_g(t) − p(t)|,
+    * no logarithms, so the statistic replays exactly cross-engine
+    * where KL's floating log cannot). Tokens PRESENT in the corpus but
+    * ABSENT from a group contribute their full p(t) mass — dropping
+    * them (the sparse-join formulation) understates drift for small
+    * sources, so the grid is dense, like [[Aggregations
+    * .chiSquareIndependence]]'s.
+    *
+    * Scale shape: ONE (group, token)-keyed partial+final count agg is
+    * the only corpus-sized exchange; it is localCheckpointed once and
+    * feeds the three branches (token margins, group margins, cells —
+    * the shared-branch rule). The dense grid is token-margin rows ×
+    * a BROADCAST group-margin table (vocab × groups rows, never corpus
+    * rows). All products ride DECIMAL(38,0) ≙ DuckDB HUGEINT; one
+    * truncating div per group at the very end.
+    *
+    * @return (groupCol, n_tokens, tv_ppm) — drift in [0, 1e6] */
+  def tokenMixDrift(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__s"),
+        explode(TextFunctions.tokens(lower(trim(col(textCol))))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy("__s", "__t").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val tokTot = counts.groupBy("__t").agg(sum("__c").as("__ct"))
+    val grpTot = counts.groupBy("__s").agg(sum("__c").as("__ns"))
+    val total = tokTot.agg(sum("__ct").cast("decimal(38,0)").as("__n"))
+    tokTot.crossJoin(broadcast(grpTot))
+      .join(counts, Seq("__t", "__s"), "left")
+      .select(col("__s"), col("__ns"), col("__ct"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("__s").as(groupCol))
+      .agg(max(col("__ns")).as("n_tokens"),
+        sum(abs(col("__c").cast("decimal(38,0)") * col("__n") -
+          col("__ct").cast("decimal(38,0)") * col("__ns"))).as("__dev"),
+        max(col("__ns").cast("decimal(38,0)") * col("__n")).as("__den"))
+      .select(col(groupCol), col("n_tokens"),
+        expr("CAST((__dev * 1000000) div (2 * __den) AS BIGINT)")
+          .as("tv_ppm"))
+  }
+
+  /** Boilerplate detection by sentence document-frequency — the
+    * C4/RefinedWeb cleaning step: a sentence appearing verbatim in many
+    * documents (headers, footers, cookie banners, license blurbs) is
+    * template noise, and a training mix wants to know how much of each
+    * source it is. Sentences split on `[.!?]+`, trim, hash with the
+    * PORTABLE md5-32 family (DuckDB: `('0x'||substr(md5(s),1,8))
+    * ::BIGINT`); a sentence is boilerplate when its df — distinct
+    * documents containing it — reaches `minDf`. Per group: doc count,
+    * total/boilerplate chars, corpus-level boilerplate ppm, and the
+    * count of documents that are MOSTLY boilerplate (>50% of chars).
+    * Documents with no non-empty sentence drop out of n_docs.
+    *
+    * Scale shape: sentence split + hash are scan-stage; ONE
+    * (doc, sentence-hash) partial agg is the corpus-sized exchange,
+    * localCheckpointed because it feeds BOTH the df pass and the
+    * ratio pass (shared-branch rule). The df agg shuffles O(distinct
+    * sentences) after map-side combine; the flag join is hash-keyed
+    * (AQE handles a viral sentence's skew); rollups are group-sized.
+    *
+    * @return (groupCol, n_docs, total_chars, boiler_chars,
+    *         n_mostly_boiler, boiler_ppm) */
+  def boilerplate(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, minDf: Long): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would flag every sentence")
+    val sent = docs.select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        explode(split(col(textCol), "[.!?]+")).as("__s0"))
+      .select(col("__id"), col("__g"), trim(col("__s0")).as("__s"))
+      .filter(col("__s") =!= "")
+    val perDocHash = sent.select(col("__id"), col("__g"),
+        conv(substring(md5(col("__s").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("__h"),
+        length(col("__s")).cast("long").as("__ch"))
+      .groupBy("__id", "__g", "__h")
+      .agg(sum(col("__ch")).as("__chars"))
+      .localCheckpoint(true)
+    val flagged = perDocHash.groupBy("__h")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"), lit(1L).as("__b"))
+    perDocHash.join(flagged, Seq("__h"), "left")
+      .groupBy("__id", "__g")
+      .agg(sum(col("__chars")).as("__tot"),
+        sum(when(col("__b").isNotNull, col("__chars")).otherwise(0L))
+          .as("__boiler"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tot")).as("total_chars"),
+        sum(col("__boiler")).as("boiler_chars"),
+        sum(when(col("__boiler") * 2 > col("__tot"), 1L).otherwise(0L))
+          .as("n_mostly_boiler"))
+      .withColumn("boiler_ppm",
+        expr("(boiler_chars * 1000000) div total_chars"))
+  }
+
+  /** Content-defined chunking + storage-dedup accounting — the
+    * rsync/LBFS/backup-dedup primitive applied to corpus curation: cut
+    * each document into variable-size chunks at CONTENT-DETERMINED
+    * boundaries (after any token whose portable md5-32 hash ≡ 0 mod
+    * `modulus`, expected chunk ≈ `modulus` tokens), so shared passages
+    * produce IDENTICAL chunks regardless of how edits shift their
+    * byte offsets — the property fixed-size chunking lacks and the
+    * reason CDC is the standard for dedup storage. Reported per group:
+    * chunk count, distinct-chunk count, and duplicated-chunk ppm (the
+    * redundancy a chunk-level store would reclaim).
+    *
+    * Scale shape: tokenize, boundary selection, chunk assembly and
+    * chunk hashing are ALL per-row array expressions in the scan stage
+    * (the HOF lambdas evaluate interpreted — per-token md5 is the
+    * honest cost, linear in corpus bytes); the only exchange is the
+    * (group, chunk-hash) partial+final agg, O(distinct chunks) after
+    * map-side combine. Cut positions use INT arrays (per-doc token
+    * counts bound by 2³¹ — a 2-billion-token single document is not a
+    * document). DuckDB replays the identical cut rule via md5 +
+    * list_filter, so the whole pipeline is oracle-checkable.
+    *
+    * @return (groupCol, n_chunks, n_distinct, dup_ppm) */
+  def cdcChunkDedup(docs: DataFrame, groupCol: String, textCol: String,
+      modulus: Int = 16): DataFrame = {
+    require(modulus >= 2, "modulus < 2 cuts after every token")
+    val hashed = docs
+      .select(col(groupCol).as("__g"),
+        expr(s"split(lower(trim($textCol)), '\\\\s+')").as("__toks"))
+      .withColumn("__cuts", expr(
+        "concat(array(0), filter(sequence(1, size(__toks)), " +
+          "i -> CAST(conv(substring(md5(CAST(element_at(__toks, i) AS " +
+          s"BINARY)), 1, 8), 16, 10) AS BIGINT) % $modulus = 0), " +
+          "array(size(__toks)))"))
+      .select(col("__g"), explode(expr(
+        "transform(sequence(1, size(__cuts) - 1), " +
+          "j -> concat_ws(' ', slice(__toks, element_at(__cuts, j) + 1, " +
+          "element_at(__cuts, j + 1) - element_at(__cuts, j))))"))
+        .as("__chunk"))
+      .filter(col("__chunk") =!= "")
+      .select(col("__g"),
+        conv(substring(md5(col("__chunk").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("__h"))
+    hashed.groupBy("__g", "__h").agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__c")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("dup_ppm",
+        expr("((n_chunks - n_distinct) * 1000000) div n_chunks"))
+  }
+
   /** Winnowed document fingerprints (the MOSS local fingerprinting
     * scheme): hash every word `n`-gram, slide a window over `w`
     * consecutive gram hashes, keep each window's minimum — rightmost

@@ -186,4 +186,27 @@ class AggregationsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
     assert(rep == got) // bit-identical across partitionings
   }
+
+  test("equiDepthHistogram: equal-population buckets, zero cells emitted, tie collapse") {
+    // 1..8 into 4 buckets: cuts at p250000=2, p500000=4, p750000=6 —
+    // every bucket holds exactly 2 values
+    val df = (1L to 8L).map(v => ("g", v)).toDF("g", "v")
+    val got = Aggregations.equiDepthHistogram(df, Seq("g"), "v", 4)
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 0L, 2L, 3L), ("g", 1L, 2L, 7L),
+      ("g", 2L, 2L, 11L), ("g", 3L, 2L, 15L)))
+    // all-ties: every value lands in bucket 0, the other cells emit 0
+    val ties = Seq(("g", 5L), ("g", 5L), ("g", 5L)).toDF("g", "v")
+    val tied = Aggregations.equiDepthHistogram(ties, Seq("g"), "v", 4)
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(tied == Seq(("g", 0L, 3L, 15L), ("g", 1L, 0L, 0L),
+      ("g", 2L, 0L, 0L), ("g", 3L, 0L, 0L)))
+    // partitioning invariance
+    val rep = Aggregations.equiDepthHistogram(df.repartition(5),
+      Seq("g"), "v", 4).orderBy("bucket")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rep == got)
+  }
 }

@@ -423,4 +423,64 @@ class CorpusSpec extends SparkSpec {
     // empty doc contributes nothing
     assert(!got.exists(_._1 == 3L))
   }
+
+  test("tokenMixDrift: exact hand case incl. absent-token mass, single group reads 0") {
+    // corpus = {x:2, y:1, z:1}, N=4. Group A = "x x y" (ns=3):
+    //   dev = |2·4−2·3| + |1·4−1·3| + |0·4−1·3| = 6 → 6e6/(2·3·4) = 250000
+    // Group B = "z" (ns=1):
+    //   dev = |0−2·1| + |0−1·1| + |1·4−1·1| = 6 → 6e6/(2·1·4) = 750000
+    val docs = Seq(("A", "x x y"), ("B", "z")).toDF("source", "text")
+    val byGroup = Corpus.tokenMixDrift(docs, "source", "text")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byGroup == Map("A" -> ((3L, 250000L)), "B" -> ((1L, 750000L))))
+    // one group IS the corpus: zero drift by definition
+    val solo = Corpus.tokenMixDrift(
+      Seq(("A", "p q"), ("A", "r")).toDF("source", "text"), "source", "text")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(solo == Seq(("A", 3L, 0L)))
+  }
+
+  test("boilerplate: df>=minDf sentences flagged, ratio and mostly-boiler exact") {
+    // footer "ad here" appears in docs 1..3 (df=3); "unique N" df=1;
+    // doc 4 is ONLY the footer → mostly-boiler
+    val docs = Seq(
+      (1L, "s", "unique one. ad here."),
+      (2L, "s", "unique two words. ad here."),
+      (3L, "s", "unique three more words! ad here."),
+      (4L, "s", "ad here.")).toDF("doc_id", "source", "text")
+    val got = Corpus.boilerplate(docs, "doc_id", "source", "text", minDf = 3L)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // chars: "unique one"=10, "unique two words"=16,
+    // "unique three more words"=23, footer "ad here"=7 ×4
+    val tot = 10L + 16L + 23L + 4 * 7L
+    assert(got == Seq(("s", 4L, tot, 28L, 1L, 28L * 1000000L / tot)))
+    // below the df threshold nothing is flagged
+    val none = Corpus.boilerplate(docs, "doc_id", "source", "text",
+      minDf = 5L).as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(none.head._4 == 0L && none.head._5 == 0L)
+  }
+
+  test("cdcChunkDedup: identical passages dedup, offset shifts preserve tail chunks") {
+    val body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi " +
+      "omega one two three four five six seven eight nine ten").trim
+    // two identical docs: every chunk collides pairwise
+    val twin = Seq(("g", body), ("g", body)).toDF("source", "text")
+    val t = Corpus.cdcChunkDedup(twin, "source", "text", modulus = 4)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(t._2 == 2 * t._3 && t._4 == 500000L, s"got $t")
+    // prepending a prefix shifts every byte offset, but chunks after
+    // the first content boundary are identical — the CDC property a
+    // fixed-width chunker lacks
+    val shifted = Seq(("g", body), ("g", "zzz qqq vvv " + body))
+      .toDF("source", "text")
+    val sft = Corpus.cdcChunkDedup(shifted, "source", "text", modulus = 4)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(sft._4 > 0L, s"no shared chunks after shift: $sft")
+    // partitioning invariance
+    val rep = Corpus.cdcChunkDedup(twin.repartition(5), "source", "text",
+      modulus = 4).as[(String, Long, Long, Long)].collect().head
+    assert(rep == t)
+  }
 }
