@@ -3039,7 +3039,60 @@ object SparkEntry {
     "q206_cdc_chunks" -> ((s, dir) =>
       Corpus.cdcChunkDedup(Tables.documents(s, dir), "source", "text",
         modulus = 16)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Label-noise screen: cell-blocked all-kNN over the embedding
+    // corpus, per-label neighbor-agreement report (Ann.
+    // cellKnnLabelConsistency — IVF-blocked, never all-pairs; float
+    // cosine ranks only, agreement math integer ppm).
+    "q207_knn_label_consistency" -> ((s, dir) =>
+      Ann.cellKnnLabelConsistency(Tables.embeddings(s, dir),
+        k = 5, nCentroids = 8)
+        .orderBy("label")),
+
+    // Per-landmark reach curve over the q200 msbfs core — landmark-side
+    // frontier-growth report (Graph.landmarkReachProfile: one 64-seed
+    // bit-packed sweep, |seeds|×hops output rows).
+    "q208_landmark_reach" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+        .orderBy("id").limit(16)
+      Graph.landmarkReachProfile(edges, seeds, maxHops = 2)
+        .orderBy("src", "dist")
+    }),
+
+    // Snapshot reconciliation: orders vs a deterministically perturbed
+    // next-day version (drops % 13, price bumps % 7, new keys % 17 —
+    // the injection discipline); one full-outer key join, md5-32 row
+    // hashes, single summary row (Validations.snapshotDiff).
+    "q209_snapshot_diff" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("price_c"))
+      val after = o.filter(col("o_orderkey") % 13 =!= 0)
+        .withColumn("price_c", when(col("o_orderkey") % 7 === 0,
+          col("price_c") + 1L).otherwise(col("price_c")))
+        .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L)))
+      checks.Validations.snapshotDiff(o, after, Seq("o_orderkey"),
+        Seq("o_custkey", "o_orderstatus", "price_c"))
+    }),
+
+    // Robust anomaly gate: exact per-type MAD screen over event value
+    // cents, outliers beyond median ± 3·MAD
+    // (Aggregations.madOutliers — three scans, the exact-MAD floor).
+    "q210_mad_outliers" -> ((s, dir) =>
+      Aggregations.madOutliers(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("value_c")),
+        Seq("event_type"), "value_c", k = 3L)
+        .orderBy("event_type"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -3343,6 +3396,124 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct,
         |  CAST((sum(c) - count(*)) * 1000000 // sum(c) AS BIGINT) AS dup_ppm
         |FROM ph GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q207_knn_label_consistency" ->
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |asg AS (
+        |  SELECT id, v, lab, cell FROM (
+        |    SELECT e.vec_id AS id, e.embedding AS v,
+        |      CAST(e.label AS BIGINT) AS lab, c.ci AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.cv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        c.ci DESC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+        |knn AS (
+        |  SELECT qid, qlab, nlab FROM (
+        |    SELECT x.id AS qid, x.lab AS qlab, y.lab AS nlab,
+        |      row_number() OVER (PARTITION BY x.id ORDER BY
+        |        list_sum(list_transform(list_zip(x.v, y.v),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(x.v,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(y.v,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        y.id ASC) AS rnk
+        |    FROM asg x JOIN asg y ON x.cell = y.cell AND x.id <> y.id)
+        |  WHERE rnk <= 5),
+        |pv AS (SELECT qid, qlab, count(*) AS kn,
+        |    sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS agree
+        |  FROM knn GROUP BY 1, 2)
+        |SELECT qlab AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum((agree * 1000000) // kn) // count(*) AS BIGINT)
+        |    AS avg_agree_ppm,
+        |  CAST(sum(CASE WHEN agree * 2 < kn THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_suspect
+        |FROM pv GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q208_landmark_reach" -> {
+      val rounds = (1 to 2).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT src, id, min(dist) AS dist FROM (
+           |    SELECT src, id, dist FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT d.src, e.dst AS id, d.dist + 1 AS dist
+           |    FROM e JOIN d${k - 1} d ON d.id = e.src)
+           |  GROUP BY src, id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |sd AS (
+         |  SELECT DISTINCT l_partkey * 2 + 1 AS id FROM lineitem
+         |  WHERE l_partkey % 97 = 0 ORDER BY id LIMIT 16),
+         |d0 AS (SELECT id AS src, id, CAST(0 AS BIGINT) AS dist FROM sd),
+         |$rounds
+         |SELECT src, dist, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM d2 WHERE dist > 0 GROUP BY src, dist
+         |ORDER BY src, dist""".stripMargin
+    },
+
+    "q209_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders),
+        |a AS (SELECT k, o_custkey, o_orderstatus,
+        |    CASE WHEN k % 7 = 0 THEN price_c + 1 ELSE price_c END AS price_c
+        |  FROM o WHERE k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, o_custkey, o_orderstatus, price_c
+        |  FROM o WHERE k % 17 = 0),
+        |hb AS (SELECT k, ('0x' || substr(md5(concat_ws('|',
+        |    o_custkey, o_orderstatus, price_c)), 1, 8))::BIGINT AS hb FROM o),
+        |ha AS (SELECT k, ('0x' || substr(md5(concat_ws('|',
+        |    o_custkey, o_orderstatus, price_c)), 1, 8))::BIGINT AS ha FROM a)
+        |SELECT
+        |  CAST(sum(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN ha IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN hb IS NOT NULL AND ha IS NOT NULL
+        |    AND hb <> ha THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN hb = ha THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |FROM hb FULL OUTER JOIN ha USING (k)""".stripMargin,
+
+    "q210_mad_outliers" ->
+      """WITH src AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |pv1 AS (SELECT g, v, count(*) AS w FROM src GROUP BY 1, 2),
+        |c1 AS (SELECT g, v,
+        |  sum(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY g) AS tw FROM pv1),
+        |med AS (SELECT g,
+        |  min(CASE WHEN cw * 1000000 >= 500000 * tw THEN v END) AS med
+        |  FROM c1 GROUP BY 1),
+        |dev AS (SELECT s.g, s.v, abs(s.v - med.med) AS d, med.med
+        |  FROM src s JOIN med USING (g)),
+        |pv2 AS (SELECT g, d, count(*) AS w FROM dev GROUP BY 1, 2),
+        |c2 AS (SELECT g, d,
+        |  sum(w) OVER (PARTITION BY g ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY g) AS tw FROM pv2),
+        |mad AS (SELECT g,
+        |  min(CASE WHEN cw * 1000000 >= 500000 * tw THEN d END) AS mad
+        |  FROM c2 GROUP BY 1)
+        |SELECT dev.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(dev.med) AS BIGINT) AS med,
+        |  CAST(max(mad.mad) AS BIGINT) AS mad,
+        |  CAST(sum(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (g)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q196_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

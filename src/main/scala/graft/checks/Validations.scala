@@ -76,6 +76,53 @@ object Validations {
         col("sum_sig"))
   }
 
+  /** Snapshot reconciliation — the "what changed since the last load"
+    * audit between two versions of a keyed table (the content-level
+    * upgrade of [[tableChecksum]]: a checksum says THAT they diverged,
+    * this says HOW): per-key classification into added / removed /
+    * changed / same, reported as one summary row so many tables union
+    * into a sync report. (Reference analog: incremental-load
+    * validation around `validate_bt_bq_counts`,
+    * `airflow/bitquery.py:354-424`.)
+    *
+    * Keys must be unique per side (the usual primary-key contract —
+    * enforced loudly, because a duplicated key would silently turn one
+    * logical row into several join rows and inflate every class).
+    *
+    * Scale shape: each side reduces to (key-hash ring columns, row
+    * hash) in the scan stage — value columns never shuffle; ONE
+    * key-keyed full-outer hash join is the only wide exchange, and the
+    * output is a single aggregated row. The md5-32 row hash is the
+    * PORTABLE family, so the whole audit replays in DuckDB.
+    *
+    * @return (n_added, n_removed, n_changed, n_same) */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "need key and value columns")
+    def hashed(df: DataFrame, tag: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        conv(substring(md5(
+          concat_ws("|", valueCols.map(c => col(c).cast("string")): _*)
+            .cast("binary")), 1, 8), 16, 10).cast("long").as(s"__h$tag"): _*)
+    def assertUnique(df: DataFrame, side: String): Unit = {
+      val dup = df.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+        .limit(1).count()
+      require(dup == 0L,
+        s"snapshotDiff: keys are not unique on the $side side")
+    }
+    assertUnique(before, "before"); assertUnique(after, "after")
+    hashed(before, "b").join(hashed(after, "a"), keyCols, "full_outer")
+      .agg(
+        sum(when(col("__hb").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__ha").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__hb").isNotNull && col("__ha").isNotNull &&
+          col("__hb") =!= col("__ha"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("__hb") === col("__ha"), 1L).otherwise(0L))
+          .as("n_same"))
+  }
+
   /** V2 price sanity (`check_prices`, `coinprice/pricing_checks.py:76-120`):
     *  - the native token's price must be > 0
     *  - fewer than half the tokens may be zero-priced

@@ -238,6 +238,44 @@ object Aggregations {
         coalesce(col("__total"), lit(0L)).as("total")): _*)
   }
 
+  /** Exact MAD (median-absolute-deviation) outlier screen — the
+    * robust anomaly gate telemetry pipelines prefer over z-scores
+    * (one fat-finger value corrupts a mean AND its stddev, but moves
+    * neither the median nor the MAD): per group, the exact discrete
+    * median, the exact MAD, and the count of values outside
+    * median ± k·MAD. Integer arithmetic end-to-end — both medians use
+    * [[quantilesDisc]] rank semantics, so every output is
+    * engine-exact.
+    *
+    * Scale shape: three corpus scans — median pass, deviation-median
+    * pass, flag pass — each a per-value partial agg + group-keyed
+    * window over DISTINCT values ([[quantilesDisc]]) or a broadcast
+    * join against group-sized cutoffs. Exact two-level medians cannot
+    * do better: the MAD depends on the median, the flags on both.
+    *
+    * @return (groupCols..., n, med, mad, n_outliers) */
+  def madOutliers(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val med = quantilesDisc(df.withColumn("__w", lit(1L)), groupCols,
+        valueCol, "__w", Seq(500000L))
+      .select(g :+ col("p500000").as("__med"): _*)
+    val dev = df.join(broadcast(med), groupCols)
+      .select(g ++ Seq(v.as("__v"), abs(v - col("__med")).as("__d"),
+        col("__med")): _*)
+    val mad = quantilesDisc(dev.withColumn("__w", lit(1L)), groupCols,
+        "__d", "__w", Seq(500000L))
+      .select(g :+ col("p500000").as("__mad"): _*)
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("med"), max(col("__mad")).as("mad"),
+        sum(when(col("__d") > lit(k) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** Exact chi-square independence statistic for two categorical
     * columns — the composition-drift test a dataset release runs
     * (is `lang` independent of `source`? did this month's mix shift?).

@@ -38,6 +38,70 @@ object Ann {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Cell-blocked all-kNN label-consistency — the label-noise screen a
+    * labeled training set runs before a release (Confident-Learning
+    * style: a point whose nearest neighbors mostly DISAGREE with its
+    * label is a mislabel candidate). Every vector needs neighbors, so
+    * broadcasting a probe set ([[bruteForceTopK]]) does not apply;
+    * instead the corpus is blocked by an IVF-style coarse quantizer
+    * (deterministic: centroids = the `nCentroids` smallest-id vectors,
+    * ties to the larger cell like [[ivfTopK]]'s argmax) and kNN runs
+    * WITHIN each cell — the standard blocked kNN-graph construction.
+    * Per label: vector count, mean neighbor-agreement ppm, and the
+    * suspect count (agreement < 50%).
+    *
+    * Scale shape: assignment is one scan against the broadcast
+    * centroid array (the collect is nCentroids-bounded — licensed);
+    * the self-join shuffles by cell only, so pair work is
+    * Σ cells² — pick nCentroids ~ √N to bound cell size, never
+    * all-pairs. The per-query top-k window partitions are cell-sized
+    * by construction. Vectors alone in their cell have no neighbors
+    * and drop out of n_vecs (the blocked-kNN contract). Agreement
+    * math is integer ppm; float cosine affects RANK ONLY, the q31/q43
+    * oracle discipline.
+    *
+    * @return (labelCol, n_vecs, avg_agree_ppm, n_suspect) */
+  def cellKnnLabelConsistency(
+      corpus: DataFrame, k: Int, nCentroids: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1 && nCentroids >= 1)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).cast("long").as("lab"))
+    val centroids: Array[Seq[Float]] = c.orderBy("id").limit(nCentroids)
+      .select("v").collect().map(_.getSeq[Float](0))
+    def nearestCell(v: Column): Column = {
+      val scored = centroids.zipWithIndex.map { case (cent, i) =>
+        struct(cosineF(v, typedLit(cent)).as("s"), lit(i).as("i"))
+      }
+      array_max(array(scored: _*)).getField("i")
+    }
+    // cached: both self-join legs read the assignment (shared-branch
+    // rule; at cluster scale persist to disk or recompute the scan)
+    val assigned = c.withColumn("cell", nearestCell(col("v"))).cache()
+    val x = assigned.select(col("cell"), col("id").as("qid"),
+      col("v").as("qv"), col("lab").as("qlab"))
+    val y = assigned.select(col("cell"), col("id").as("nid"),
+      col("v").as("nv"), col("lab").as("nlab"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val knn = x.join(y, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", cosineF(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    knn.groupBy("qid", "qlab")
+      .agg(count(lit(1)).as("__kn"),
+        sum(when(col("nlab") === col("qlab"), 1L).otherwise(0L))
+          .as("__agree"))
+      .groupBy(col("qlab").as(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum((__agree * 1000000) div __kn) div count(1)")
+          .as("avg_agree_ppm"),
+        sum(when(col("__agree") * 2 < col("__kn"), 1L).otherwise(0L))
+          .as("n_suspect"))
+  }
+
   /** IVF (inverted-file) ANN: k-means-style coarse quantizer, corpus
     * partitioned by nearest centroid, queries probe only the `nProbe`
     * closest cells, exact cosine re-rank within the probed cells.

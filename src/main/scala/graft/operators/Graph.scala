@@ -472,6 +472,26 @@ object Graph {
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div dist")).as("harmonic_ppm"))
 
+  /** Per-landmark reach curve — the frontier-growth profile a graph
+    * release report ships next to harmonic centrality: for each
+    * landmark, how many nodes sit at each hop distance (a flattening
+    * curve at small hops is the small-world/diameter evidence; a
+    * landmark whose curve stalls is in a pocket). Same bit-packed
+    * [[multiSourceBfs]] core as [[harmonicCentrality]] — one 64-seed
+    * sweep prices ALL landmarks — with the rollup on the LANDMARK
+    * side instead of the node side; the agg output is
+    * |seeds| × maxHops rows at any graph size.
+    *
+    * @return (src, dist, n_nodes) — nodes first reached at exactly
+    *         `dist` hops from landmark `src`, dist >= 1 */
+  def landmarkReachProfile(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int,
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame =
+    multiSourceBfs(edges, seeds, maxHops, broadcastNodeLimit)
+      .filter(col("dist") > 0)
+      .groupBy(col("src"), col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+
   def multiSourceBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")

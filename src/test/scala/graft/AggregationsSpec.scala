@@ -209,4 +209,21 @@ class AggregationsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect().toSeq
     assert(rep == got)
   }
+  test("madOutliers: exact discrete median/MAD, single fat-finger flagged") {
+    // values 1..7 + 100: med=4 (rank semantics), devs sorted
+    // {0,1,1,2,2,3,3,96} -> MAD=2; only 96 > 3*2
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 100L)).map(("g", _))
+      .toDF("g", "v")
+    val got = Aggregations.madOutliers(df, Seq("g"), "v", k = 3L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(got == (("g", 8L, 4L, 2L, 1L)), s"got $got")
+    // robustness: the same screen on mean/stddev would move with the
+    // outlier; med/mad must not change when the outlier triples
+    val worse = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 300L)).map(("g", _))
+      .toDF("g", "v")
+    val w = Aggregations.madOutliers(worse, Seq("g"), "v", k = 3L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(w._3 == 4L && w._4 == 2L && w._5 == 1L)
+  }
+
 }

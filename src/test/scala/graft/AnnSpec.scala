@@ -65,4 +65,20 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(a == b && a.nonEmpty)
   }
+  test("cellKnnLabelConsistency: mislabeled point surfaces as suspect") {
+    // one cell (nCentroids=1), k=1: v0<->v1 agree (label 0); v3 is
+    // v2's nearest but carries label 0 while v2 has 1 -> both suspect
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.99f, 0.14f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.14f, 0.99f), 0)) // mislabeled
+      .toDF("vec_id", "embedding", "label")
+    val got = Ann.cellKnnLabelConsistency(vecs, k = 1, nCentroids = 1)
+      .orderBy("label").as[(Long, Long, Long, Long)].collect().toSeq
+    // label 0: {v0 agree, v1 agree, v3 disagree} -> avg 666666, 1 suspect
+    // label 1: {v2 disagree} -> 0 ppm, 1 suspect
+    assert(got == Seq((0L, 3L, 666666L, 1L), (1L, 1L, 0L, 1L)), s"got $got")
+  }
+
 }

@@ -835,4 +835,15 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sh == r3)
   }
+  test("landmarkReachProfile: exact hop counts on a path graph") {
+    // undirected path 1-2-3-4, seed {1}: hop1={2}, hop2={3}
+    val fwd = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.landmarkReachProfile(edges, seeds, maxHops = 2)
+      .orderBy("dist").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1L), (1L, 2L, 1L)))
+  }
+
 }

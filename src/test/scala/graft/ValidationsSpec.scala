@@ -62,4 +62,19 @@ class ValidationsSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].head()
     assert(r2 == (("kk->d", 3L, 0L, 1L)))
   }
+  test("snapshotDiff: exact add/remove/change/same classes, duplicate keys rejected") {
+    val before = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "s", "v")
+    val after = Seq((2L, "b", 20L), (3L, "c", 31L), (4L, "d", 40L))
+      .toDF("k", "s", "v")
+    val got = Validations.snapshotDiff(before, after, Seq("k"),
+      Seq("s", "v")).as[(Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 1L, 1L, 1L)), s"got $got")
+    val dup = before.unionByName(before.limit(1))
+    val err = intercept[IllegalArgumentException] {
+      Validations.snapshotDiff(dup, after, Seq("k"), Seq("s", "v"))
+    }
+    assert(err.getMessage.contains("not unique"))
+  }
+
 }
