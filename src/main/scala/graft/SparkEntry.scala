@@ -3092,7 +3092,68 @@ object SparkEntry {
         Tables.events(s, dir).select(col("event_type"),
           expr("CAST(round(value * 100) AS BIGINT)").as("value_c")),
         Seq("event_type"), "value_c", k = 3L)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Clustering-quality gate: per-cluster simplified silhouette over
+    // the q159 integer-Lloyd clustering (KMeans.simplifiedSilhouette —
+    // a and b from ONE per-row distance map, k-row rollup).
+    "q211_cluster_silhouette" -> ((s, dir) =>
+      KMeans.simplifiedSilhouette(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, rounds = 2, scale = 1000)
+        .orderBy("cluster")),
+
+    // Weekly retention cohorts: users bucketed by first-seen epoch
+    // week, distinct active users per (cohort, week offset) — the
+    // classic retention triangle. Two aggs: per-user first week (one
+    // user-keyed exchange), then a (user, week)-deduped count — no
+    // count(DISTINCT) Expand, no window. Week keys derive from event
+    // time in MICROS (ts_ns div 1000 — the DuckDB timestamp grid).
+    "q212_retention_cohorts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("((ts_ns div 1000) div 604800000000)").as("wk"))
+        .distinct()
+      val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "offset")
+    }),
+
+    // GraphSAGE-style neighbor feature aggregation over the co-order
+    // part graph: per node, degree + sum/max of neighbor degrees, top
+    // 100 by aggregated popularity (Graph.neighborFeatureAgg — one
+    // node-keyed join, no iteration).
+    "q213_neighbor_agg" -> ((s, dir) => {
+      val canon = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8).distinct()
+      val edges = canon.unionByName(
+        canon.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.neighborFeatureAgg(edges)
+        .orderBy(col("sum_nbr_deg").desc, col("id")).limit(100)
+    }),
+
+    // Deterministic 80/10/10 train/val/test split manifest: assignment
+    // = portable md5-32 of the doc id reduced to ppm, so the split is
+    // reproducible from the id alone (no RNG, no state — re-running
+    // the pipeline or adding documents never reshuffles existing
+    // assignments); per (source, split): docs and whitespace tokens.
+    // Scan-stage hash + one grouped agg.
+    "q214_split_manifest" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__p",
+          conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 8), 16, 10).cast("long") % 1000000L)
+        .withColumn("split",
+          when(col("__p") < 800000L, "train")
+            .when(col("__p") < 900000L, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+        .orderBy("source", "split"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -3514,6 +3575,91 @@ object SparkEntry {
         |    AS BIGINT) AS n_outliers
         |FROM dev JOIN mad USING (g)
         |GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // q159's two-round integer-Lloyd replay, extended with the
+    // silhouette arithmetic over the final centroid set. sc feeds two
+    // branches (own, oth) — MATERIALIZED per the q197 CTE lesson.
+    "q211_cluster_silhouette" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v
+        |  FROM q ORDER BY vec_id LIMIT 8),
+        |a1 AS MATERIALIZED (
+        |  SELECT vec_id, v, cl FROM (
+        |    SELECT q.vec_id, q.v, c.cl,
+        |      list_aggregate(list_transform(range(64), i ->
+        |        (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1])), 'sum') AS d2
+        |    FROM q, c0 c)
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cl) = 1),
+        |m1 AS (
+        |  SELECT cl, i,
+        |    CAST(floor(sum(v[i+1])::DOUBLE / count(*) + 0.5) AS BIGINT) AS m
+        |  FROM a1, range(64) t(i) GROUP BY cl, i),
+        |c1n AS (SELECT cl, list(m ORDER BY i) AS v FROM m1 GROUP BY cl),
+        |c1 AS MATERIALIZED (SELECT c0.cl, COALESCE(c1n.v, c0.v) AS v
+        |       FROM c0 LEFT JOIN c1n USING (cl)),
+        |sc AS MATERIALIZED (
+        |  SELECT q.vec_id, c.cl,
+        |    list_aggregate(list_transform(range(64), i ->
+        |      (q.v[i+1] - c.v[i+1]) * (q.v[i+1] - c.v[i+1])), 'sum') AS d2
+        |  FROM q, c1 c),
+        |own AS (SELECT vec_id, cl, d2 AS a FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, cl) = 1),
+        |oth AS (SELECT sc.vec_id, min(sc.d2) AS b FROM sc
+        |  JOIN own ON sc.vec_id = own.vec_id AND sc.cl <> own.cl
+        |  GROUP BY 1),
+        |sp AS (SELECT own.cl,
+        |    CASE WHEN greatest(a, b) = 0 THEN 0
+        |         ELSE ((b - a) * 1000000) // greatest(a, b) END AS sp
+        |  FROM own JOIN oth USING (vec_id))
+        |SELECT CAST(cl AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(sp) // count(*) AS BIGINT) AS avg_sil_ppm
+        |FROM sp GROUP BY cl ORDER BY cluster""".stripMargin,
+
+    "q212_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1)
+        |SELECT cohort, wk - cohort AS "offset",
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM uw JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin,
+
+    "q213_neighbor_agg" ->
+      """WITH os0 AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |os AS (
+        |  SELECT o, p FROM (
+        |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+        |  WHERE ns <= 8),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p),
+        |ed AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1)
+        |SELECT ed.src AS id, CAST(count(*) AS BIGINT) AS deg,
+        |  CAST(sum(d2.deg) AS BIGINT) AS sum_nbr_deg,
+        |  CAST(max(d2.deg) AS BIGINT) AS max_nbr_deg
+        |FROM ed JOIN deg d2 ON d2.id = ed.dst
+        |GROUP BY 1 ORDER BY sum_nbr_deg DESC, id LIMIT 100""".stripMargin,
+
+    "q214_split_manifest" ->
+      """WITH d AS (SELECT source, text,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 AS p FROM documents)
+        |SELECT source,
+        |  CASE WHEN p < 800000 THEN 'train'
+        |       WHEN p < 900000 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+        |    AS n_tokens
+        |FROM d GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "q196_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -492,6 +492,35 @@ object Graph {
       .groupBy(col("src"), col("dist"))
       .agg(count(lit(1)).as("n_nodes"))
 
+  /** One GraphSAGE-style neighbor-aggregation layer over an integer
+    * node feature — the feature-engineering primitive a GNN training
+    * pipeline materializes ahead of sampling (and the building block
+    * of degree-based fraud features: "my neighbors' popularity"). The
+    * feature here is the node degree itself, aggregated as sum and
+    * max over each node's 1-hop neighborhood; stacking calls gives
+    * k-hop receptive fields.
+    *
+    * Scale shape: degree is one edge-keyed partial agg; the gather is
+    * ONE node-keyed hash join of edges against the node-sized degree
+    * table (deliberately NOT broadcast — node-sized at 100 TB; AQE
+    * handles hub skew) followed by a src-keyed partial agg. No
+    * iteration, no window.
+    *
+    * @param edges directed pair list covering both directions of each
+    *        undirected edge
+    * @return (id, deg, sum_nbr_deg, max_nbr_deg) */
+  def neighborFeatureAgg(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    edges
+      .join(deg.select(col("id").as("dst"), col("deg").as("__nd")),
+        Seq("dst"))
+      .groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"),
+        sum(col("__nd")).as("sum_nbr_deg"),
+        max(col("__nd")).as("max_nbr_deg"))
+  }
+
   def multiSourceBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")

@@ -48,21 +48,19 @@ object KMeans {
     * lower cluster index (struct min = lexicographic (d2, i)); a
     * cluster that loses all members keeps its previous centroid.
     */
-  def integerLloydAssign(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, rounds: Int = 2, scale: Int = 1000): DataFrame = {
-    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1 (got $k, $rounds)")
-    val q = df.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("v"))
-      .cache()
+  /** Final centroid array after `rounds` integer Lloyd rounds over the
+    * quantized frame `q` (columns `id`, `v`) — the shared trainer
+    * behind [[integerLloydAssign]] and [[simplifiedSilhouette]]. */
+  private def trainCentroids(q: DataFrame, k: Int,
+      rounds: Int): Array[Seq[Long]] = {
     var centroids: Array[Seq[Long]] = q.orderBy("id").limit(k)
       .select("v").collect().map(_.getSeq[Long](0))
-
     def nearest(v: Column): Column = {
       val scored = centroids.zipWithIndex.map { case (cent, i) =>
         struct(dist2(v, cent).as("d"), lit(i).as("i"))
       }
       array_min(array(scored: _*))
     }
-
     var round = 0
     while (round < rounds - 1) {
       val assigned = q.withColumn("cell", nearest(col("v")).getField("i"))
@@ -78,9 +76,60 @@ object KMeans {
         centroids.updated(r.getAs[Int]("cell"), r.getSeq[Long](1)))
       round += 1
     }
-    q.withColumn("best", nearest(col("v")))
+    centroids
+  }
+
+  def integerLloydAssign(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 2, scale: Int = 1000): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1 (got $k, $rounds)")
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("v"))
+      .cache()
+    val centroids = trainCentroids(q, k, rounds)
+    val scored = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(dist2(col("v"), cent).as("d"), lit(i).as("i"))
+    }
+    q.withColumn("best", array_min(array(scored: _*)))
       .select(col("id").as(idCol),
         col("best").getField("i").cast("long").as("cluster"),
         col("best").getField("d").as("dist2"))
+  }
+
+  /** Per-cluster simplified (centroid-distance) silhouette — the
+    * clustering-quality gate next to [[integerLloydAssign]]: for each
+    * vector, a = d² to its own (nearest) centroid, b = min d² to any
+    * OTHER centroid, s = (b − a)/max(a, b) ∈ [0, 1] in integer ppm
+    * (the full silhouette's point-to-point distances are O(n²); the
+    * centroid form is the standard large-scale surrogate and shares
+    * its [0-bad, 1-good] reading). Reported per cluster: member count
+    * and mean s ppm — a cluster whose mean is near 0 is not separated
+    * from its neighbor and should be merged or re-k'd.
+    *
+    * Scale shape: identical to assignment — one map against the k·dim
+    * centroid literals (a and b both come from the same per-row
+    * distance array, no second pass, no shuffle beyond the k-row
+    * rollup). Degenerate max(a,b) = 0 (a point equal to two identical
+    * centroids) reads s = 0.
+    *
+    * @return (cluster, n, avg_sil_ppm) */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 2, scale: Int = 1000): DataFrame = {
+    require(k >= 2 && rounds >= 1, s"need k >= 2, rounds >= 1 (got $k, $rounds)")
+    val q = df.select(col(idCol).as("id"), quantize(col(vecCol), scale).as("v"))
+      .cache()
+    val centroids = trainCentroids(q, k, rounds)
+    val ds = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(dist2(col("v"), cent).as("d"), lit(i).as("i"))
+    }
+    q.withColumn("ds", array(ds: _*))
+      .withColumn("best", array_min(col("ds")))
+      .withColumn("a", col("best").getField("d"))
+      .withColumn("cluster", col("best").getField("i").cast("long"))
+      .withColumn("b", array_min(expr(
+        "filter(ds, s -> s.i != best.i)")).getField("d"))
+      .withColumn("sp", when(greatest(col("a"), col("b")) === 0L, 0L)
+        .otherwise(expr("((b - a) * 1000000) div greatest(a, b)")))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(sp) div count(1)").as("avg_sil_ppm"))
   }
 }

@@ -846,4 +846,15 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 1L), (1L, 2L, 1L)))
   }
 
+  test("neighborFeatureAgg: exact degree features on a path graph") {
+    // path 1-2-3: deg(1)=1, deg(2)=2, deg(3)=1
+    val fwd = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val got = Graph.neighborFeatureAgg(edges)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L, 2L), (2L, 2L, 2L, 1L),
+      (3L, 1L, 2L, 2L)), s"got $got")
+  }
+
 }

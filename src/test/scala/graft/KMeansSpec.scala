@@ -55,4 +55,24 @@ class KMeansSpec extends SparkSpec {
     assert(out(1L)._1 == 0L && out(2L)._1 == 0L)
     assert(out(3L)._1 == out(4L)._1)
   }
+  test("simplifiedSilhouette: separated clusters read ~1e6, identical points read 0") {
+    // k=2, rounds=1: centroids = the two lowest ids, one per cluster.
+    // v2 joins c0: a=1, b=998001 -> 999998; v0: a=0, b=1e6 -> 1e6
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.001f, 0.0f))).toDF("vec_id", "embedding")
+    val got = KMeans.simplifiedSilhouette(vecs, "vec_id", "embedding",
+      k = 2, rounds = 1, scale = 1000)
+      .orderBy("cluster").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 999999L), (1L, 1L, 1000000L)), s"got $got")
+    // degenerate: identical points and centroids -> max(a,b)=0 -> s=0
+    val flat = Seq((0L, Array(1.0f)), (1L, Array(1.0f)), (2L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val z = KMeans.simplifiedSilhouette(flat, "vec_id", "embedding",
+      k = 2, rounds = 1, scale = 1000)
+      .orderBy("cluster").as[(Long, Long, Long)].collect().toSeq
+    assert(z.map(_._3).forall(_ == 0L), s"got $z")
+  }
+
 }
