@@ -3153,7 +3153,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(TextFunctions.tokenCount(col("text")).cast("long"))
             .as("n_tokens"))
-        .orderBy("source", "split"))
+        .orderBy("source", "split")),
+
+    // Numeric distribution drift between alternating epoch weeks (the
+    // A/B halves a release report compares): per event type, exact
+    // p50/p90 of value cents in each half + integer drift ppm — the
+    // numeric complement of q203's token-mix drift. Two quantilesDisc
+    // passes over disjoint halves; week parity keys off the micros
+    // grid.
+    "q215_quantile_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("v"),
+        expr("((ts_ns div 1000) div 604800000000) % 2").as("par"))
+      def half(p: Int): DataFrame =
+        Aggregations.quantilesDisc(
+          ev.filter(col("par") === p).withColumn("__w", lit(1L)),
+          Seq("event_type"), "v", "__w", Seq(500000L, 900000L))
+          .select(col("event_type"), col("p500000").as(s"p50_$p"),
+            col("p900000").as(s"p90_$p"))
+      half(0).join(half(1), Seq("event_type"))
+        .withColumn("p50_drift_ppm",
+          expr("(abs(p50_1 - p50_0) * 1000000) div p50_0"))
+        .withColumn("p90_drift_ppm",
+          expr("(abs(p90_1 - p90_0) * 1000000) div p90_0"))
+        .orderBy("event_type")
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -3660,6 +3684,33 @@ object SparkEntry {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
         |    AS n_tokens
         |FROM d GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
+    "q215_quantile_drift" -> {
+      def half(p: Int) =
+        s"""pv$p AS (SELECT g, v, count(*) AS w FROM src
+           |  WHERE par = $p GROUP BY 1, 2),
+           |c$p AS (SELECT g, v,
+           |  sum(w) OVER (PARTITION BY g ORDER BY v
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+           |  sum(w) OVER (PARTITION BY g) AS tw FROM pv$p),
+           |q$p AS (SELECT g,
+           |  min(CASE WHEN cw * 1000000 >= 500000 * tw THEN v END) AS p50_$p,
+           |  min(CASE WHEN cw * 1000000 >= 900000 * tw THEN v END) AS p90_$p
+           |  FROM c$p GROUP BY 1)""".stripMargin
+      s"""WITH src AS (SELECT event_type AS g,
+         |    CAST(round(value * 100) AS BIGINT) AS v,
+         |    (epoch_us(ts) // 604800000000) % 2 AS par FROM events),
+         |${half(0)},
+         |${half(1)}
+         |SELECT g AS event_type,
+         |  CAST(p50_0 AS BIGINT) AS p50_0, CAST(p90_0 AS BIGINT) AS p90_0,
+         |  CAST(p50_1 AS BIGINT) AS p50_1, CAST(p90_1 AS BIGINT) AS p90_1,
+         |  CAST((abs(p50_1 - p50_0) * 1000000) // p50_0 AS BIGINT)
+         |    AS p50_drift_ppm,
+         |  CAST((abs(p90_1 - p90_0) * 1000000) // p90_0 AS BIGINT)
+         |    AS p90_drift_ppm
+         |FROM q0 JOIN q1 USING (g) ORDER BY event_type""".stripMargin
+    },
 
     "q196_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
