@@ -52,7 +52,14 @@ object Plans {
       "q199_winsorized" -> "winsorized sums: quantile pass (partial agg on distinct values + one window), then the second scan joins the BROADCAST group-sized cutoffs — two scans, the exact-winsorization floor",
       "q200_harmonic" -> "landmark harmonic centrality: one bit-packed msbfs frontier sweep (64 seeds in one mask), distances exploded once, node-keyed ppm rollup + TakeOrdered top-100",
       "q201_containment_canonical" -> "containment-family canonicalization: blocked containment self-join off the cached shingle sets, CC over the pair edges, one arithmetic keep-key min agg — the cluster table is the only post-pair shuffle",
-      "q202_budget_mix" -> "greedy budget mix: one corpus agg to source-count-sized rows (materialized once for both branches), broadcast 1-row budget, source-sized window — the corpus is scanned exactly once")
+      "q202_budget_mix" -> "greedy budget mix: one corpus agg to source-count-sized rows (materialized once for both branches), broadcast 1-row budget, source-sized window — the corpus is scanned exactly once",
+      "q203_tv_drift" -> "TV mix drift: ONE (source, token) partial-agg exchange checkpointed for three branches; NO dense grid — absent-token mass telescopes to one arithmetic correction per group, the deviation join is token-keyed over present pairs (broadcast here is Catalyst's size call, not forced), group margins broadcast, DECIMAL(38,0) products",
+      "q205_boilerplate" -> "boilerplate screen: sentence split+hash scan-stage, ONE (doc, sentence-hash) exchange checkpointed for the df and ratio branches, df agg collapses map-side, flag join hash-keyed",
+      "q206_cdc_chunks" -> "CDC chunking: cut selection, chunk assembly and chunk hashing all per-row array expressions in the scan stage — the only exchange is the (source, chunk-hash) partial+final agg",
+      "q207_knn_label_consistency" -> "cell-blocked all-kNN: assignment is a map against k·dim centroid literals, the self-join shuffles by CELL only (never all-pairs), per-query top-k windows are cell-sized by construction",
+      "q209_snapshot_diff" -> "snapshot diff: both sides reduce to (key, md5-32 row hash) in the scan stage, ONE full-outer key join, single aggregated output row — value columns never shuffle",
+      "q211_cluster_silhouette" -> "simplified silhouette: a and b both come from ONE per-row distance array against the k·dim centroid literals — no second pass, no shuffle beyond the k-row rollup",
+      "q213_neighbor_agg" -> "neighbor feature agg: degree is one edge-keyed partial agg, the gather is one node-keyed hash join (degree table deliberately NOT broadcast) + src-keyed partial agg — no iteration, no window")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`, sf0.01)\n\n")
     sb.append("Evidence for ARCHITECTURE.md's claims: `PushedFilters`/`ReadSchema`\n")

@@ -740,6 +740,43 @@ object Scale {
     }
     time("containment_1x") { containShape(docs1) }
     time(s"containment_${mult}x") { containShape(docsB) }
+
+    // total-variation mix drift (q203 shape): the corpus exchange is
+    // the (source, token) count agg and the dense grid is vocab ×
+    // sources — N× corpus at ~fixed vocab and fixed sources must be
+    // scan-bound, with the grid unchanged
+    def tvDriftShape(docs: DataFrame): Long =
+      Corpus.tokenMixDrift(docs, "source", "text").count()
+    time("tvdrift_1x") { tvDriftShape(docs1) }
+    time(s"tvdrift_${mult}x") { tvDriftShape(docsN) }
+
+    // CDC chunking (q206 shape): cut selection, chunk assembly and
+    // hashing are scan-stage; the (source, chunk-hash) exchange is
+    // O(distinct chunks) — the templated N× corpus repeats chunks, so
+    // the exchange stays near-constant while the scan grows ×N
+    def cdcShape(docs: DataFrame): Long =
+      Corpus.cdcChunkDedup(docs, "source", "text", modulus = 16).count()
+    time("cdc_1x") { cdcShape(docs1) }
+    time(s"cdc_${mult}x") { cdcShape(docsN) }
+
+    // boilerplate screen (q205 shape): N× corpus with ~N× sentence df
+    // on every repeated sentence — the df agg must collapse map-side
+    // (same partial-agg discipline as the novelty fix)
+    def boilerShape(docs: DataFrame): Long =
+      Corpus.boilerplate(docs, "doc_id", "source", "text", minDf = 5L)
+        .count()
+    time("boilerplate_1x") { boilerShape(docs1) }
+    time(s"boilerplate_${mult}x") { boilerShape(docsN) }
+
+    // cell-blocked all-kNN (q207 shape): the designed discipline is
+    // nCentroids ~ sqrt(N) so cell size stays bounded — centroid count
+    // scales WITH the corpus here, keeping per-cell pair work constant
+    // and total pair work ~linear
+    def knnShape(e: DataFrame, cents: Int): Long =
+      operators.Ann.cellKnnLabelConsistency(e, k = 5, nCentroids = cents)
+        .count()
+    time("knnlabel_1x") { knnShape(emb1, 8) }
+    time(s"knnlabel_${mult}x") { knnShape(embN, 8 * mult) }
     spark.stop()
   }
 }

@@ -472,16 +472,21 @@ object Corpus {
     * where KL's floating log cannot). Tokens PRESENT in the corpus but
     * ABSENT from a group contribute their full p(t) mass — dropping
     * them (the sparse-join formulation) understates drift for small
-    * sources, so the grid is dense, like [[Aggregations
-    * .chiSquareIndependence]]'s.
+    * sources. The dense vocab × groups grid is NOT materialized: an
+    * absent token's term is exactly c_t·N_g, so the absent mass
+    * telescopes to N_g·(N − Σ_present c_t) — one arithmetic correction
+    * per group instead of a grid join (the first cut of this operator
+    * built the grid and Catalyst broadcast the full (group, token)
+    * counts table into it — a vocab-sized broadcast at 100 TB).
     *
     * Scale shape: ONE (group, token)-keyed partial+final count agg is
     * the only corpus-sized exchange; it is localCheckpointed once and
-    * feeds the three branches (token margins, group margins, cells —
-    * the shared-branch rule). The dense grid is token-margin rows ×
-    * a BROADCAST group-margin table (vocab × groups rows, never corpus
-    * rows). All products ride DECIMAL(38,0) ≙ DuckDB HUGEINT; one
-    * truncating div per group at the very end.
+    * feeds three branches (token margins, group margins, the deviation
+    * join — the shared-branch rule). The deviation join is keyed by
+    * TOKEN over present pairs only, O(distinct pairs); group margins
+    * are a genuinely group-sized BROADCAST. All products ride
+    * DECIMAL(38,0) ≙ DuckDB HUGEINT; one truncating div per group at
+    * the very end.
     *
     * @return (groupCol, n_tokens, tv_ppm) — drift in [0, 1e6] */
   def tokenMixDrift(docs: DataFrame, groupCol: String,
@@ -496,19 +501,19 @@ object Corpus {
     val tokTot = counts.groupBy("__t").agg(sum("__c").as("__ct"))
     val grpTot = counts.groupBy("__s").agg(sum("__c").as("__ns"))
     val total = tokTot.agg(sum("__ct").cast("decimal(38,0)").as("__n"))
-    tokTot.crossJoin(broadcast(grpTot))
-      .join(counts, Seq("__t", "__s"), "left")
-      .select(col("__s"), col("__ns"), col("__ct"),
-        coalesce(col("__c"), lit(0L)).as("__c"))
+    counts.join(tokTot, Seq("__t"))
+      .join(broadcast(grpTot), Seq("__s"))
       .crossJoin(broadcast(total))
       .groupBy(col("__s").as(groupCol))
       .agg(max(col("__ns")).as("n_tokens"),
         sum(abs(col("__c").cast("decimal(38,0)") * col("__n") -
-          col("__ct").cast("decimal(38,0)") * col("__ns"))).as("__dev"),
-        max(col("__ns").cast("decimal(38,0)") * col("__n")).as("__den"))
+          col("__ct").cast("decimal(38,0)") * col("__ns"))).as("__devp"),
+        sum(col("__ct").cast("decimal(38,0)")).as("__ctp"),
+        max(col("__ns").cast("decimal(38,0)")).as("__nsd"),
+        max(col("__n")).as("__nd"))
       .select(col(groupCol), col("n_tokens"),
-        expr("CAST((__dev * 1000000) div (2 * __den) AS BIGINT)")
-          .as("tv_ppm"))
+        expr("CAST(((__devp + __nsd * (__nd - __ctp)) * 1000000) " +
+          "div (2 * __nsd * __nd) AS BIGINT)").as("tv_ppm"))
   }
 
   /** Boilerplate detection by sentence document-frequency — the
