@@ -88,6 +88,11 @@ object Validations {
     * Keys must be unique per side (the usual primary-key contract —
     * enforced loudly, because a duplicated key would silently turn one
     * logical row into several join rows and inflate every class).
+    * Value-column contract: `concat_ws` SKIPS NULLs in both engines,
+    * so rows whose non-null values align after dropping NULLs hash
+    * identically (('a', NULL) ≡ (NULL, 'a')) — pre-coalesce NULLable
+    * value columns to a sentinel before calling if that distinction
+    * matters (same contract as [[tableChecksum]]).
     *
     * Scale shape: each side reduces to (key-hash ring columns, row
     * hash) in the scan stage — value columns never shuffle; ONE

@@ -214,11 +214,17 @@ object Aggregations {
     * partial agg. Two corpus scans, the exact-quantile floor, same as
     * [[winsorizedSums]].
     *
+    * NULL contract: rows with a NULL value are excluded up front — a
+    * NULL fails every `v > cut` test and would otherwise land in
+    * bucket 0 silently while vanishing from `total` (the chi-square
+    * NULL-category trap in this module's own history).
+    *
     * @return (groupCols..., bucket, n, total) ordered by nothing —
     *         callers add their determinism ORDER BY */
-  def equiDepthHistogram(df: DataFrame, groupCols: Seq[String],
+  def equiDepthHistogram(raw: DataFrame, groupCols: Seq[String],
       valueCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2 && buckets <= 1000, "need 2 <= buckets <= 1000")
+    val df = raw.filter(col(valueCol).isNotNull)
     val g = groupCols.map(col)
     val ppms = (1 until buckets).map(k => k.toLong * 1000000L / buckets)
     val cuts = quantilesDisc(df.withColumn("__w", lit(1L)), groupCols,
@@ -253,10 +259,14 @@ object Aggregations {
     * join against group-sized cutoffs. Exact two-level medians cannot
     * do better: the MAD depends on the median, the flags on both.
     *
+    * NULL contract: rows with a NULL value are excluded up front (a
+    * NULL deviation would silently drop from both medians and flags).
+    *
     * @return (groupCols..., n, med, mad, n_outliers) */
-  def madOutliers(df: DataFrame, groupCols: Seq[String],
+  def madOutliers(raw: DataFrame, groupCols: Seq[String],
       valueCol: String, k: Long): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val df = raw.filter(col(valueCol).isNotNull)
     val g = groupCols.map(col)
     val v = col(valueCol).cast("long")
     val med = quantilesDisc(df.withColumn("__w", lit(1L)), groupCols,
