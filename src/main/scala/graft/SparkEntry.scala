@@ -3177,7 +3177,19 @@ object SparkEntry {
         .withColumn("p90_drift_ppm",
           expr("(abs(p90_1 - p90_0) * 1000000) div p90_0"))
         .orderBy("event_type")
-    })
+    }),
+
+    // Mergeable log-histogram quantile sketch: bounded-state (≤256
+    // buckets/group) p50/p99 estimates — the approximate path next to
+    // q146's exact quantiles, whose window partitions are
+    // value-cardinality-sized (Sketch.logHistQuantiles; integer msb
+    // buckets, estimates are true data values).
+    "q216_loghist_quantiles" -> ((s, dir) =>
+      Sketch.logHistQuantiles(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")),
+        Seq("l_returnflag"), "price_c", Seq(500000L, 990000L))
+        .orderBy("l_returnflag"))
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -3711,6 +3723,27 @@ object SparkEntry {
          |    AS p90_drift_ppm
          |FROM q0 JOIN q1 USING (g) ORDER BY event_type""".stripMargin
     },
+
+    "q216_loghist_quantiles" ->
+      """WITH src AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem),
+        |hb AS (SELECT g, v,
+        |    (length(bin(v)) - 1) * 4 +
+        |    ((v >> greatest(length(bin(v)) - 3, 0)) & 3) AS b
+        |  FROM src WHERE v >= 1),
+        |hist AS (SELECT g, b, count(*) AS c, min(v) AS mn
+        |  FROM hb GROUP BY 1, 2),
+        |cum AS (SELECT g, b, mn,
+        |  sum(c) OVER (PARTITION BY g ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(c) OVER (PARTITION BY g) AS tw FROM hist)
+        |SELECT g AS l_returnflag, CAST(max(tw) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cw * 1000000 >= 500000 * tw THEN mn END)
+        |    AS BIGINT) AS est_p500000,
+        |  CAST(min(CASE WHEN cw * 1000000 >= 990000 * tw THEN mn END)
+        |    AS BIGINT) AS est_p990000
+        |FROM cum GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
     "q196_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -176,4 +176,58 @@ object Sketch {
       when(rawE <= lit(2.5 * m) && v > 0, lit(m) * log(lit(m) / v))
         .otherwise(rawE).as("est_ndv"): _*)
   }
+  /** Mergeable log-histogram quantile sketch — the bounded-state
+    * approximate-percentile that survives 100 TB where the exact
+    * [[graft.operators.Aggregations.quantilesDisc]] cannot: the exact
+    * form windows over DISTINCT VALUES (value-cardinality-sized
+    * partitions); this one buckets every value by (msb, 2 sub-bits) —
+    * at most 4·64 = 256 buckets per group REGARDLESS of value
+    * cardinality — and answers a quantile with the MINIMUM VALUE of
+    * the bucket where the cumulative count crosses the rank. The
+    * estimate is a true data value with relative error bounded by the
+    * bucket width (≤ 2^(msb−2), i.e. ~19%), the histogram is mergeable
+    * across partitions/days by bucket-wise count addition, and every
+    * step is integer arithmetic: msb = length of the binary string
+    * (Spark `conv(v,10,2)` ≡ DuckDB `bin(v)` — both unpadded), so the
+    * whole sketch replays exactly cross-engine, floats nowhere.
+    *
+    * Positive-value contract: rows with NULL or v < 1 are excluded up
+    * front (log buckets need v ≥ 1; shift/scale first if the domain
+    * includes zero or negatives).
+    *
+    * Scale shape: ONE (group, bucket) partial+final agg — map-side
+    * combine collapses to ≤ 256 rows per group before the exchange —
+    * then a bucket-count-bounded window. Compare: the exact quantile's
+    * exchange carries O(distinct values).
+    *
+    * @return (groupCols..., n, est_p&lt;q&gt; per requested ppm) */
+  def logHistQuantiles(raw: DataFrame, groupCols: Seq[String],
+      valueCol: String, quantilesPpm: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantilesPpm.nonEmpty &&
+      quantilesPpm.forall(q => q > 0 && q <= 1000000L),
+      "quantiles are ppm in (0, 1000000]")
+    val df = raw.filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val bucket = expr(
+      s"""(length(conv(CAST($valueCol AS BIGINT), 10, 2)) - 1) * 4 +
+         | (shiftright(CAST($valueCol AS BIGINT),
+         |   greatest(length(conv(CAST($valueCol AS BIGINT), 10, 2)) - 3, 0))
+         |  & 3)""".stripMargin.replace('\n', ' '))
+    val hist = df.groupBy(g :+ bucket.cast("long").as("__b"): _*)
+      .agg(count(lit(1)).as("__c"), min(v).as("__min"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__b"))
+    val cum = hist
+      .withColumn("__cw", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qAggs = quantilesPpm.map(q =>
+      min(when(col("__cw") * 1000000L >= lit(q) * col("__tw"), col("__min")))
+        .as(s"est_p$q"))
+    cum.groupBy(g: _*)
+      .agg(max(col("__tw")).as("n"), qAggs: _*)
+  }
+
 }

@@ -194,4 +194,32 @@ class BloomSketchSpec extends SparkSpec {
     assert(out(2L) === ((2L, 1L))) // shared span deduplicated away
     assert(out(3L)._1 === out(3L)._2) // no dups → all kept
   }
+  test("logHistQuantiles: estimate is a true value within the bucket-width bound") {
+    import graft.operators.{Aggregations, Sketch}
+    val df = (1L to 10000L).map(("g", _)).toDF("g", "v")
+    val est = Sketch.logHistQuantiles(df, Seq("g"), "v",
+      Seq(500000L, 990000L)).as[(String, Long, Long, Long)].collect().head
+    val exact = Aggregations.quantilesDisc(
+      df.withColumn("__w", org.apache.spark.sql.functions.lit(1L)),
+      Seq("g"), "v", "__w", Seq(500000L, 990000L))
+      .select("g", "p500000", "p990000")
+      .as[(String, Long, Long)].collect().head
+    assert(est._2 == 10000L)
+    // est = min of the crossing bucket: a TRUE data value, <= exact,
+    // and within the <=25% relative bucket width below it
+    for ((e, x) <- Seq((est._3, exact._2), (est._4, exact._3))) {
+      assert(e <= x, s"estimate $e above exact $x")
+      assert(e * 5 >= x * 4, s"estimate $e more than 25% below exact $x")
+    }
+    // partitioning invariance (the mergeability the histogram claims)
+    val rep = Sketch.logHistQuantiles(df.repartition(7), Seq("g"), "v",
+      Seq(500000L, 990000L)).as[(String, Long, Long, Long)].collect().head
+    assert(rep == est)
+    // NULL / sub-1 values excluded by contract
+    val guarded = Sketch.logHistQuantiles(
+      (Seq(0L, 1L, 2L, 3L)).map(("g", _)).toDF("g", "v"),
+      Seq("g"), "v", Seq(500000L)).as[(String, Long, Long)].collect().head
+    assert(guarded._2 == 3L)
+  }
+
 }
