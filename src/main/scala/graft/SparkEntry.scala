@@ -3189,7 +3189,20 @@ object SparkEntry {
         Tables.lineitem(s, dir).select(col("l_returnflag"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c")),
         Seq("l_returnflag"), "price_c", Seq(500000L, 990000L))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Link prediction over the co-order part graph: common neighbors,
+    // integer resource-allocation index, neighborhood Jaccard for the
+    // top-100 non-edges (Graph.linkPredictionFeatures — wedge stream
+    // through the hub-capped kernel, never all-pairs).
+    "q217_link_prediction" -> ((s, dir) => {
+      val canon = Graph.coOccurrenceEdges(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8).distinct()
+      Graph.linkPredictionFeatures(canon)
+        .orderBy(col("ra_ppm").desc, col("id_a"), col("id_b")).limit(100)
+    })
   )
 
   // ---- oracles ---------------------------------------------------------
@@ -3744,6 +3757,35 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cw * 1000000 >= 990000 * tw THEN mn END)
         |    AS BIGINT) AS est_p990000
         |FROM cum GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q217_link_prediction" ->
+      """WITH os0 AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |os AS (
+        |  SELECT o, p FROM (
+        |    SELECT o, p, count(*) OVER (PARTITION BY o) AS ns FROM os0)
+        |  WHERE ns <= 8),
+        |e0 AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM os x JOIN os y ON x.o = y.o AND x.p < y.p),
+        |ed AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+        |wed AS (SELECT x.dst AS a, y.dst AS b, count(*) AS common,
+        |    sum(1000000 // dv.deg) AS ra_ppm
+        |  FROM ed x JOIN ed y ON x.src = y.src AND x.dst < y.dst
+        |  JOIN deg dv ON dv.id = x.src
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT wed.a, wed.b, wed.common, wed.ra_ppm
+        |  FROM wed LEFT JOIN e0 ON e0.a = wed.a AND e0.b = wed.b
+        |  WHERE e0.a IS NULL)
+        |SELECT ne.a AS id_a, ne.b AS id_b,
+        |  CAST(common AS BIGINT) AS common,
+        |  CAST(ra_ppm AS BIGINT) AS ra_ppm,
+        |  CAST((common * 1000000) // (da.deg + db.deg - common) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM ne JOIN deg da ON da.id = ne.a JOIN deg db ON db.id = ne.b
+        |ORDER BY ra_ppm DESC, id_a, id_b LIMIT 100""".stripMargin,
 
     "q196_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -521,6 +521,46 @@ object Graph {
         max(col("__nd")).as("max_nbr_deg"))
   }
 
+  /** Link-prediction features over non-edges — the classic
+    * common-neighbor family for "which connection forms next"
+    * (recommendations, entity resolution candidates): for every node
+    * pair with ≥ 1 common neighbor that is NOT already an edge,
+    * report common-neighbor count, resource-allocation index
+    * (Σ_v 1e6 div deg(v) — Adamic-Adar's integer-exact sibling: RA
+    * weights rare bridges by 1/deg where AA uses 1/log deg, same
+    * ranking intent, no float log), and neighborhood Jaccard in ppm.
+    *
+    * Scale shape: candidate pairs come from the WEDGE stream (two
+    * edge joins through the shared middle node v) — never an
+    * all-pairs product; feed it a hub-capped kernel
+    * ([[coOccurrenceEdges]]' maxGroupSize) so Σ deg(v)² is bounded.
+    * Degrees ride one node-keyed agg joined into the wedge (not
+    * broadcast — node-sized); existing edges leave via one anti-join.
+    *
+    * @param canon canonical undirected edges (src < dst), deduped
+    * @return (id_a, id_b, common, ra_ppm, jaccard_ppm), id_a < id_b */
+  def linkPredictionFeatures(canon: DataFrame): DataFrame = {
+    val ed = canon.unionByName(
+      canon.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val wed = ed.select(col("src").as("v"), col("dst").as("a"))
+      .join(ed.select(col("src").as("v"), col("dst").as("b")), Seq("v"))
+      .filter(col("a") < col("b"))
+      .join(deg.select(col("id").as("v"), col("deg").as("__dv")), Seq("v"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div __dv")).as("ra_ppm"))
+    wed
+      .join(canon.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("id").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"), col("common"),
+        col("ra_ppm"),
+        expr("(common * 1000000) div (__da + __db - common)")
+          .as("jaccard_ppm"))
+  }
+
   def multiSourceBfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
       broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")

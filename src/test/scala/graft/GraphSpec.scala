@@ -857,4 +857,19 @@ class GraphSpec extends SparkSpec {
       (3L, 1L, 2L, 2L)), s"got $got")
   }
 
+  test("linkPredictionFeatures: exact CN/RA/Jaccard on a square, edges excluded") {
+    // square 1-2-3-4-1: the only non-edges with common neighbors are
+    // the diagonals (1,3) and (2,4); all degrees are 2
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.linkPredictionFeatures(canon)
+      .orderBy("id_a").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 1000000L, 1000000L),
+      (2L, 4L, 2L, 1000000L, 1000000L)), s"got $got")
+    // existing edges never appear, even with common neighbors
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.linkPredictionFeatures(tri).count() == 0L)
+  }
+
 }
