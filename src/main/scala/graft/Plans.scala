@@ -59,7 +59,9 @@ object Plans {
       "q207_knn_label_consistency" -> "cell-blocked all-kNN: assignment is a map against k·dim centroid literals, the self-join shuffles by CELL only (never all-pairs), per-query top-k windows are cell-sized by construction",
       "q209_snapshot_diff" -> "snapshot diff: both sides reduce to (key, md5-32 row hash) in the scan stage, ONE full-outer key join, single aggregated output row — value columns never shuffle",
       "q211_cluster_silhouette" -> "simplified silhouette: a and b both come from ONE per-row distance array against the k·dim centroid literals — no second pass, no shuffle beyond the k-row rollup",
-      "q213_neighbor_agg" -> "neighbor feature agg: degree is one edge-keyed partial agg, the gather is one node-keyed hash join (degree table deliberately NOT broadcast) + src-keyed partial agg — no iteration, no window")
+      "q213_neighbor_agg" -> "neighbor feature agg: degree is one edge-keyed partial agg, the gather is one node-keyed hash join (degree table deliberately NOT broadcast) + src-keyed partial agg — no iteration, no window",
+      "q216_loghist_quantiles" -> "log-histogram quantile sketch: (group, bucket) partial agg collapses to ≤256 rows/group map-side BEFORE the exchange; the window partitions are bucket-count-bounded — compare q146's distinct-value-sized partitions",
+      "q217_link_prediction" -> "link prediction: wedge stream = two edge joins through the shared middle node (bounded by the hub-capped kernel, never all-pairs), one anti-join evicts existing edges, TakeOrdered top-100")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`, sf0.01)\n\n")
     sb.append("Evidence for ARCHITECTURE.md's claims: `PushedFilters`/`ReadSchema`\n")

@@ -3194,7 +3194,8 @@ object SparkEntry {
     // Link prediction over the co-order part graph: common neighbors,
     // integer resource-allocation index, neighborhood Jaccard for the
     // top-100 non-edges (Graph.linkPredictionFeatures — wedge stream
-    // through the hub-capped kernel, never all-pairs).
+    // capped at middle-degree 64: hub middles carry ~zero RA weight
+    // and uncapped wedges measured 236M vs 1.5M at sf0.1).
     "q217_link_prediction" -> ((s, dir) => {
       val canon = Graph.coOccurrenceEdges(
         Tables.lineitem(s, dir)
@@ -3771,10 +3772,11 @@ object SparkEntry {
         |ed AS (SELECT a AS src, b AS dst FROM e0
         |  UNION ALL SELECT b, a FROM e0),
         |deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+        |legs AS (SELECT ed.src AS v, ed.dst, dv.deg AS dvd
+        |  FROM ed JOIN deg dv ON dv.id = ed.src AND dv.deg <= 64),
         |wed AS (SELECT x.dst AS a, y.dst AS b, count(*) AS common,
-        |    sum(1000000 // dv.deg) AS ra_ppm
-        |  FROM ed x JOIN ed y ON x.src = y.src AND x.dst < y.dst
-        |  JOIN deg dv ON dv.id = x.src
+        |    sum(1000000 // x.dvd) AS ra_ppm
+        |  FROM legs x JOIN legs y ON x.v = y.v AND x.dst < y.dst
         |  GROUP BY 1, 2),
         |ne AS (SELECT wed.a, wed.b, wed.common, wed.ra_ppm
         |  FROM wed LEFT JOIN e0 ON e0.a = wed.a AND e0.b = wed.b

@@ -530,23 +530,44 @@ object Graph {
     * weights rare bridges by 1/deg where AA uses 1/log deg, same
     * ranking intent, no float log), and neighborhood Jaccard in ppm.
     *
-    * Scale shape: candidate pairs come from the WEDGE stream (two
-    * edge joins through the shared middle node v) — never an
-    * all-pairs product; feed it a hub-capped kernel
-    * ([[coOccurrenceEdges]]' maxGroupSize) so Σ deg(v)² is bounded.
-    * Degrees ride one node-keyed agg joined into the wedge (not
-    * broadcast — node-sized); existing edges leave via one anti-join.
+    * Hub contract: wedges route only through middle nodes with
+    * deg(v) ≤ `maxMiddleDegree`. The wedge stream is Σ deg(v)² —
+    * unbounded, a 201-degree hub in the sf0.1 co-order graph alone
+    * makes 236M wedges where the capped stream is 1.5M (measured) —
+    * and a hub is the LEAST informative common neighbor: its RA
+    * weight 1e6 div deg(v) rounds to ~0 and co-occurring at a hub
+    * predicts nothing (everyone co-occurs there). Capping the middle
+    * bounds wedges by maxMiddleDegree·m — linear in edges at any
+    * scale. Endpoint degrees (the Jaccard denominator) stay UNcapped.
+    *
+    * Scale shape: capped wedge join (two edge joins through the
+    * shared middle), degrees ride one node-keyed agg joined into the
+    * wedge (not broadcast — node-sized); existing edges leave via one
+    * anti-join.
     *
     * @param canon canonical undirected edges (src < dst), deduped
     * @return (id_a, id_b, common, ra_ppm, jaccard_ppm), id_a < id_b */
-  def linkPredictionFeatures(canon: DataFrame): DataFrame = {
+  def linkPredictionFeatures(canon: DataFrame,
+      maxMiddleDegree: Long = 64L): DataFrame = {
+    require(maxMiddleDegree >= 2, "maxMiddleDegree must be >= 2")
     val ed = canon.unionByName(
       canon.select(col("dst").as("src"), col("src").as("dst")))
+    // deg feeds three branches and legs both self-join sides; the
+    // shared-branch materialization was TRIED and measured SLOWER
+    // here (3.1 s plain vs 5.5 s both-checkpointed vs 3.4 s deg-only
+    // at sf0.1): both frames are one scan + narrow agg/join off the
+    // same input, and eager checkpoint IO costs more than recompute —
+    // unlike the clusteringCoefficient case, whose shared frame is a
+    // shuffled canonical edge set
     val deg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-    val wed = ed.select(col("src").as("v"), col("dst").as("a"))
-      .join(ed.select(col("src").as("v"), col("dst").as("b")), Seq("v"))
+    val mid = deg.filter(col("deg") <= maxMiddleDegree)
+      .select(col("id").as("v"), col("deg").as("__dv"))
+    // the cap joins into the LEGS, before the self-join — hub wedges
+    // are never generated, not generated-then-dropped
+    val legs = ed.select(col("src").as("v"), col("dst")).join(mid, Seq("v"))
+    val wed = legs.select(col("v"), col("dst").as("a"), col("__dv"))
+      .join(legs.select(col("v"), col("dst").as("b")), Seq("v"))
       .filter(col("a") < col("b"))
-      .join(deg.select(col("id").as("v"), col("deg").as("__dv")), Seq("v"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"),
         sum(expr("1000000 div __dv")).as("ra_ppm"))
