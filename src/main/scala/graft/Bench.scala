@@ -198,7 +198,11 @@ object Bench {
         f"[bench] WARN: contended record — ${contendedPerQuery.size}%d " +
           f"queries show wall-up/taskTotal-flat reps costing " +
           f"$contendedSpread%.1f s of spread (top: $top). Re-run on a " +
-          "quiet box before quoting round-over-round.")
+          "quiet box before quoting round-over-round. (Task-time deltas " +
+          "snapshot the async listener bus without draining it, so a " +
+          "heavy rep's tail can credit the NEXT rep — per-query " +
+          "attribution is approximate; the flag is a tripwire, not an " +
+          "alibi.)")
     }
     def fmt(sel: Seq[(Double, Double)] => Double): String = results.map {
       case (k, v) =>

@@ -28,8 +28,14 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        // oracle-licensing preconditions run HERE, not in the query
+        // lambda — Bench times that lambda (ADVICE r11); a violated
+        // precondition fails the verify run as loudly as a bad result
+        SparkEntry.preconditions.get(name).foreach(p => p(spark, sfDir))
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failures(name) = Option(e.getMessage).getOrElse(e.toString).take(500)

@@ -100,9 +100,18 @@ object Validations {
     * output is a single aggregated row. The md5-32 row hash is the
     * PORTABLE family, so the whole audit replays in DuckDB.
     *
+    * Key-uniqueness precondition: the per-key hash comparison is only
+    * meaningful when `keyCols` is a key on BOTH sides. With the default
+    * `checkKeys = true` both sides are asserted eagerly (two count
+    * jobs); a caller on a hot path whose uniqueness is gated elsewhere
+    * (a Verify-time precondition — the Bench-timing discipline, ADVICE
+    * r11) passes `checkKeys = false` and runs [[assertUniqueKeys]]
+    * itself.
+    *
     * @return (n_added, n_removed, n_changed, n_same) */
   def snapshotDiff(before: DataFrame, after: DataFrame,
-      keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+      keyCols: Seq[String], valueCols: Seq[String],
+      checkKeys: Boolean = true): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty,
       "need key and value columns")
     def hashed(df: DataFrame, tag: String): DataFrame =
@@ -110,14 +119,10 @@ object Validations {
         conv(substring(md5(
           concat_ws("|", valueCols.map(c => col(c).cast("string")): _*)
             .cast("binary")), 1, 8), 16, 10).cast("long").as(s"__h$tag"): _*)
-    def assertUnique(df: DataFrame, side: String): Unit = {
-      val dup = df.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
-        .limit(1).count()
-      require(dup == 0L,
-        s"snapshotDiff: keys are not unique on the $side side")
+    if (checkKeys) {
+      assertUniqueKeys(before, keyCols, "snapshotDiff before side")
+      assertUniqueKeys(after, keyCols, "snapshotDiff after side")
     }
-    assertUnique(before, "before"); assertUnique(after, "after")
     hashed(before, "b").join(hashed(after, "a"), keyCols, "full_outer")
       .agg(
         sum(when(col("__hb").isNull, 1L).otherwise(0L)).as("n_added"),
@@ -126,6 +131,20 @@ object Validations {
           col("__hb") =!= col("__ha"), 1L).otherwise(0L)).as("n_changed"),
         sum(when(col("__hb") === col("__ha"), 1L).otherwise(0L))
           .as("n_same"))
+  }
+
+  /** Loud key-uniqueness gate — the shared precondition behind
+    * [[snapshotDiff]] and the exact-copy stream-dedup oracles: throws
+    * (with the offending context named) when `keyCols` is not a key.
+    * One LIMIT-1 count job; scan-stage partial agg, never a wide
+    * materialization. */
+  def assertUniqueKeys(df: DataFrame, keyCols: Seq[String],
+      what: String): Unit = {
+    val dup = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1)
+      .limit(1).count()
+    require(dup == 0L,
+      s"$what: columns ${keyCols.mkString(",")} are not unique")
   }
 
   /** V2 price sanity (`check_prices`, `coinprice/pricing_checks.py:76-120`):

@@ -92,30 +92,31 @@ object Aggregations {
     * cumulative weight reaches half the group's total —
     * min{x : 2·Σ_{v≤x} w(v) ≥ Σw}. Integer weights and integer-encoded
     * values keep every comparison exact (no percentile interpolation),
-    * so the result is engine-independent.
-    *
-    * Scale shape: occurrences collapse FIRST to one row per (group,
-    * value) with summed weight — a partial-agg shuffle of O(distinct
-    * values) — then one window pass per group computes the running
-    * weight and a min-over-crossings agg picks the median. The window
-    * sorts distinct values, not raw rows, and a group's total rides the
-    * same window (no second scan or join). */
+    * so the result is engine-independent. Delegates to [[quantilesDisc]]
+    * at q = 500000 ppm (2·cw ≥ tw ⇔ 10⁶·cw ≥ 500000·tw), inheriting its
+    * bracket+exact scale shape. */
   def weightedMedian(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, weightCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val g = groupCols.map(col)
-    val perValue = df
-      .groupBy(g :+ col(valueCol).as("__v"): _*)
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
-    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
-    val cum = perValue
-      .withColumn("__cw", sum(col("__w")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__tw", sum(col("__w")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    cum.filter(col("__cw") * 2 >= col("__tw"))
-      .groupBy(g: _*)
-      .agg(min(col("__v")).as("w_median"), max(col("__tw")).as("total_w"))
+      valueCol: String, weightCol: String): DataFrame =
+    quantilesDisc(df, groupCols, valueCol, weightCol, Seq(500000L))
+      .withColumnRenamed("p500000", "w_median")
+
+  /** Signed log-bucket of a BIGINT expression — the bracket key of
+    * [[quantilesDisc]]'s two-pass exact quantile. Monotone in the value
+    * (v₁ ≤ v₂ ⇒ bucket(v₁) ≤ bucket(v₂)) and bounded: positives map to
+    * 1 + (msb−1)·4 + 2 sub-bits ∈ [1, 256] (the [[Sketch.logHistQuantiles]]
+    * bucket rule), zero to 0, negatives mirror to [−256, −1] — ≤ 513
+    * buckets over the whole long domain, so a per-group bucket histogram
+    * never exceeds 513 rows regardless of value cardinality. `conv(v,10,2)`
+    * is unpadded in Spark and DuckDB (`bin`) alike, so the rule is
+    * portable. Contract: v > Long.MinValue (the one long whose negation
+    * overflows). */
+  private[graft] def signedLogBucketSql(c: String): String = {
+    def lb(u: String) =
+      s"(CAST(length(conv($u, 10, 2)) - 1 AS BIGINT) * 4 + " +
+        s"(shiftright($u, greatest(length(conv($u, 10, 2)) - 3, 0)) & 3))"
+    s"(CASE WHEN $c = 0 THEN CAST(0 AS BIGINT) " +
+      s"WHEN $c > 0 THEN ${lb(c)} + 1 " +
+      s"ELSE -(${lb(s"(-($c))")}) - 1 END)"
   }
 
   /** Exact per-group discrete quantiles — [[weightedMedian]] generalized
@@ -129,13 +130,34 @@ object Aggregations {
     * engines in interpolation and rank rounding, so the oracle mirrors
     * this exact window+filter formula instead.
     *
-    * Scale shape (same as [[weightedMedian]]): occurrences collapse
-    * FIRST to one row per (group, value) — a partial-agg shuffle of
-    * O(distinct values) — then ONE window pass computes running weight,
-    * and every quantile is a conditional-min over the same pass (no
-    * per-quantile scan, no join; adding a quantile is free). Overflow
-    * bound: cumWeight × 10⁶ must fit a long ⇒ Σw per group < ~9.2e12,
-    * fine for counts up to trillions; pre-scale weights above that.
+    * Scale shape — BRACKET + EXACT two-pass (round 12; the previous
+    * single window partitioned per group over ALL distinct values, a
+    * one-task ceiling when distinct ≈ rows — price cents over 3 return
+    * flags put tens of millions of rows on one task at 100×):
+    *  1. occurrences collapse to one row per (group, value) — the
+    *     partial-agg shuffle that is the exactness floor — and each
+    *     value takes its [[signedLogBucketSql]] bucket (≤ 513 buckets
+    *     over the whole long domain). A (group, bucket) histogram and a
+    *     ≤513-row-per-group window locate, per requested rank, the ONE
+    *     bracket bucket where cumulative weight crosses the target,
+    *     plus the exact weight below it.
+    *  2. the exact rank scan re-reads only IN-BRACKET values (broadcast
+    *     semi-join on the groups×quantiles bracket table): the window
+    *     partition is one bucket's distinct values — ~1/256th of the
+    *     group in log space — never the column's cardinality.
+    * The (group, value) frame feeds both passes, so it is materialized
+    * once (localCheckpoint — the multi-branch rule). Results are
+    * integer-exact and identical to the one-window formula: the min
+    * value whose cumulative weight reaches the target provably lies in
+    * the bracket bucket (bucket cum before it < target ≤ cum through
+    * it, and the bucket key is monotone in the value). Overflow bound
+    * unchanged: cumWeight × 10⁶ must fit a long ⇒ Σw per group <
+    * ~9.2e12; pre-scale weights above that.
+    *
+    * Contracts: rows with a NULL value are excluded up front; weights
+    * are non-negative with a positive group total; the long cast of the
+    * value must preserve order (integer-encoded values — the module-wide
+    * discipline) and exceed Long.MinValue.
     *
     * @param quantilesPpm quantiles in ppm (500000 = median); output
     *        column per entry named `p<ppm>`, plus `total_w` */
@@ -147,19 +169,41 @@ object Aggregations {
       "quantiles are ppm in (0, 1000000]")
     val g = groupCols.map(col)
     val perValue = df
+      .filter(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol).as("__v"): _*)
       .agg(sum(col(weightCol).cast("long")).as("__w"))
-    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
-    val cum = perValue
-      .withColumn("__cw", sum(col("__w")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__tw", sum(col("__w")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-    val qAggs = quantilesPpm.map(q =>
-      min(when(col("__cw") * 1000000L >= lit(q) * col("__tw"), col("__v")))
-        .as(s"p$q"))
-    cum.groupBy(g: _*)
-      .agg(qAggs.head, qAggs.tail :+ max(col("__tw")).as("total_w"): _*)
+      .withColumn("__b", expr(signedLogBucketSql("CAST(__v AS BIGINT)")))
+      .localCheckpoint(true)
+    val perBucket = perValue.groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__w")).as("__bw"))
+    val wb = Window.partitionBy(g: _*).orderBy(col("__b"))
+    val cumB = perBucket
+      .withColumn("__cbw", sum(col("__bw")).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__bw")).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // one row per (group, rank): the first bucket whose cumulative
+    // weight reaches the target, with the exact weight before it
+    val brackets = cumB
+      .withColumn("__q", explode(array(quantilesPpm.map(lit): _*)))
+      .filter(col("__cbw") * 1000000L >= col("__q") * col("__tw") &&
+        (col("__cbw") - col("__bw")) * 1000000L < col("__q") * col("__tw"))
+      .select(g ++ Seq(col("__q"), col("__b"),
+        (col("__cbw") - col("__bw")).as("__before"), col("__tw")): _*)
+    val bq = brackets.select(g :+ col("__b"): _*).distinct()
+    val wIn = Window.partitionBy(g :+ col("__b"): _*).orderBy(col("__v"))
+    val inBracket = perValue.join(broadcast(bq), groupCols :+ "__b")
+      .withColumn("__cin", sum(col("__w")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hits = inBracket.join(broadcast(brackets), groupCols :+ "__b")
+      .filter((col("__before") + col("__cin")) * 1000000L >=
+        col("__q") * col("__tw"))
+      .groupBy(g :+ col("__q"): _*)
+      .agg(min(col("__v")).as("__ans"), max(col("__tw")).as("__gtw"))
+    val qCols = quantilesPpm.map(q =>
+      min(when(col("__q") === q, col("__ans"))).as(s"p$q"))
+    hits.groupBy(g: _*)
+      .agg(qCols.head, qCols.tail :+ max(col("__gtw")).as("total_w"): _*)
   }
 
   /** Winsorized per-group sums — the outlier-robust rollup a metrics
@@ -170,12 +214,12 @@ object Aggregations {
     * and both the raw and clipped sums are reported with the clip
     * count.
     *
-    * Scale shape: pass 1 is the quantile operator (one partial agg on
-    * (group, value) + one window over distinct values); pass 2
-    * re-scans the input against the BROADCAST group-sized cutoff table
-    * and partial-aggregates — two corpus scans total, which is the
-    * floor for exact two-sided winsorization (the cutoffs depend on
-    * the full distribution). Integer arithmetic end-to-end.
+    * Scale shape: pass 1 is the quantile operator (bracket+exact —
+    * its windows are bucket-bounded, never value-cardinality-sized);
+    * pass 2 re-scans the input against the BROADCAST group-sized
+    * cutoff table and partial-aggregates — two corpus scans total,
+    * which is the floor for exact two-sided winsorization (the cutoffs
+    * depend on the full distribution). Integer arithmetic end-to-end.
     *
     * @return (groupCols..., n, n_clipped, lo, hi, sum_raw, sum_wins) */
   def winsorizedSums(df: DataFrame, groupCols: Seq[String],
@@ -207,11 +251,12 @@ object Aggregations {
     * cell is emitted, zero cells included, so the output shape is
     * groups × buckets at any corpus size.
     *
-    * Scale shape: the cutoff pass is [[quantilesDisc]] (per-value
-    * partial agg, then a group-keyed window over DISTINCT values —
-    * never corpus rows); the bucket pass re-scans the input against
-    * the BROADCAST group-sized cutoff table into a (group, bucket)
-    * partial agg. Two corpus scans, the exact-quantile floor, same as
+    * Scale shape: the cutoff pass is [[quantilesDisc]] (bracket+exact:
+    * per-value partial agg, ≤513-row bucket window, then an exact scan
+    * over in-bracket values only — never the column's cardinality on
+    * one task); the bucket pass re-scans the input against the
+    * BROADCAST group-sized cutoff table into a (group, bucket) partial
+    * agg. Two corpus scans, the exact-quantile floor, same as
     * [[winsorizedSums]].
     *
     * NULL contract: rows with a NULL value are excluded up front — a
@@ -254,10 +299,11 @@ object Aggregations {
     * engine-exact.
     *
     * Scale shape: three corpus scans — median pass, deviation-median
-    * pass, flag pass — each a per-value partial agg + group-keyed
-    * window over DISTINCT values ([[quantilesDisc]]) or a broadcast
-    * join against group-sized cutoffs. Exact two-level medians cannot
-    * do better: the MAD depends on the median, the flags on both.
+    * pass, flag pass — each a bracket+exact quantile
+    * ([[quantilesDisc]]: bucket-bounded windows, never a
+    * value-cardinality-sized partition) or a broadcast join against
+    * group-sized cutoffs. Exact two-level medians cannot do better:
+    * the MAD depends on the median, the flags on both.
     *
     * NULL contract: rows with a NULL value are excluded up front (a
     * NULL deviation would silently drop from both medians and flags).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.expressions.VectorExpressions.{cosineF, dotF, hyperplaneBucket}
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,7 +20,23 @@ import org.apache.spark.sql.functions._
   *    Shuffles only (bucket, id) pairs; the standard recall/cost dial is
   *    (nBits, nTables).
   */
-object Ann {
+object Ann extends Logging {
+
+  /** √N cell-count resolution for [[cellKnnLabelConsistency]] — the
+    * operator's own scaladoc rule ("pick nCentroids ~ √N to bound cell
+    * size"), made executable so entries cannot bake in one SF's
+    * constant: nc = 2^(bitlen(N) div 2), the power of two within √2 of
+    * √N. All-integer (no float sqrt at a perfect-square boundary), and
+    * the same rule spells portably in SQL as
+    * `1 << (length(bin(count(*))) // 2)`, so an oracle derives the
+    * identical count from the identical corpus. Decision is logged with
+    * its inputs, [[GraphTuning.decide]] discipline. */
+  def resolveCellCount(corpus: DataFrame): Int = {
+    val n = math.max(corpus.count(), 1L)
+    val nc = 1L << ((64 - java.lang.Long.numberOfLeadingZeros(n)) / 2)
+    logInfo(s"[graft.ann] cellKnn nCentroids=$nc (2^(bitlen/2) ≈ √N, n=$n)")
+    nc.toInt
+  }
 
   /** Exact top-k neighbors for each query vector. Queries must be small
     * enough to broadcast (the usual case: a probe set). */
@@ -76,9 +93,13 @@ object Ann {
       }
       array_max(array(scored: _*)).getField("i")
     }
-    // cached: both self-join legs read the assignment (shared-branch
-    // rule; at cluster scale persist to disk or recompute the scan)
-    val assigned = c.withColumn("cell", nearestCell(col("v"))).cache()
+    // materialized once: both self-join legs read the assignment
+    // (shared-branch rule). localCheckpoint, not cache: the blocks are
+    // reclaimed by the ContextCleaner once the result is unreferenced,
+    // where a .cache() pinned them for the session lifetime across
+    // repeated invocations (ADVICE r11 — Bench reps accumulated RDDs).
+    val assigned = c.withColumn("cell", nearestCell(col("v")))
+      .localCheckpoint(true)
     val x = assigned.select(col("cell"), col("id").as("qid"),
       col("v").as("qv"), col("lab").as("qlab"))
     val y = assigned.select(col("cell"), col("id").as("nid"),

@@ -112,6 +112,47 @@ class AggregationsSpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("signedLogBucket: monotone over zero, negatives, and msb boundaries") {
+    // boundary sweep: powers of two ±1 both signs, zero, sub-bit edges
+    val vs = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L, 15L, 16L, 17L) ++
+      (1 to 62).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1)) ++
+      Seq(Long.MaxValue)).distinct.sorted
+    val all = (vs.map(-_) ++ vs).distinct.sorted
+    val got = all.toDF("v")
+      .select(col("v"),
+        expr(Aggregations.signedLogBucketSql("v")).as("b"))
+      .orderBy("v").as[(Long, Long)].collect()
+    got.sliding(2).foreach { case Array((v1, b1), (v2, b2)) =>
+      assert(b1 <= b2, s"bucket order violated: $v1->$b1 vs $v2->$b2")
+    }
+    assert(got.forall { case (_, b) => b >= -256 && b <= 256 })
+    assert(got.find(_._1 == 0L).get._2 == 0L)
+  }
+
+  test("quantilesDisc: zero/negative values, high-cardinality brute-force parity") {
+    // mixed-sign domain exercises all three bucket branches; weights > 1
+    // exercise weighted crossing inside a bracket
+    val rows = (-500L to 500L).map(v => ("m", v, 1L + (v.abs % 3))) ++
+      (1L to 4096L).map(v => ("hc", v * v, 1L)) // high-cardinality, sparse
+    val df = rows.toDF("g", "v", "w")
+    val ppms = Seq(10000L, 250000L, 500000L, 750000L, 990000L)
+    val got = Aggregations.quantilesDisc(df, Seq("g"), "v", "w", ppms)
+      .orderBy("g").collect()
+    // brute-force oracle: min value whose cumulative weight reaches q·tw
+    def brute(g: String): (Seq[Long], Long) = {
+      val vs = rows.filter(_._1 == g).sortBy(_._2)
+      val tw = vs.map(_._3).sum
+      val cum = vs.scanLeft(0L)(_ + _._3).tail
+      (ppms.map(q => vs(cum.indexWhere(c => c * 1000000L >= q * tw))._2), tw)
+    }
+    for ((r, g) <- got.zip(Seq("hc", "m"))) {
+      val (exp, tw) = brute(g)
+      val actual = ppms.map(q => r.getAs[Long](s"p$q"))
+      assert(actual == exp, s"group $g: got $actual expected $exp")
+      assert(r.getAs[Long]("total_w") == tw)
+    }
+  }
+
   test("winsorizedSums: exact cutoffs, clip count, raw vs clipped sums") {
     // group g: values 1..10 → p200000 = 2, p800000 = 8 (discrete ranks);
     // clipped: 1→2 and 9,10→8 ⇒ n_clipped = 3,

@@ -75,6 +75,28 @@ class ValidationsSpec extends SparkSpec {
       Validations.snapshotDiff(dup, after, Seq("k"), Seq("s", "v"))
     }
     assert(err.getMessage.contains("not unique"))
+    // checkKeys=false skips the eager gate (the Bench-timing path —
+    // uniqueness is then the caller's Verify-time precondition)
+    val unchecked = Validations.snapshotDiff(dup, after, Seq("k"),
+      Seq("s", "v"), checkKeys = false)
+    assert(unchecked.columns.toSeq ==
+      Seq("n_added", "n_removed", "n_changed", "n_same"))
+  }
+
+  test("assertUniqueKeys: passes on a key, throws loudly on duplicates") {
+    val ok = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    Validations.assertUniqueKeys(ok, Seq("k"), "spec ok side")
+    val err = intercept[IllegalArgumentException] {
+      Validations.assertUniqueKeys(ok.unionByName(ok.limit(1)),
+        Seq("k"), "spec dup side")
+    }
+    assert(err.getMessage.contains("spec dup side") &&
+      err.getMessage.contains("not unique"))
+  }
+
+  test("SparkEntry.preconditions keys are declared queries") {
+    assert(SparkEntry.preconditions.keySet.subsetOf(
+      SparkEntry.queries.keySet))
   }
 
 }
