@@ -3225,6 +3225,24 @@ object SparkEntry {
         "o", "p", maxGroupSize = 8).distinct()
       Graph.linkPredictionFeatures(canon)
         .orderBy(col("ra_ppm").desc, col("id_a"), col("id_b")).limit(100)
+    }),
+
+    // Incremental near-dup against a persisted signature store: the
+    // daily-ingest batch (doc_id % 10 = 0) screens against the corpus
+    // store (the rest) WITHOUT re-banding the corpus — store scanned
+    // once, batch broadcast, agreement computed map-side at match time
+    // (Dedup.signatureStore + incrementalNearDuplicates; portable
+    // md5-31 family, q28's parameters). The parquet round-trip of the
+    // store is IncrementalDedupSpec's job; this gates the join
+    // semantics through DuckDB.
+    "q218_incremental_neardup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.signatureStore(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      Dedup.incrementalNearDuplicates(store,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          threshold = 0.10)
+        .orderBy("new_id", "corpus_id")
     })
   )
 
@@ -3837,6 +3855,44 @@ object SparkEntry {
         |    AS jaccard_ppm
         |FROM ne JOIN deg da ON da.id = ne.a JOIN deg db ON db.id = ne.b
         |ORDER BY ra_ppm DESC, id_a, id_b LIMIT 100""".stripMargin,
+
+    // q28's portable minhash31 replay, split store-vs-batch: candidates
+    // = packed r=2 band-slice equality across the split, estimate =
+    // agreeing components / 64 (exact in binary).
+    "q218_incremental_neardup" ->
+      """WITH tk AS (
+        |  SELECT doc_id AS id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t0
+        |  FROM documents),
+        |sets AS (
+        |  SELECT id, list_sort(list_distinct(list_transform(
+        |    list_transform(generate_series(1, len(t0) - 1),
+        |                   i -> t0[i] || ' ' || t0[i+1]),
+        |    sh -> ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647))) AS sh
+        |  FROM tk),
+        |sigs AS (
+        |  SELECT id, list_transform(range(64), i ->
+        |    list_min(list_transform(sh, h ->
+        |      ((((i+1)*1103515245 + 12345) % 2147483646 + 1) * h
+        |        + ((i+7)*69069 + 1) % 2147483647) % 2147483647))) AS sig
+        |  FROM sets WHERE len(sh) > 0),
+        |corp AS (
+        |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
+        |  FROM sigs s, range(32) r(b) WHERE s.id % 10 <> 0),
+        |newb AS (
+        |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
+        |  FROM sigs s, range(32) r(b) WHERE s.id % 10 = 0),
+        |cand AS (
+        |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+        |  FROM newb n JOIN corp c USING (b, s1, s2)),
+        |est AS (
+        |  SELECT cand.new_id, cand.corpus_id,
+        |    CAST(len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1]))
+        |      AS DOUBLE) / 64 AS jaccard
+        |  FROM cand JOIN sigs sa ON sa.id = cand.new_id
+        |            JOIN sigs sb ON sb.id = cand.corpus_id)
+        |SELECT new_id, corpus_id, jaccard FROM est WHERE jaccard >= 0.10
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     "q196_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,

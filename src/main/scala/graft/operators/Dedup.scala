@@ -191,6 +191,86 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
   }
 
+  /** Banded MinHash signature store — the parquet table an INCREMENTAL
+    * dedup pipeline maintains: one row per document with its portable
+    * md5-31 MinHash signature and the packed per-band bucket keys
+    * precomputed, so tomorrow's batch joins against the store WITHOUT
+    * re-shingling, re-hashing, or re-banding the corpus. The portable
+    * family (TextHash.shingles31/minhash31 — CLAUDE.md hash discipline)
+    * keeps every stored value engine-replayable; the band keys are the
+    * r = 2 signature-slice pack (s₁ << 31 | s₂ — 31-bit components
+    * never collide with the shift), the same key
+    * [[minHashNearDuplicates]] joins on.
+    *
+    * Scale shape: one corpus scan, all column math in the scan stage,
+    * no shuffle at all — the store is ~100× narrower than the corpus
+    * and appends day over day.
+    *
+    * @return (id, sig array<long>[numHashes], buckets array<long>[bands]) */
+  def signatureStore(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 2, numHashes: Int = 64,
+      bands: Int = 32): DataFrame = {
+    require(bands * 2 == numHashes,
+      "portable banded store packs r = 2 signature slices")
+    df.select(col(idCol).as("id"),
+        graft.expressions.TextHash
+          .shingleHashes31(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig",
+        graft.expressions.TextHash.minhash31(col("sh"), numHashes))
+      .withColumn("buckets", array((0 until bands).map(b =>
+        shiftleft(element_at(col("sig"), b * 2 + 1), 31)
+          .bitwiseOR(element_at(col("sig"), b * 2 + 2))): _*))
+      .drop("sh")
+  }
+
+  /** Incremental near-duplicate screen: a (small) new batch against a
+    * persisted [[signatureStore]], emitting only NEW-vs-CORPUS pairs —
+    * the daily-ingest sibling of [[minHashNearDuplicates]] (which
+    * re-bands the whole corpus every run) and the near-dup complement
+    * of exact-key stream dedup.
+    *
+    * Scale shape — the corpus NEVER shuffles: the batch is signed and
+    * banded (batch-sized), then BROADCAST; the store is read in ONE
+    * scan whose per-band explode probes the broadcast hash relation,
+    * and the signature-agreement estimate is computed AT MATCH TIME,
+    * map-side (both signatures are present on the probe row — the
+    * carry-the-payload-into-the-bucket rule), so the only exchange is
+    * the candidate-pair dedup groupBy, already filtered to
+    * ≥ `threshold`. Hot-bucket discipline is inherited from store
+    * maintenance: an incremental pipeline appends only batch docs that
+    * were NOT flagged, so the store stays near-dup-free and its
+    * buckets discriminative (the full-corpus cap lives in
+    * [[minHashNearDuplicates]]'s bucketPairs).
+    *
+    * The estimate is the unbiased MinHash Jaccard (agreeing components
+    * / numHashes — exact in binary for power-of-two numHashes), so the
+    * whole operator replays cross-engine; exact-Jaccard verification
+    * would need corpus TEXT, which the store deliberately does not
+    * carry.
+    *
+    * @param store [[signatureStore]] output (typically read back from
+    *              parquet; schema (id, sig, buckets))
+    * @return (new_id, corpus_id, jaccard ≥ threshold) */
+  def incrementalNearDuplicates(store: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 2, numHashes: Int = 64, bands: Int = 32,
+      threshold: Double = 0.1): DataFrame = {
+    val newSide = broadcast(
+      signatureStore(batch, idCol, textCol, shingleSize, numHashes, bands)
+        .select(col("id").as("new_id"), col("sig").as("new_sig"),
+          posexplode(col("buckets")).as(Seq("band", "bucket"))))
+    store
+      .select(col("id").as("corpus_id"), col("sig"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .join(newSide, Seq("band", "bucket"))
+      .withColumn("jaccard", graft.expressions.MinHashSig
+        .overlap(col("sig"), col("new_sig")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy("new_id", "corpus_id")
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
   /** Portable SimHash (md5 bit votes, hex-string signature) — the
     * oracle-checkable variant; one fused codegen pass per row. */
   def simHashHex(textCol: Column): Column =

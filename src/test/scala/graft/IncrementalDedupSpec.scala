@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Incremental near-dup against a persisted signature store: the store
+  * round-trips through parquet (the pipeline's actual medium), a new
+  * batch is screened without re-banding the corpus, and the streaming
+  * ingest loop (screen → append survivors) catches a duplicate of a doc
+  * that itself arrived in an EARLIER micro-batch — the property plain
+  * per-batch dedup cannot have. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d1 = "the quick brown fox jumps over the lazy dog"
+  private val d2 = "completely different content about spark engines here"
+  private val u1 = "totally unrelated text about nothing in particular whatsoever"
+
+  test("signatureStore parquet round-trip; batch screens against the store") {
+    val dir = Files.createTempDirectory("sigstore").toString
+    val corpus = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    Dedup.signatureStore(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/store")
+    val store = spark.read.parquet(s"$dir/store")
+    assert(store.columns.toSeq == Seq("id", "sig", "buckets"))
+    assert(store.select(size(col("sig")), size(col("buckets")))
+      .as[(Int, Int)].collect().forall(_ == ((64, 32))))
+
+    val batch = Seq(
+      (10L, d1),                          // exact copy of stored d1
+      (11L, u1),                          // genuinely new
+      (12L, d1 + " with extra words appended at the tail end")) // near-dup
+      .toDF("doc_id", "text")
+    val pairs = Dedup.incrementalNearDuplicates(store, batch,
+      "doc_id", "text", threshold = 0.10)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val byNew = pairs.groupBy(_._1)
+    assert(byNew(10L).toSeq == Seq((10L, 1L, 1.0)), s"got ${byNew.get(10L)}")
+    assert(!byNew.contains(11L), s"unique doc flagged: $pairs")
+    val near = byNew(12L).filter(_._2 == 1L)
+    assert(near.nonEmpty && near.head._3 > 0.1 && near.head._3 < 1.0,
+      s"near-dup estimate off: $pairs")
+  }
+
+  test("streaming ingest: screen then append survivors; cross-batch dup caught; stateless") {
+    val dir = Files.createTempDirectory("incdedup").toString
+    val src = s"$dir/src"; val storeDir = s"$dir/store"
+    new java.io.File(src).mkdirs()
+    Dedup.signatureStore(Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .write.mode("overwrite").parquet(storeDir)
+
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+
+    var stateless = true
+    def runOnce(tag: Int): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val store = spark.read.parquet(storeDir)
+          val flagged = Dedup.incrementalNearDuplicates(store, df,
+            "doc_id", "text", threshold = 0.10)
+            .localCheckpoint(true) // consumed twice: dump + survivor filter
+          flagged.write.mode("overwrite").parquet(s"$dir/out_${tag}_$id")
+          // survivors join the store — tomorrow's batches screen
+          // against them without the store ever being re-banded
+          Dedup.signatureStore(
+              df.join(flagged.select(col("new_id").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti"),
+              "doc_id", "text")
+            .write.mode("append").parquet(storeDir)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      stateless &&= Option(q.lastProgress)
+        .forall(_.stateOperators.isEmpty)
+    }
+
+    write(Seq((20L, d1), (21L, u1))); runOnce(0)   // 20 dups stored d1; 21 new
+    write(Seq((30L, u1))); runOnce(1)              // dups 21 — a BATCH-1 arrival
+
+    val pairs = spark.read.parquet(
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.startsWith("out_")).map(_.toString): _*)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.contains((20L, 1L, 1.0)), s"store dup missed: $pairs")
+    assert(pairs.contains((30L, 21L, 1.0)),
+      s"cross-micro-batch dup missed (survivor not appended?): $pairs")
+    assert(!pairs.exists(_._1 == 21L), s"unique doc flagged: $pairs")
+    // the store holds exactly the corpus + the survivors, never the dups
+    val storedIds = spark.read.parquet(storeDir)
+      .select("id").as[Long].collect().toSet
+    assert(storedIds == Set(1L, 2L, 21L), s"store ids: $storedIds")
+    // no streaming state at all: each micro-batch is a stateless scan +
+    // broadcast join against the persisted store
+    assert(stateless, "expected a stateless streaming plan")
+  }
+}
