@@ -777,6 +777,39 @@ object Scale {
         .count()
     time("knnlabel_1x") { knnShape(emb1, 8) }
     time(s"knnlabel_${mult}x") { knnShape(embN, 8 * mult) }
+
+    // exact equi-depth histogram (q204 shape, post-bracket+exact
+    // rewrite): the VALUE CARDINALITY grows ×N here (each amplified
+    // copy's prices shift to a disjoint cent range via the orderkey
+    // copy index) while the group count stays 3 — exactly the
+    // distinct ≈ rows axis that put one group's whole value set on a
+    // single window task under the old one-window quantilesDisc. With
+    // bracket+exact, every window partition is ≤ one log-bucket's
+    // values, so growth must track the two corpus scans with no
+    // distinct-value-sized straggler
+    def equidepthShape(li: DataFrame): Long =
+      Aggregations.equiDepthHistogram(
+        li.select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * 100 + " +
+            "(l_orderkey div 100000000)").as("price_c")),
+        Seq("l_returnflag"), "price_c", buckets = 10).count()
+    time("equidepth_1x") { equidepthShape(li1) }
+    time(s"equidepth_${mult}x") { equidepthShape(liN) }
+
+    // link prediction (q217 shape): mult disjoint copies of the
+    // co-order graph (both keys shifted) — edges ×N with per-copy
+    // degree structure unchanged, so the degree-64 hub cap binds
+    // identically in every copy and the wedge stream must grow
+    // ~linearly (maxMiddleDegree·m), never re-approaching the
+    // uncapped Σdeg² blowup (236M wedges measured at 1× uncapped)
+    def linkpredShape(li: DataFrame): Long = {
+      val canon = Graph.coOccurrenceEdges(
+        li.select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        "o", "p", maxGroupSize = 8).distinct()
+      Graph.linkPredictionFeatures(canon).count()
+    }
+    time("linkpred_1x") { linkpredShape(li1) }
+    time(s"linkpred_${mult}x") { linkpredShape(liT) }
     spark.stop()
   }
 }

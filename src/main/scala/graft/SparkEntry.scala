@@ -3243,6 +3243,95 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           threshold = 0.10)
         .orderBy("new_id", "corpus_id")
+    }),
+
+    // Fuzzy entity resolution end-to-end: collapse to DISTINCT name
+    // strings first (fuzzy-match the vocabulary, never the rows),
+    // banded edit-distance candidate pairs within first-word blocks
+    // (Dedup.blockedEditDistancePairs — pair work Σ block², DP cost
+    // O(maxDist·len) via Spark's 3-arg levenshtein), then connected
+    // components resolve transitive matches into entities with the
+    // canonical (min-id) spelling and member count. q99 is the raw
+    // blocked-pair screen; this is the resolution step a
+    // record-linkage pipeline runs on top of it.
+    "q219_fuzzy_er_clusters" -> ((s, dir) => {
+      val ents = Tables.part(s, dir)
+        .select(concat(col("p_name"), lit(" "), col("p_type")).as("nm"),
+          col("p_partkey"))
+        .groupBy("nm").agg(min(col("p_partkey")).as("ent_id"))
+        .withColumn("blk", split(col("nm"), " ").getItem(0))
+        .localCheckpoint(true) // feeds the pair legs AND the node frame
+      val pairs = Dedup.blockedEditDistancePairs(
+        ents, "ent_id", "nm", Seq("blk"), maxDist = 4)
+      Dedup.duplicateClusters(ents.select(col("ent_id")), "ent_id", pairs)
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_entities"))
+        .join(ents.select(col("ent_id").as("cluster_id"),
+          col("nm").as("canon_nm")), Seq("cluster_id"))
+        .orderBy("cluster_id")
+    }),
+
+    // Exact per-value percentile ranks (value → rank ppm), the
+    // normalization inverse of the q146/q215 quantile family — computed
+    // with the bracket discipline generalized to ALL ranks
+    // (Aggregations.percentileRanksPpm): the cumulative window
+    // partitions by (group, log-bucket), never by group alone, so no
+    // task ever holds a group's whole distinct-value set.
+    "q220_percentile_ranks" -> ((s, dir) =>
+      Aggregations.percentileRanksPpm(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+          .withColumn("__w", lit(1L)),
+        Seq("event_type"), "v", "__w")
+        .orderBy("event_type", "v")),
+
+    // Sliding 7-day distinct users per event type as MERGED HLL
+    // registers (Sketch.hllRegistersTrailing): the corpus is
+    // register-ized once into (type, day, bucket) max-ρ cells; each
+    // window position is a bucket-wise max over the sketch-sized cell
+    // table — count(DISTINCT) per window would rescan 7× the corpus.
+    // Registers are the oracle artifact (integer, portable md5);
+    // the float estimate is the q129 estimator applied per slice.
+    "q221_sliding_distinct" -> ((s, dir) =>
+      Sketch.hllRegistersTrailing(
+        Tables.events(s, dir).withColumn("day",
+          expr("((ts_ns div 1000) div 86400000000)")),
+        "user_id", Seq("event_type"), "day", windowDays = 7)
+        .orderBy("event_type", "day", "bucket")),
+
+    // Trailing 7-day p50/p99 value cents per event type per day from
+    // merged log-histogram sketches (Sketch.logHistQuantilesTrailing)
+    // — the sliding-window observability query the MERGEABLE property
+    // of q216's sketch exists for: one corpus bucketing pass, then
+    // bucket-wise count addition per window position over the
+    // sketch-sized cell table.
+    "q222_trailing_quantiles" -> ((s, dir) =>
+      Sketch.logHistQuantilesTrailing(
+        Tables.events(s, dir).select(col("event_type"),
+          expr("((ts_ns div 1000) div 86400000000)").as("day"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v")),
+        Seq("event_type"), "day", "v", windowDays = 7,
+        Seq(500000L, 990000L))
+        .orderBy("event_type", "day")),
+
+    // Rank-normalized user profile — the join-back use-case
+    // q220's operator exists for: every event's value becomes its
+    // within-type percentile rank (comparable across types whose raw
+    // scales differ), then per user the mean rank surfaces accounts
+    // whose activity is systematically high-value regardless of type.
+    // The rank table is distinct-values-sized and joins back on the
+    // natural (type, value) key.
+    "q223_rank_profile" -> ((s, dir) => {
+      val src = Tables.events(s, dir).select(col("user_id"),
+        col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+      val ranks = Aggregations.percentileRanksPpm(
+        src.withColumn("__w", lit(1L)), Seq("event_type"), "v", "__w")
+        .select(col("event_type"), col("v"), col("rank_ppm"))
+      src.join(ranks, Seq("event_type", "v"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("sum(rank_ppm) div count(1)").as("avg_rank_ppm"))
+        .orderBy(col("avg_rank_ppm").desc, col("user_id")).limit(100)
     })
   )
 
@@ -7205,6 +7294,102 @@ object SparkEntry {
         |    AS BIGINT) AS sum_abs,
         |  CAST(list_aggregate(list_transform(s, x -> abs(x)), 'max')
         |    AS BIGINT) AS max_abs
-        |FROM v ORDER BY media_id""".stripMargin
+        |FROM v ORDER BY media_id""".stripMargin,
+
+    "q219_fuzzy_er_clusters" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT p_name || ' ' || p_type AS nm, min(p_partkey) AS ent_id
+        |  FROM part GROUP BY 1),
+        |b AS (SELECT ent_id, nm, string_split(nm, ' ')[1] AS blk FROM e),
+        |pr AS MATERIALIZED (
+        |  SELECT x.ent_id AS id_a, y.ent_id AS id_b
+        |  FROM b x JOIN b y ON x.blk = y.blk AND x.ent_id < y.ent_id
+        |  WHERE levenshtein(x.nm, y.nm) BETWEEN 1 AND 4),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION SELECT id_b, id_a FROM pr),
+        |reach(id, comp) AS (
+        |  SELECT ent_id, ent_id FROM e
+        |  UNION
+        |  SELECT ed.dst, r.comp FROM reach r JOIN edges ed ON ed.src = r.id),
+        |cl AS (SELECT id AS ent_id, min(comp) AS cluster_id
+        |  FROM reach GROUP BY id)
+        |SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n_entities,
+        |  min(ce.nm) AS canon_nm
+        |FROM cl JOIN e ce ON ce.ent_id = cl.cluster_id
+        |GROUP BY 1 ORDER BY cluster_id""".stripMargin,
+
+    "q220_percentile_ranks" ->
+      """WITH src AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |pv AS (SELECT g, v, count(*) AS w FROM src
+        |  WHERE v IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT g, v, w,
+        |  sum(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY g) AS tw FROM pv)
+        |SELECT g AS event_type, v, CAST(w AS BIGINT) AS w,
+        |  CAST((cw * 1000000) // tw AS BIGINT) AS rank_ppm
+        |FROM c ORDER BY event_type, v""".stripMargin,
+
+    "q221_sliding_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |    ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,8))::BIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (
+        |  SELECT event_type, d, CAST(hv // 67108864 AS INT) AS bucket,
+        |    CAST(CASE WHEN hv % 67108864 = 0 THEN 27
+        |         ELSE 27 - length(bin(hv % 67108864)) END AS INT) AS rho
+        |  FROM h),
+        |cells AS MATERIALIZED (
+        |  SELECT event_type, d, bucket, max(rho) AS register
+        |  FROM r GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT event_type, d AS day FROM cells)
+        |SELECT c.event_type, days.day, c.bucket,
+        |  CAST(max(c.register) AS INT) AS register
+        |FROM cells c JOIN days ON days.event_type = c.event_type
+        |  AND c.d <= days.day AND c.d >= days.day - 6
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q222_trailing_quantiles" ->
+      """WITH src AS (SELECT event_type AS g,
+        |    epoch_us(ts) // 86400000000 AS d,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |hb AS (SELECT g, d, v,
+        |    (length(bin(v)) - 1) * 4 +
+        |    ((v >> greatest(length(bin(v)) - 3, 0)) & 3) AS b
+        |  FROM src WHERE v >= 1),
+        |hist AS MATERIALIZED (SELECT g, d, b, count(*) AS c, min(v) AS mn
+        |  FROM hb GROUP BY 1, 2, 3),
+        |days AS (SELECT DISTINCT g, d AS day FROM hist),
+        |m AS (SELECT h.g, days.day, h.b, sum(h.c) AS c, min(h.mn) AS mn
+        |  FROM hist h JOIN days ON days.g = h.g
+        |    AND h.d <= days.day AND h.d >= days.day - 6
+        |  GROUP BY 1, 2, 3),
+        |cum AS (SELECT g, day, b, mn,
+        |  sum(c) OVER (PARTITION BY g, day ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(c) OVER (PARTITION BY g, day) AS tw FROM m)
+        |SELECT g AS event_type, day, CAST(max(tw) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cw * 1000000 >= 500000 * tw THEN mn END)
+        |    AS BIGINT) AS est_p500000,
+        |  CAST(min(CASE WHEN cw * 1000000 >= 990000 * tw THEN mn END)
+        |    AS BIGINT) AS est_p990000
+        |FROM cum GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "q223_rank_profile" ->
+      """WITH src AS (SELECT user_id, event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |pv AS (SELECT g, v, count(*) AS w FROM src
+        |  WHERE v IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT g, v,
+        |  sum(w) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY g) AS tw FROM pv),
+        |r AS (SELECT g, v, (cw * 1000000) // tw AS rank_ppm FROM c)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(rank_ppm) // count(*) AS BIGINT) AS avg_rank_ppm
+        |FROM src JOIN r USING (g, v)
+        |GROUP BY 1 ORDER BY avg_rank_ppm DESC, user_id LIMIT 100""".stripMargin
   )
 }

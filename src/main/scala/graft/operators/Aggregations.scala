@@ -206,6 +206,60 @@ object Aggregations {
       .agg(qCols.head, qCols.tail :+ max(col("__gtw")).as("total_w"): _*)
   }
 
+  /** Exact per-value percentile ranks — the feature-normalization
+    * inverse of [[quantilesDisc]] (that one maps rank → value; this
+    * maps every value → its rank): per (group, distinct value), the
+    * weight, and rank_ppm = ⌊10⁶ · cumWeight(≤ v) / totalWeight⌋ —
+    * the rank-normalized feature a training pipeline joins back onto
+    * rows (percentile-scaled scores are comparable across groups
+    * whose raw scales differ). Integer arithmetic end-to-end, same
+    * rank semantics as quantilesDisc, so rank_ppm(v) ≥ q exactly when
+    * v ≥ p&lt;q&gt; — the two operators are mutually consistent.
+    *
+    * Scale shape — the bracket discipline generalized from ONE target
+    * rank to ALL of them: the naive spelling is a single cumulative
+    * window per group over every distinct value (the distinct ≈ rows
+    * one-task ceiling quantilesDisc was rewritten off). Instead:
+    * occurrences collapse per (group, value); a ≤513-row-per-group
+    * bucket window ([[signedLogBucketSql]]) computes each bucket's
+    * weight-below and the group total; the within-bucket cumulative
+    * window then partitions by (group, BUCKET) — every value's rank is
+    * below(bucket) + cum(within bucket), no partition ever exceeds one
+    * log-bucket's distinct values. The (group, value) frame feeds both
+    * the bucket rollup and the final join (multi-branch rule ⇒
+    * localCheckpoint). Overflow contract: cumWeight × 10⁶ must fit a
+    * long ⇒ Σw per group < ~9.2e12 (the family bound).
+    *
+    * @return (groupCols..., &lt;valueCol&gt;, w, rank_ppm) */
+  def percentileRanksPpm(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val perValue = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .withColumn("__b", expr(signedLogBucketSql("CAST(__v AS BIGINT)")))
+      .localCheckpoint(true)
+    val wb = Window.partitionBy(g: _*).orderBy(col("__b"))
+    val perBucket = perValue.groupBy(g :+ col("__b"): _*)
+      .agg(sum(col("__w")).as("__bw"))
+      .withColumn("__below", sum(col("__bw")).over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+        col("__bw"))
+      .withColumn("__tw", sum(col("__bw")).over(
+        wb.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select(g ++ Seq(col("__b"), col("__below"), col("__tw")): _*)
+    val wIn = Window.partitionBy(g :+ col("__b"): _*).orderBy(col("__v"))
+    perValue.join(perBucket, groupCols :+ "__b")
+      .withColumn("__cin", sum(col("__w")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(g ++ Seq(col("__v").as(valueCol), col("__w").as("w"),
+        expr("((__below + __cin) * 1000000) div __tw")
+          .as("rank_ppm")): _*)
+  }
+
   /** Winsorized per-group sums — the outlier-robust rollup a metrics
     * pipeline ships next to the raw one (a fat-finger trade or a bot
     * burst must not own the day's total): values clip to the group's

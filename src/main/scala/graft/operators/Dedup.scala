@@ -699,6 +699,53 @@ object Dedup {
         "raise maxUnblockedRows explicitly.")
     }
 
+  /** Blocked edit-distance pairs — the entity-resolution candidate
+    * primitive (near-identical names, typo'd titles, serial-number
+    * collisions): within each block, every id pair whose strings are
+    * within `maxDist` Levenshtein edits, id_a < id_b.
+    *
+    * Scale contract (the ER blocking discipline):
+    *  - pair work is Σ block² — the caller picks blockCols that bound
+    *    block size (first token, length bucket, phonetic key), and the
+    *    unblocked path refuses above `maxUnblockedRows` like the rest
+    *    of the pair family ([[ngramContainmentPairs]]'s guard);
+    *  - callers should collapse to DISTINCT strings first (fuzzy-match
+    *    the vocabulary, not the rows — identical strings are exact-dup
+    *    territory, [[exactDuplicates]]); q219 shows the pattern;
+    *  - the DP itself is BANDED: Spark's 3-arg `levenshtein` stops at
+    *    `maxDist` (O(maxDist·len) per pair, -1 when exceeded) instead
+    *    of filling the O(len²) matrix, and a |length delta| ≤ maxDist
+    *    pre-filter discards most pairs before any DP cell — both are
+    *    Spark-side-only optimizations that cannot change the result
+    *    (a length delta beyond maxDist forces dist > maxDist).
+    * Oracle portability: classical unit-cost Levenshtein — DuckDB's
+    * `levenshtein(a, b)` computes the same integer.
+    *
+    * @return (id_a, id_b, dist), 1 ≤ dist ≤ maxDist */
+  def blockedEditDistancePairs(
+      df: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDist: Int,
+      maxUnblockedRows: Long = 10000L): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    val base = df.select(col(idCol).as("id") +: col(nameCol).as("nm") +:
+      blockCols.map(col): _*)
+      .filter(col("nm").isNotNull)
+      .cache()
+    guardUnblocked(base, blockCols, maxUnblockedRows,
+      "blockedEditDistancePairs")
+    val l = base.select(col("id").as("id_a") +: col("nm").as("nm_a") +:
+      blockCols.map(col): _*)
+    val r = base.select(col("id").as("id_b") +: col("nm").as("nm_b") +:
+      blockCols.map(col): _*)
+    val joined =
+      if (blockCols.nonEmpty) l.join(r, blockCols) else l.crossJoin(r)
+    joined.filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("nm_a")) - length(col("nm_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("nm_a"), col("nm_b"), maxDist))
+      .filter(col("dist") >= 1)
+      .select("id_a", "id_b", "dist")
+  }
+
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String, blockCols: Seq[String],
       threshold: Double, shingleSize: Int = 1,

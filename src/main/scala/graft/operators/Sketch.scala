@@ -217,6 +217,17 @@ object Sketch {
          |  & 3)""".stripMargin.replace('\n', ' '))
     val hist = df.groupBy(g :+ bucket.cast("long").as("__b"): _*)
       .agg(count(lit(1)).as("__c"), min(v).as("__min"))
+    quantilesFromHist(hist, groupCols, quantilesPpm)
+  }
+
+  /** Shared tail of the log-histogram quantile family: given a bucket
+    * histogram (groupCols..., __b, __c, __min), the per-group quantile
+    * estimates. The window partitions are bucket-count-bounded (≤ 256
+    * rows) by construction. */
+  private def quantilesFromHist(hist: DataFrame, groupCols: Seq[String],
+      quantilesPpm: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
     val w = Window.partitionBy(g: _*).orderBy(col("__b"))
     val cum = hist
       .withColumn("__cw", sum(col("__c")).over(
@@ -228,6 +239,112 @@ object Sketch {
         .as(s"est_p$q"))
     cum.groupBy(g: _*)
       .agg(max(col("__tw")).as("n"), qAggs: _*)
+  }
+
+  /** Trailing-window quantile estimates from MERGED log-histogram
+    * sketches — the observability query the mergeable property exists
+    * for ("p50/p99 over the trailing 7 days, per group, per day"):
+    * per (group, day) the [[logHistQuantiles]] estimate over all rows
+    * in days [day−windowDays+1, day], WITHOUT re-scanning the corpus
+    * once per window position. The corpus is bucketed ONCE into
+    * per-(group, day, bucket) cells (one partial+final agg — the only
+    * corpus-sized exchange); window merge is bucket-wise count
+    * addition + min-of-min over the cell table, which is sketch-sized
+    * (groups × days × ≤256) — the exact-quantile alternative would
+    * re-sort every window's rows, windowDays× the data, with
+    * value-cardinality-sized partitions.
+    *
+    * The merge replicates each CELL (never a row) once per window
+    * position it serves — ≤ windowDays× a sketch-sized frame — via a
+    * broadcast join against the active-day list (days with ≥ 1
+    * eligible row in the group; estimates are emitted for exactly
+    * those (group, day) pairs). Same positive-value contract and
+    * bucket rule as [[logHistQuantiles]], so estimates are true data
+    * values and the whole pipeline replays exactly cross-engine.
+    *
+    * @param dayCol integral day index (e.g. epoch-micros div 86400e6)
+    * @return (groupCols..., day, n, est_p&lt;q&gt; per requested ppm) */
+  def logHistQuantilesTrailing(raw: DataFrame, groupCols: Seq[String],
+      dayCol: String, valueCol: String, windowDays: Int,
+      quantilesPpm: Seq[Long]): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    require(quantilesPpm.nonEmpty &&
+      quantilesPpm.forall(q => q > 0 && q <= 1000000L),
+      "quantiles are ppm in (0, 1000000]")
+    val df = raw.filter(col(valueCol).isNotNull && col(valueCol) >= 1)
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val bucket = expr(
+      s"""(length(conv(CAST($valueCol AS BIGINT), 10, 2)) - 1) * 4 +
+         | (shiftright(CAST($valueCol AS BIGINT),
+         |   greatest(length(conv(CAST($valueCol AS BIGINT), 10, 2)) - 3, 0))
+         |  & 3)""".stripMargin.replace('\n', ' '))
+    // the ONE corpus-sized exchange; feeds both the day frame and the
+    // merge join (multi-branch rule)
+    val hist = df.groupBy(
+        g ++ Seq(col(dayCol).cast("long").as("__d"),
+          bucket.cast("long").as("__b")): _*)
+      .agg(count(lit(1)).as("__c"), min(v).as("__min"))
+      .localCheckpoint(true)
+    val merged = mergeTrailing(hist, groupCols, Seq("__b"), windowDays,
+      Seq(sum(col("__c")).as("__c"), min(col("__min")).as("__min")))
+    quantilesFromHist(merged, groupCols :+ "day", quantilesPpm)
+  }
+
+  /** Trailing-window HLL registers — [[logHistQuantilesTrailing]]'s
+    * distinct-count sibling (sliding weekly/monthly active users, per
+    * group per day) and the reason HLL merges at all: the max of two
+    * register tables is the register table of the union. The corpus is
+    * register-ized ONCE into per-(group, day, bucket) max-ρ cells (one
+    * partial+final agg — the only corpus-sized exchange); every window
+    * position is a bucket-wise MAX over the cell table, which is
+    * sketch-sized (groups × days × 2^b). The exact alternative —
+    * count(DISTINCT) per window — rescans windowDays× the data and
+    * shuffles raw keys per window position.
+    *
+    * Registers are the oracle-checked artifact (integer, portable md5
+    * family, same contract as the point-in-time [[hllRegisters]]);
+    * callers wanting the float estimate apply the q129 estimator over
+    * each (group, day) slice as a fast path.
+    *
+    * @param dayCol integral day index (e.g. epoch-micros div 86400e6)
+    * @return (groupCols..., day, bucket, register) for active days
+    *         (days with ≥ 1 non-NULL key in the group) */
+  def hllRegistersTrailing(df: DataFrame, keyCol: String,
+      groupCols: Seq[String], dayCol: String, windowDays: Int,
+      b: Int = 6): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val cells = hllRegisters(df, keyCol, groupCols :+ dayCol, b)
+      .withColumn("__d", col(dayCol).cast("long")).drop(dayCol)
+      .localCheckpoint(true)
+    mergeTrailing(cells, groupCols, Seq("bucket"), windowDays,
+      Seq(max(col("register")).as("register")))
+  }
+
+  /** Shared trailing-window merge of the mergeable-sketch family:
+    * given per-(group, day) sketch cells keyed by `keyCols` (bucket
+    * ids, registers), serve every window position [day−w+1, day] by
+    * joining each cell to the ACTIVE days of its group it belongs to
+    * (broadcast — the day list is groups × days rows) and re-reducing
+    * per (group, day, key). Each CELL (never a corpus row) is
+    * replicated ≤ w times, so the whole merge is sketch-sized; the
+    * input must already be sketch-bounded per (group, day). Emits
+    * exactly the active (group, day) pairs. `cells` must carry the
+    * day index as `__d` (long). */
+  private def mergeTrailing(cells: DataFrame, groupCols: Seq[String],
+      keyCols: Seq[String], windowDays: Int,
+      aggs: Seq[Column]): DataFrame = {
+    val g = groupCols.map(col)
+    val days = cells.select(
+      groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__d").as("day"): _*)
+      .distinct()
+    val cond = groupCols.map(c => col(c) === col(s"__g_$c"))
+      .reduce(_ && _) &&
+      col("__d") <= col("day") &&
+      col("__d") >= col("day") - lit(windowDays - 1L)
+    cells.join(broadcast(days), cond)
+      .groupBy(g ++ (col("day") +: keyCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
 }

@@ -267,4 +267,45 @@ class AggregationsSpec extends SparkSpec {
     assert(w._3 == 4L && w._4 == 2L && w._5 == 1L)
   }
 
+  test("percentileRanksPpm: hand case, brute parity, quantile consistency") {
+    // a: 1..10 w=1 → rank(v) = v·100000; b: 1(w9),2(w1) → 900000, 1000000
+    val df = ((1L to 10L).map(v => ("a", v, 1L)) ++
+      Seq(("b", 1L, 9L), ("b", 2L, 1L))).toDF("g", "v", "w")
+    val got = Aggregations.percentileRanksPpm(df, Seq("g"), "v", "w")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val expA = (1L to 10L).map(v => ("a", v, 1L, v * 100000L))
+    assert(got.toSeq == expA ++ Seq(("b", 1L, 9L, 900000L),
+      ("b", 2L, 1L, 1000000L)))
+    // brute parity on a mixed-sign high-cardinality column (all three
+    // signed-bucket branches + multi-value buckets)
+    val rows = (-500L to 500L).map(v => ("m", v * v * (if (v < 0) -1L else 1L),
+      1L + (v.abs % 3)))
+    val hc = rows.toDF("g", "v", "w")
+    val r2 = Aggregations.percentileRanksPpm(hc, Seq("g"), "v", "w")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    val sorted = rows.sortBy(_._2)
+    val tw = sorted.map(_._3).sum
+    val cum = sorted.scanLeft(0L)(_ + _._3).tail
+    val brute = sorted.zip(cum).map { case ((_, v, w), c) =>
+      (v, w, c * 1000000L / tw) }
+    assert(r2.map(r => (r._2, r._3, r._4)).toSeq == brute)
+    // consistency with quantilesDisc: rank_ppm(v) >= q exactly when
+    // v >= p<q> (the two operators share rank semantics)
+    val qs = Seq(250000L, 500000L, 900000L)
+    val cuts = Aggregations.quantilesDisc(hc, Seq("g"), "v", "w", qs)
+      .collect().head
+    for (q <- qs) {
+      val pq = cuts.getAs[Long](s"p$q")
+      r2.foreach { case (_, v, _, rp) =>
+        assert((rp >= q) == (v >= pq),
+          s"rank/quantile disagree at q=$q v=$v rank=$rp cut=$pq")
+      }
+    }
+    // partitioning invariance
+    val rep = Aggregations.percentileRanksPpm(hc.repartition(7),
+      Seq("g"), "v", "w")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(rep.toSeq == r2.toSeq)
+  }
+
 }

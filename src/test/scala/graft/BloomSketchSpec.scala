@@ -222,4 +222,57 @@ class BloomSketchSpec extends SparkSpec {
     assert(guarded._2 == 3L)
   }
 
+  test("logHistQuantilesTrailing: each day equals the point sketch over its window") {
+    import graft.operators.Sketch
+    // 2 groups x 10 days, day-varying magnitudes so windows differ
+    val rows = for {
+      g <- Seq("a", "b"); d <- 0L to 9L; i <- 1L to 40L
+    } yield (g, d, i * (d + 1))
+    val df = rows.toDF("g", "d", "v")
+    val got = Sketch.logHistQuantilesTrailing(df, Seq("g"), "d", "v",
+      windowDays = 3, Seq(500000L, 990000L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // oracle: the POINT sketch over exactly the window's rows
+    val exp = (for { g <- Seq("a", "b"); day <- 0L to 9L } yield {
+      val win = rows.filter(r => r._1 == g && r._2 <= day && r._2 >= day - 2)
+        .map(r => (g, r._3)).toDF("g", "v")
+      val p = Sketch.logHistQuantiles(win, Seq("g"), "v",
+        Seq(500000L, 990000L)).as[(String, Long, Long, Long)].collect().head
+      (g, day, p._2, p._3, p._4)
+    }).toSeq
+    assert(got == exp)
+    // partitioning invariance (mergeability)
+    val rep = Sketch.logHistQuantilesTrailing(df.repartition(7), Seq("g"),
+      "d", "v", windowDays = 3, Seq(500000L, 990000L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(rep == got)
+    // inactive days emit nothing: a gap day has no output row
+    val sparse = Seq(("g", 0L, 5L), ("g", 5L, 7L)).toDF("g", "d", "v")
+    val days = Sketch.logHistQuantilesTrailing(sparse, Seq("g"), "d", "v",
+      windowDays = 3, Seq(500000L))
+      .select("day").as[Long].collect().sorted.toSeq
+    assert(days == Seq(0L, 5L))
+  }
+
+  test("hllRegistersTrailing: merged registers equal the union's registers") {
+    import graft.operators.Sketch
+    val rows = for {
+      d <- 0L to 6L; i <- 1L to 120L
+    } yield ("g", d, d * 37L + i % (30L + d * 10L))
+    val df = rows.toDF("g", "d", "k")
+    val got = Sketch.hllRegistersTrailing(df, "k", Seq("g"), "d",
+      windowDays = 4)
+      .as[(String, Long, Int, Int)].collect()
+      .sortBy(r => (r._2, r._3)).toSeq
+    val exp = (for (day <- 0L to 6L) yield {
+      val win = rows.filter(r => r._2 <= day && r._2 >= day - 3)
+        .map(r => ("g", r._3)).toDF("g", "k")
+      Sketch.hllRegisters(win, "k", Seq("g"))
+        .as[(String, Int, Int)].collect().map(r => ("g", day, r._2, r._3))
+    }).flatten.sortBy(r => (r._2, r._3)).toSeq
+    assert(got == exp && got.nonEmpty)
+  }
+
 }

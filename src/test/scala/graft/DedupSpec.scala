@@ -216,4 +216,36 @@ class DedupSpec extends SparkSpec {
     // candidate passes, so the bound is exact on the last-w tail too
     assert(a.size <= 42 * 8)
   }
+
+  test("blockedEditDistancePairs: exact distances, block fence, band cut") {
+    val ents = Seq(
+      (1L, "acme corp", "x"), (2L, "acme c0rp", "x"), // dist 1
+      (3L, "acme incorporated", "x"),                 // far from both
+      (4L, "acme corp", "y"),  // identical to 1 but other block → no pair
+      (5L, "zcme corp", "y")   // dist 1 from 4 within y
+    ).toDF("id", "nm", "blk")
+    val got = Dedup.blockedEditDistancePairs(ents, "id", "nm",
+      Seq("blk"), maxDist = 2)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // (1,2) d=1 and (4,5) d=1; (1,3)/(2,3) exceed 2; cross-block (1,4)
+    // and the dist-0 (would-be) identical pair never appear
+    assert(got == Seq((1L, 2L, 1), (4L, 5L, 1)))
+    // banded threshold parity: the 3-arg levenshtein's -1 sentinel must
+    // drop pairs exactly where the unbanded distance exceeds maxDist
+    // (exact distances hand-verified: (1,3)=8, (2,3)=9)
+    val wide = Dedup.blockedEditDistancePairs(ents, "id", "nm",
+      Seq("blk"), maxDist = 12)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(wide == Seq((1L, 2L, 1), (1L, 3L, 8), (2L, 3L, 9), (4L, 5L, 1)))
+    // unblocked path: allowed under the row cap, refused above it
+    val small = Dedup.blockedEditDistancePairs(ents, "id", "nm",
+      Seq(), maxDist = 2, maxUnblockedRows = 10L)
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(small == Seq((1L, 2L, 1), (1L, 5L, 1), (2L, 4L, 1),
+      (2L, 5L, 2), (4L, 5L, 1)))
+    intercept[IllegalArgumentException] {
+      Dedup.blockedEditDistancePairs(ents, "id", "nm",
+        Seq(), maxDist = 2, maxUnblockedRows = 2L).count()
+    }
+  }
 }
