@@ -34,7 +34,7 @@ object Plans {
       "q128_rolling" -> "rolling window: (user, day) partial+final agg, then ONE window over the pre-aggregated days — the frame input is user-days, not events",
       "q140_int8_gram" -> "int8 Gram: scan-stage quantization feeds ONE GramUpperTriangleAgg (ObjectHashAggregate, 16.6 KB buffer/partition) — no per-row struct explode, the only exchange carries P partial buffers",
       "q143_video_frames" -> "real GIF frame sampling: encode + sample + decode all inside scan-stage mapPartitions (payloads never shuffle) — the only exchange is the determinism ORDER BY",
-      "q146_quantiles" -> "discrete quantiles: occurrences collapse to (group, value) partial+final agg FIRST, one window over distinct values, all quantiles as conditional-mins of the same pass",
+      "q146_quantiles" -> "discrete quantiles (bracket+exact): occurrences collapse to (group, value) partial+final agg FIRST, a ≤513-row-per-group bucket window locates each rank's bracket, the exact scan windows ONLY in-bracket values — no distinct-value-sized partition anywhere",
       "q147_contamination" -> "benchmark decontamination: per-doc gram dedup map-side (array_distinct before explode), benchmark gram set BROADCAST into the hit join, single doc-id partial-agg exchange",
       "q151_heavy_hitters" -> "exact heavy hitters pass 2: tokens semi-join the BROADCAST Misra-Gries candidate set at the scan stage, then one O(candidates) partial+final agg — the only exchanges carry summary/candidate rows, never the corpus",
       "q153_image_dhash" -> "perceptual image dedup: PNG encode+decode+dHash all inside scan-stage mapPartitions (payloads never shuffle); the cluster agg's exchange carries (hash_hi, hash_lo, id) only",
@@ -49,7 +49,7 @@ object Plans {
       "q194_table_checksum" -> "order-independent table checksums: scan-stage md5 prefix, one single-row partial+final agg per table — zero wide exchanges, content parity without moving either table",
       "q197_drift_plane" -> "top-2 drift plane: both power loops over the ONE cached triple store, d-row iterates broadcast into the scans, deflation residual built map-side from broadcast v1 + projection join",
       "q198_band_join" -> "stream-stream band join (batch path): range-predicate equi-join, purchase side filtered at the scan, one user-keyed exchange pair feeding the band filter",
-      "q199_winsorized" -> "winsorized sums: quantile pass (partial agg on distinct values + one window), then the second scan joins the BROADCAST group-sized cutoffs — two scans, the exact-winsorization floor",
+      "q199_winsorized" -> "winsorized sums: bracket+exact cutoff pass, then the second scan joins the BROADCAST group-sized cutoffs — two scans, the exact-winsorization floor",
       "q200_harmonic" -> "landmark harmonic centrality: one bit-packed msbfs frontier sweep (64 seeds in one mask), distances exploded once, node-keyed ppm rollup + TakeOrdered top-100",
       "q201_containment_canonical" -> "containment-family canonicalization: blocked containment self-join off the cached shingle sets, CC over the pair edges, one arithmetic keep-key min agg — the cluster table is the only post-pair shuffle",
       "q202_budget_mix" -> "greedy budget mix: one corpus agg to source-count-sized rows (materialized once for both branches), broadcast 1-row budget, source-sized window — the corpus is scanned exactly once",
@@ -60,8 +60,19 @@ object Plans {
       "q209_snapshot_diff" -> "snapshot diff: both sides reduce to (key, md5-32 row hash) in the scan stage, ONE full-outer key join, single aggregated output row — value columns never shuffle",
       "q211_cluster_silhouette" -> "simplified silhouette: a and b both come from ONE per-row distance array against the k·dim centroid literals — no second pass, no shuffle beyond the k-row rollup",
       "q213_neighbor_agg" -> "neighbor feature agg: degree is one edge-keyed partial agg, the gather is one node-keyed hash join (degree table deliberately NOT broadcast) + src-keyed partial agg — no iteration, no window",
-      "q216_loghist_quantiles" -> "log-histogram quantile sketch: (group, bucket) partial agg collapses to ≤256 rows/group map-side BEFORE the exchange; the window partitions are bucket-count-bounded — compare q146's distinct-value-sized partitions",
-      "q217_link_prediction" -> "link prediction: wedge stream = two edge joins through the shared middle node (bounded by the hub-capped kernel, never all-pairs), one anti-join evicts existing edges, TakeOrdered top-100")
+      "q204_equidepth_hist" -> "exact equi-depth histogram: bracket+exact cutoff pass, cutoffs BROADCAST into a (group, bucket) partial+final agg over the second scan, zero cells filled from the groups×buckets grid — two scans, the exact floor",
+      "q208_landmark_reach" -> "landmark reach curves: the q200 bit-packed 64-seed msbfs core (one mask-state frontier loop), distances exploded once, landmark-side rollup — output is |seeds|×hops, never node-sized",
+      "q210_mad_outliers" -> "exact MAD outliers: median pass + |v−median| MAD pass (both bracket+exact), then one rescan against the BROADCAST group-sized (median, mad) table — three scans, the exact-MAD floor",
+      "q212_retention_cohorts" -> "retention cohorts: distinct user-weeks exchange, min-week cohort partial agg joined back user-keyed, cohort×offset rollup — no window, no user-sized partition",
+      "q214_split_manifest" -> "split manifest: md5 split assignment is a scan-stage expression, ONE (source, split) partial+final agg — the corpus never shuffles",
+      "q215_quantile_drift" -> "quantile drift: two bracket+exact passes over disjoint week-parity halves, group-keyed join, zero-guarded integer drift ppm",
+      "q216_loghist_quantiles" -> "log-histogram quantile sketch: (group, bucket) partial agg collapses to ≤256 rows/group map-side BEFORE the exchange; the window partitions are bucket-count-bounded",
+      "q217_link_prediction" -> "link prediction: wedge stream = two edge joins through the shared middle node (bounded by the hub-capped kernel, never all-pairs), one anti-join evicts existing edges, TakeOrdered top-100",
+      "q219_fuzzy_er_clusters" -> "fuzzy ER resolution: DISTINCT-name collapse first (fuzzy-match the vocabulary, not the rows), banded levenshtein inside first-word blocks, CC over the pair edges, canonical name join-back",
+      "q220_percentile_ranks" -> "percentile ranks: (group, value) partial agg, ≤513-row bucket window for below-weights, within-bucket cum windows partitioned by (group, BUCKET) — never a group-wide distinct-value partition",
+      "q221_sliding_distinct" -> "sliding 7-day distinct: corpus register-ized into (type, day, bucket) cells by ONE partial+final agg; every window position is a bucket-wise max over the sketch-sized cell table (broadcast active-day join)",
+      "q222_trailing_quantiles" -> "trailing 7-day quantiles: one corpus bucketing exchange, cell-level ≤7× replication against the broadcast day list, bucket-bounded cum windows per (type, day)",
+      "q223_rank_profile" -> "rank join-back profile: the distinct-value rank table hash-joins the fact on its natural (type, value) key, one user-keyed partial+final agg, TakeOrdered top-100")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`, sf0.01)\n\n")
     sb.append("Evidence for ARCHITECTURE.md's claims: `PushedFilters`/`ReadSchema`\n")
