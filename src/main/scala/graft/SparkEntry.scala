@@ -3332,7 +3332,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           expr("sum(rank_ppm) div count(1)").as("avg_rank_ppm"))
         .orderBy(col("avg_rank_ppm").desc, col("user_id")).limit(100)
-    })
+    }),
+
+    // Join-skew pre-flight (Skew.joinSkewReport): before self-joining
+    // events on user_id (views × clicks), rank the keys by their
+    // output contribution n_left·n_right — the report that decides
+    // between a plain join, AQE skew split, and Skew.saltedJoin. Two
+    // key-sized aggs + one count-table join; the facts never shuffle
+    // beyond their key counts.
+    "q224_join_skew" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Skew.joinSkewReport(
+        ev.filter(col("event_type") === "view").select("user_id"),
+        ev.filter(col("event_type") === "click").select("user_id"),
+        "user_id", k = 50)
+    }),
+
+    // Split-balance audit: chi-square independence of (source, split)
+    // over q214's md5 split assignment — the release check that the
+    // deterministic splitter did not correlate with any source
+    // (chi2_ppm ≈ dof·1e6 under independence). Reuses the q195
+    // operator; the split column is a scan-stage expression.
+    "q225_split_balance" -> ((s, dir) =>
+      Aggregations.chiSquareIndependence(
+        Tables.documents(s, dir)
+          .withColumn("__p",
+            conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+              1, 8), 16, 10).cast("long") % 1000000L)
+          .withColumn("split",
+            when(col("__p") < 800000L, "train")
+              .when(col("__p") < 900000L, "val").otherwise("test")),
+        "source", "split"))
   )
 
   /** Verify-time oracle preconditions — eager assertions that LICENSE a
@@ -7390,6 +7420,44 @@ object SparkEntry {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(rank_ppm) // count(*) AS BIGINT) AS avg_rank_ppm
         |FROM src JOIN r USING (g, v)
-        |GROUP BY 1 ORDER BY avg_rank_ppm DESC, user_id LIMIT 100""".stripMargin
+        |GROUP BY 1 ORDER BY avg_rank_ppm DESC, user_id LIMIT 100""".stripMargin,
+
+    "q224_join_skew" ->
+      """WITH l AS (SELECT user_id, count(*) AS n_left FROM events
+        |  WHERE event_type = 'view' AND user_id IS NOT NULL GROUP BY 1),
+        |r AS (SELECT user_id, count(*) AS n_right FROM events
+        |  WHERE event_type = 'click' AND user_id IS NOT NULL GROUP BY 1)
+        |SELECT coalesce(l.user_id, r.user_id) AS user_id,
+        |  CAST(coalesce(n_left, 0) AS BIGINT) AS n_left,
+        |  CAST(coalesce(n_right, 0) AS BIGINT) AS n_right,
+        |  CAST(coalesce(n_left, 0) * coalesce(n_right, 0) AS BIGINT)
+        |    AS out_rows
+        |FROM l FULL OUTER JOIN r ON l.user_id = r.user_id
+        |ORDER BY out_rows DESC, user_id LIMIT 50""".stripMargin,
+
+    "q225_split_balance" ->
+      """WITH d AS (SELECT source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 1000000 AS p FROM documents),
+        |ob AS (SELECT source AS r,
+        |    CASE WHEN p < 800000 THEN 'train'
+        |         WHEN p < 900000 THEN 'val' ELSE 'test' END AS c,
+        |    count(*) AS o
+        |  FROM d WHERE source IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o) AS rt FROM ob GROUP BY 1),
+        |ct AS (SELECT c, sum(o) AS ct FROM ob GROUP BY 1),
+        |m AS (SELECT (SELECT sum(rt) FROM rt) AS n,
+        |  (SELECT count(*) FROM rt) AS nr,
+        |  (SELECT count(*) FROM ct) AS nc),
+        |cells AS (SELECT rt.rt, ct.ct, coalesce(ob.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN ob ON ob.r = rt.r AND ob.c = ct.c)
+        |SELECT CAST(max(m.n) AS BIGINT) AS n,
+        |  CAST(max(m.nr) AS BIGINT) AS n_row_cats,
+        |  CAST(max(m.nc) AS BIGINT) AS n_col_cats,
+        |  CAST(max((m.nr - 1) * (m.nc - 1)) AS BIGINT) AS dof,
+        |  CAST(sum(((o * m.n - rt * ct) * (o * m.n - rt * ct) * 1000000)
+        |    // (m.n * rt * ct)) AS BIGINT) AS chi2_ppm
+        |FROM cells CROSS JOIN m""".stripMargin
   )
 }

@@ -72,4 +72,35 @@ object Skew {
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(replicatedDim, keyCols :+ "__salt").drop("__salt")
   }
+
+  /** Join-skew diagnostic report — the pre-flight a pipeline runs
+    * BEFORE a big equi-join: per join key, both sides' row counts and
+    * their product (that key's output contribution), top-k by
+    * contribution. A handful of keys owning most of the product is the
+    * signature that picks the mitigation ([[saltedJoin]], AQE skew
+    * split, or a hot-key side path); orphan keys are kept with the
+    * other side at 0, so the anti-join share is visible in the same
+    * report.
+    *
+    * Scale shape: two key-sized partial+final aggs (map-side combine —
+    * the fact tables shuffle only their key counts), ONE key-keyed
+    * full-outer hash join of the two count tables, TakeOrdered top-k.
+    * NULL keys are excluded (an equi-join never matches them).
+    *
+    * @return (keyCol, n_left, n_right, out_rows) top-k by
+    *         (out_rows desc, key asc) */
+  def joinSkewReport(left: DataFrame, right: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val lc = left.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_left"))
+    val rc = right.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        coalesce(col("n_right"), lit(0L)).as("n_right"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+      .orderBy(col("out_rows").desc, col(keyCol)).limit(k)
+  }
 }

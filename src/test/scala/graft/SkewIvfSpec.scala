@@ -28,6 +28,23 @@ class SkewIvfSpec extends SparkSpec {
     assert(d.toSeq == sl.toSeq)
   }
 
+  test("joinSkewReport: counts, products, orphans, top-k order") {
+    val left = Seq(1L, 1L, 1L, 2L, 2L, 3L, 5L).toDF("k")
+    val right = Seq(1L, 1L, 2L, 4L).toDF("k")
+    val got = Skew.joinSkewReport(left, right, "k", k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // hot key first; orphans (3,5 left-only / 4 right-only) carry 0
+    assert(got == Seq((1L, 3L, 2L, 6L), (2L, 2L, 1L, 2L),
+      (3L, 1L, 0L, 0L), (4L, 0L, 1L, 0L), (5L, 1L, 0L, 0L)))
+    // the product column IS the join size: sum equals the real join
+    assert(got.map(_._4).sum ==
+      left.join(right, Seq("k")).count())
+    // top-k truncates on the (out_rows desc, key asc) total order
+    val top = Skew.joinSkewReport(left, right, "k", k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(top == got.take(2))
+  }
+
   test("IVF ANN: centroids train, probes bound work, recall is reasonable") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < 5)
