@@ -24,6 +24,11 @@ object Scale {
       .getOrElse(Set.empty)
     val spark = GraftSession.local("scale", 32)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Pin the quantile family to its bracket+exact (scale-path) plan:
+    // production routing would run the 1x rows one-window and the 10x
+    // rows bracket, and a cross-REGIME ratio proves nothing. Scale's
+    // job is the growth ratio of the plan that survives 100 TB.
+    spark.conf.set("graft.agg.oneWindowRowLimit", "0")
 
     def amplify(df: DataFrame, keyCols: Seq[String]): DataFrame =
       (0 until mult).map { i =>
@@ -810,6 +815,47 @@ object Scale {
     }
     time("linkpred_1x") { linkpredShape(li1) }
     time(s"linkpred_${mult}x") { linkpredShape(liT) }
+
+    // percentile ranks (q220 shape): the same 10x value-cardinality
+    // axis as equidepth, but EVERY distinct value gets a rank (output
+    // ×N too) — the within-bucket windows carry the growth and stay
+    // (group, bucket)-bounded, never group-wide
+    def rankppmShape(li: DataFrame): Long =
+      Aggregations.percentileRanksPpm(
+        li.select(col("l_returnflag"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT) * 100 + " +
+            "(l_orderkey div 100000000)").as("price_c"))
+          .withColumn("__w", lit(1L)),
+        Seq("l_returnflag"), "price_c", "__w").count()
+    time("rankppm_1x") { rankppmShape(li1) }
+    time(s"rankppm_${mult}x") { rankppmShape(liN) }
+
+    // session baskets (q227 shape): amplified user ids make ×N users
+    // with the same per-user session structure — sessions ×N, basket
+    // self-join keyed by (user, session) with ≤ |types| rows per key,
+    // so pair volume scales with sessions, never users²
+    def basketShape(ev: DataFrame): Long = {
+      val sess = Sessions.sessionize(
+        ev.select("user_id", "ts_ns", "event_type"),
+        "user_id", "ts_ns", gapNanos = 3600L * 1000000000L)
+      val baskets = sess.select(col("user_id"), col("session_id"),
+        col("event_type").as("t")).distinct().localCheckpoint(true)
+      val n = baskets.select("user_id", "session_id").distinct()
+        .agg(count(lit(1)).as("__n"))
+      val singles = baskets.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      baskets.as("a").join(baskets.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_id") === col("b.session_id") &&
+            col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("t_a"), col("b.t").as("t_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .join(singles.select(col("t").as("t_a"), col("c").as("c_a")), "t_a")
+        .join(singles.select(col("t").as("t_b"), col("c").as("c_b")), "t_b")
+        .crossJoin(broadcast(n))
+        .count()
+    }
+    time("basket_1x") { basketShape(ev1) }
+    time(s"basket_${mult}x") { basketShape(evN) }
     spark.stop()
   }
 }

@@ -3362,7 +3362,59 @@ object SparkEntry {
           .withColumn("split",
             when(col("__p") < 800000L, "train")
               .when(col("__p") < 900000L, "val").otherwise("test")),
-        "source", "split"))
+        "source", "split")),
+
+    // Hourly volume anomalies: events roll up to (type, hour) counts,
+    // then Aggregations.madFlag attaches each type's exact median/MAD
+    // hourly volume and emits the spiking hours themselves — the
+    // row-level sibling of q210's count-only screen, over a derived
+    // time series instead of raw values. The MAD passes run over the
+    // hours-sized rollup, not the corpus.
+    "q226_volume_anomalies" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("((ts_ns div 1000) div 3600000000)").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      Aggregations.madFlag(hourly, Seq("event_type"), "n", k = 3)
+        .filter(col("is_outlier"))
+        .select("event_type", "hr", "n", "med", "mad")
+        .orderBy("event_type", "hr")
+    }),
+
+    // Market-basket lift over SESSION baskets: events sessionize by
+    // 1-hour gaps (q100's session core), each session's distinct
+    // event types form a basket, and every type pair reports observed
+    // co-occurrence against the independence expectation as integer
+    // lift ppm (the collocations formula lifted from adjacent tokens
+    // to session baskets). The basket self-join is keyed by
+    // (user, session) with ≤ |types| rows per key — never all-pairs —
+    // and the basket table is checkpointed once for its three reads.
+    // Products ride DECIMAL(38,0) (the chi-square discipline).
+    "q227_session_baskets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts_ns", "event_type")
+      val sess = Sessions.sessionize(ev, "user_id", "ts_ns",
+        gapNanos = 3600L * 1000000000L)
+      val baskets = sess.select(col("user_id"), col("session_id"),
+        col("event_type").as("t")).distinct()
+        .localCheckpoint(true)
+      val n = baskets.select("user_id", "session_id").distinct()
+        .agg(count(lit(1)).as("__n"))
+      val singles = baskets.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val pairs = baskets.as("a").join(baskets.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_id") === col("b.session_id") &&
+            col("a.t") < col("b.t"))
+        .groupBy(col("a.t").as("t_a"), col("b.t").as("t_b"))
+        .agg(count(lit(1)).as("c_ab"))
+      pairs
+        .join(singles.select(col("t").as("t_a"), col("c").as("c_a")), "t_a")
+        .join(singles.select(col("t").as("t_b"), col("c").as("c_b")), "t_b")
+        .crossJoin(broadcast(n))
+        .select(col("t_a"), col("t_b"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("CAST((CAST(c_ab AS DECIMAL(38,0)) * __n * 1000000) div " +
+            "(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("lift_ppm"))
+        .orderBy("t_a", "t_b")
+    })
   )
 
   /** Verify-time oracle preconditions — eager assertions that LICENSE a
@@ -7458,6 +7510,64 @@ object SparkEntry {
         |  CAST(max((m.nr - 1) * (m.nc - 1)) AS BIGINT) AS dof,
         |  CAST(sum(((o * m.n - rt * ct) * (o * m.n - rt * ct) * 1000000)
         |    // (m.n * rt * ct)) AS BIGINT) AS chi2_ppm
-        |FROM cells CROSS JOIN m""".stripMargin
+        |FROM cells CROSS JOIN m""".stripMargin,
+
+    "q226_volume_anomalies" ->
+      """WITH src AS (SELECT event_type AS g,
+        |    epoch_us(ts) // 3600000000 AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |c1 AS (SELECT g, n,
+        |  sum(w) OVER (PARTITION BY g ORDER BY n
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY g) AS tw
+        |  FROM (SELECT g, n, count(*) AS w FROM src GROUP BY 1, 2)),
+        |med AS (SELECT g,
+        |  min(CASE WHEN cw * 1000000 >= 500000 * tw THEN n END) AS med
+        |  FROM c1 GROUP BY 1),
+        |dev AS (SELECT s.g, s.hr, s.n, abs(s.n - med.med) AS d, med.med
+        |  FROM src s JOIN med USING (g)),
+        |c2 AS (SELECT g, d,
+        |  sum(w) OVER (PARTITION BY g ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY g) AS tw
+        |  FROM (SELECT g, d, count(*) AS w FROM dev GROUP BY 1, 2)),
+        |mad AS (SELECT g,
+        |  min(CASE WHEN cw * 1000000 >= 500000 * tw THEN d END) AS mad
+        |  FROM c2 GROUP BY 1)
+        |SELECT dev.g AS event_type, dev.hr, CAST(dev.n AS BIGINT) AS n,
+        |  CAST(dev.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad
+        |FROM dev JOIN mad USING (g)
+        |WHERE dev.d > 3 * mad.mad
+        |ORDER BY event_type, hr""".stripMargin,
+
+    "q227_session_baskets" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(CASE WHEN pts IS NOT NULL AND ts - pts > INTERVAL 1 HOUR
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+        |      AS session_id
+        |  FROM x),
+        |b AS MATERIALIZED (
+        |  SELECT DISTINCT user_id, session_id, event_type AS t FROM sess),
+        |nn AS (SELECT count(*) AS n
+        |  FROM (SELECT DISTINCT user_id, session_id FROM b)),
+        |s1 AS (SELECT t, count(*) AS c FROM b GROUP BY 1),
+        |pr AS (SELECT a.t AS t_a, bb.t AS t_b, count(*) AS c_ab
+        |  FROM b a JOIN b bb ON a.user_id = bb.user_id
+        |    AND a.session_id = bb.session_id AND a.t < bb.t
+        |  GROUP BY 1, 2)
+        |SELECT t_a, t_b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  CAST(sa.c AS BIGINT) AS c_a, CAST(sb.c AS BIGINT) AS c_b,
+        |  CAST((CAST(c_ab AS HUGEINT) * nn.n * 1000000) //
+        |    (CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_ppm
+        |FROM pr JOIN s1 sa ON sa.t = pr.t_a
+        |        JOIN s1 sb ON sb.t = pr.t_b CROSS JOIN nn
+        |ORDER BY t_a, t_b""".stripMargin
   )
 }

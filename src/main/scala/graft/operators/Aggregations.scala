@@ -159,14 +159,130 @@ object Aggregations {
     * value must preserve order (integer-encoded values — the module-wide
     * discipline) and exceed Long.MinValue.
     *
+    * Regime routing (round 12 — measured: the bracket plan's extra
+    * stages cost ~2-5× WALL at sf0.1 where utilization is ~2%, pure
+    * stage latency, while the one-window plan is the scale hazard):
+    * a PROVEN-small input (plan row bound, or an exact count when the
+    * plan is cheap to count — scans/filters/projects only) runs the
+    * single-window plan; everything else runs bracket+exact. Both
+    * plans produce bit-identical results (the routed-vs-forced spec
+    * asserts it), so the route is purely physical. The limit rides
+    * `graft.agg.oneWindowRowLimit` (rows, default 4M — a ≤4M-row
+    * distinct-value window sorts in ~1 s on one task; 0 forces
+    * bracket everywhere, which is what Scale's ratio shapes pin).
+    *
     * @param quantilesPpm quantiles in ppm (500000 = median); output
-    *        column per entry named `p<ppm>`, plus `total_w` */
+    *        column per entry named `p<ppm>`, plus `total_w`
+    * @param inputRowsHint caller-vouched upper bound on df's rows
+    *        (-1 = unknown): lets multi-pass callers (madOutliers) route
+    *        their join-derived passes without a count through the join */
   def quantilesDisc(df: DataFrame, groupCols: Seq[String],
       valueCol: String, weightCol: String,
-      quantilesPpm: Seq[Long]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      quantilesPpm: Seq[Long], inputRowsHint: Long = -1L): DataFrame = {
     require(quantilesPpm.nonEmpty && quantilesPpm.forall(q => q > 0 && q <= 1000000L),
       "quantiles are ppm in (0, 1000000]")
+    val (small, est, src) = routeOneWindow(df, inputRowsHint)
+    GraphTuning.logRouting(
+      s"[graft.agg] quantilesDisc regime=" +
+        (if (small) "one-window" else "bracket+exact") +
+        s" rows=$est($src) oneWindowLimit=${oneWindowRowLimit(df)}")
+    if (small) quantilesDiscOneWindow(df, groupCols, valueCol, weightCol,
+      quantilesPpm)
+    else quantilesDiscBracket(df, groupCols, valueCol, weightCol,
+      quantilesPpm)
+  }
+
+  /** The conf-resolved one-window row limit (see [[quantilesDisc]]). */
+  private def oneWindowRowLimit(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.agg.oneWindowRowLimit")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Routing decision for the quantile family: (useOneWindow,
+    * rowEstimate, source). Proof order: caller hint, then the job-free
+    * Catalyst bound, then an exact count — but ONLY when the plan is
+    * cheap to count (no join/agg/window/generate: counting those
+    * re-executes the expensive upstream, which can cost as much as the
+    * query). An unprovable input routes to bracket — the always-safe
+    * plan. The probe ceiling (256M bytes-as-rows) skips the count when
+    * the bound already says the input cannot be small.
+    *
+    * The count probe is MEMOIZED by the canonicalized logical plan for
+    * the session: a repeatedly-built identical frame (Bench reps, a
+    * med+mad pass pair) pays the probe job once. Keying on the full
+    * canonical plan (not its hash) means a stale entry is impossible
+    * unless the underlying files change under a live session — and
+    * even then the route is purely physical, so results cannot
+    * change, only the regime choice. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def routeOneWindow(df: DataFrame,
+      inputRowsHint: Long): (Boolean, Long, String) = {
+    val limit = oneWindowRowLimit(df)
+    if (inputRowsHint >= 0L)
+      (inputRowsHint <= limit, inputRowsHint, "caller-hint")
+    else GraphTuning.rowUpperBound(df) match {
+      case Some((u, s)) if u <= limit => (true, u, s)
+      case Some((u, s)) if u > 256000000L => (false, u, s)
+      case b if cheapToCount(df) =>
+        if (probeCache.size > 256) probeCache.clear()
+        val key = df.queryExecution.optimizedPlan.canonicalized.toString
+        val n = probeCache.computeIfAbsent(key, _ => df.count()).longValue()
+        (n <= limit, n, "exact-count-memo")
+      case b =>
+        (false, b.map(_._1).getOrElse(-1L), "unproven-assume-big")
+    }
+  }
+
+  private def cheapToCount(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collectFirst {
+      case p: Join => p
+      case p: Aggregate => p
+      case p: Window => p
+      case p: Generate => p
+    }.isEmpty
+  }
+
+  /** Row-estimate + source for a SCAN-shaped frame, for callers that
+    * route several quantile passes off one decision ([[madOutliers]],
+    * [[madFlag]] — their deviation pass is a join whose stats are
+    * useless but whose row count equals the input's). */
+  private def routeRows(df: DataFrame): Long =
+    routeOneWindow(df, -1L) match { case (_, est, src) =>
+      if (src == "unproven-assume-big") -1L else est }
+
+  /** The pre-round-12 single-window exact plan: one cumulative window
+    * per group over its DISTINCT VALUES. Bit-identical to
+    * [[quantilesDiscBracket]]; safe only when the per-group
+    * distinct-value set fits one task — [[quantilesDisc]] routes. */
+  private[graft] def quantilesDiscOneWindow(df: DataFrame,
+      groupCols: Seq[String], valueCol: String, weightCol: String,
+      quantilesPpm: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val perValue = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+    val cum = perValue
+      .withColumn("__cw", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val qAggs = quantilesPpm.map(q =>
+      min(when(col("__cw") * 1000000L >= lit(q) * col("__tw"), col("__v")))
+        .as(s"p$q"))
+    cum.groupBy(g: _*)
+      .agg(qAggs.head, qAggs.tail :+ max(col("__tw")).as("total_w"): _*)
+  }
+
+  /** The bracket+exact two-pass plan (see [[quantilesDisc]]'s scale
+    * note) — every window partition bucket-bounded. */
+  private[graft] def quantilesDiscBracket(df: DataFrame,
+      groupCols: Seq[String], valueCol: String, weightCol: String,
+      quantilesPpm: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
     val perValue = df
       .filter(col(valueCol).isNotNull)
@@ -230,9 +346,49 @@ object Aggregations {
     * localCheckpoint). Overflow contract: cumWeight × 10⁶ must fit a
     * long ⇒ Σw per group < ~9.2e12 (the family bound).
     *
+    * Routed like [[quantilesDisc]]: proven-small inputs take the
+    * single cumulative window, everything else the bucket-partitioned
+    * bracket plan; results are bit-identical either way.
+    *
     * @return (groupCols..., &lt;valueCol&gt;, w, rank_ppm) */
   def percentileRanksPpm(df: DataFrame, groupCols: Seq[String],
-      valueCol: String, weightCol: String): DataFrame = {
+      valueCol: String, weightCol: String,
+      inputRowsHint: Long = -1L): DataFrame = {
+    val (small, est, src) = routeOneWindow(df, inputRowsHint)
+    GraphTuning.logRouting(
+      s"[graft.agg] percentileRanksPpm regime=" +
+        (if (small) "one-window" else "bracket") +
+        s" rows=$est($src) oneWindowLimit=${oneWindowRowLimit(df)}")
+    if (small) percentileRanksOneWindow(df, groupCols, valueCol, weightCol)
+    else percentileRanksBracket(df, groupCols, valueCol, weightCol)
+  }
+
+  /** Single-window rank plan — safe only for proven-small inputs
+    * ([[percentileRanksPpm]] routes). */
+  private[graft] def percentileRanksOneWindow(df: DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = groupCols.map(col)
+    val perValue = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*)
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
+    perValue
+      .withColumn("__cw", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__tw", sum(col("__w")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(g ++ Seq(col("__v").as(valueCol), col("__w").as("w"),
+        expr("(__cw * 1000000) div __tw").as("rank_ppm")): _*)
+  }
+
+  /** Bucket-partitioned rank plan — every window (group, bucket)-
+    * bounded (see [[percentileRanksPpm]]'s scale note). */
+  private[graft] def percentileRanksBracket(df: DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      weightCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = groupCols.map(col)
     val perValue = df
@@ -369,14 +525,18 @@ object Aggregations {
     val df = raw.filter(col(valueCol).isNotNull)
     val g = groupCols.map(col)
     val v = col(valueCol).cast("long")
+    // one routing decision covers both passes: the deviation frame is
+    // a broadcast join whose plan stats are useless, but its row count
+    // IS the input's
+    val hint = routeRows(df)
     val med = quantilesDisc(df.withColumn("__w", lit(1L)), groupCols,
-        valueCol, "__w", Seq(500000L))
+        valueCol, "__w", Seq(500000L), inputRowsHint = hint)
       .select(g :+ col("p500000").as("__med"): _*)
     val dev = df.join(broadcast(med), groupCols)
       .select(g ++ Seq(v.as("__v"), abs(v - col("__med")).as("__d"),
         col("__med")): _*)
     val mad = quantilesDisc(dev.withColumn("__w", lit(1L)), groupCols,
-        "__d", "__w", Seq(500000L))
+        "__d", "__w", Seq(500000L), inputRowsHint = hint)
       .select(g :+ col("p500000").as("__mad"): _*)
     dev.join(broadcast(mad), groupCols)
       .groupBy(g: _*)
@@ -384,6 +544,38 @@ object Aggregations {
         max(col("__med")).as("med"), max(col("__mad")).as("mad"),
         sum(when(col("__d") > lit(k) * col("__mad"), 1L).otherwise(0L))
           .as("n_outliers"))
+  }
+
+  /** Row-level MAD flags — [[madOutliers]]'s row-emitting sibling:
+    * every input row comes back with the group's exact median and MAD
+    * attached plus its own deviation and outlier flag, so the caller
+    * can SELECT the anomalous rows themselves (which hours spiked,
+    * which trades are fat-fingered), not just count them. Same integer
+    * rank semantics, same three-scan floor, same NULL contract; the
+    * flag join is against the BROADCAST group-sized (median, MAD)
+    * table, so the input never reshuffles for it.
+    *
+    * @return raw's columns + (med, mad, abs_dev, is_outlier) */
+  def madFlag(raw: DataFrame, groupCols: Seq[String],
+      valueCol: String, k: Long): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val df = raw.filter(col(valueCol).isNotNull)
+    val g = groupCols.map(col)
+    val v = col(valueCol).cast("long")
+    val hint = routeRows(df) // one decision for both passes (see above)
+    val med = quantilesDisc(df.withColumn("__w", lit(1L)), groupCols,
+        valueCol, "__w", Seq(500000L), inputRowsHint = hint)
+      .select(g :+ col("p500000").as("__med"): _*)
+    val dev = df.join(broadcast(med), groupCols)
+      .select(g :+ abs(v - col("__med")).as("__d"): _*)
+    val mad = quantilesDisc(dev.withColumn("__w", lit(1L)), groupCols,
+        "__d", "__w", Seq(500000L), inputRowsHint = hint)
+      .select(g :+ col("p500000").as("__mad"): _*)
+    df.join(broadcast(med.join(mad, groupCols)), groupCols)
+      .withColumn("abs_dev", abs(v - col("__med")))
+      .select(df.columns.map(col) ++ Seq(
+        col("__med").as("med"), col("__mad").as("mad"), col("abs_dev"),
+        (col("abs_dev") > lit(k) * col("__mad")).as("is_outlier")): _*)
   }
 
   /** Exact chi-square independence statistic for two categorical

@@ -145,6 +145,11 @@ class AggregationsSpec extends SparkSpec {
       val cum = vs.scanLeft(0L)(_ + _._3).tail
       (ppms.map(q => vs(cum.indexWhere(c => c * 1000000L >= q * tw))._2), tw)
     }
+    // both physical regimes must agree with each other and the oracle
+    // (public quantilesDisc routes; small fixtures take one-window)
+    val forced = Aggregations.quantilesDiscBracket(df, Seq("g"), "v", "w",
+      ppms).orderBy("g").collect()
+    assert(forced.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
     for ((r, g) <- got.zip(Seq("hc", "m"))) {
       val (exp, tw) = brute(g)
       val actual = ppms.map(q => r.getAs[Long](s"p$q"))
@@ -267,6 +272,23 @@ class AggregationsSpec extends SparkSpec {
     assert(w._3 == 4L && w._4 == 2L && w._5 == 1L)
   }
 
+  test("madFlag: emits exactly the rows madOutliers counts, stats attached") {
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 300L)).map(("g", _))
+      .toDF("g", "v")
+    val flagged = Aggregations.madFlag(df, Seq("g"), "v", k = 3L)
+    val out = flagged.filter(col("is_outlier"))
+      .select("v", "med", "mad").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((300L, 4L, 2L))) // med 4, mad 2, only 300 spikes
+    // parity with the count-only screen: same n, same outlier count
+    val summary = Aggregations.madOutliers(df, Seq("g"), "v", k = 3L)
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(flagged.count() == summary._2)
+    assert(flagged.filter(col("is_outlier")).count() == summary._5)
+    // pass-through: every input column survives with its value
+    assert(flagged.select("g", "v").as[(String, Long)].collect().sorted
+      .toSeq == df.as[(String, Long)].collect().sorted.toSeq)
+  }
+
   test("percentileRanksPpm: hand case, brute parity, quantile consistency") {
     // a: 1..10 w=1 → rank(v) = v·100000; b: 1(w9),2(w1) → 900000, 1000000
     val df = ((1L to 10L).map(v => ("a", v, 1L)) ++
@@ -306,6 +328,12 @@ class AggregationsSpec extends SparkSpec {
       Seq("g"), "v", "w")
       .as[(String, Long, Long, Long)].collect().sortBy(_._2)
     assert(rep.toSeq == r2.toSeq)
+    // both physical regimes agree (routing is purely physical)
+    val forcedB = Aggregations.percentileRanksBracket(hc, Seq("g"), "v", "w")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    val forcedW = Aggregations.percentileRanksOneWindow(hc, Seq("g"), "v", "w")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._2)
+    assert(forcedB.toSeq == r2.toSeq && forcedW.toSeq == r2.toSeq)
   }
 
 }
