@@ -3237,8 +3237,14 @@ object SparkEntry {
     // semantics through DuckDB.
     "q218_incremental_neardup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // materialized like the real flow (the store IS a parquet table a
+      // pipeline reads back): composing build+probe into one lazy plan
+      // lets Catalyst's inferred posexplode filters re-derive the whole
+      // signing below the scan, 64-pass MinHash x32 per row (measured
+      // 11.5 s -> 3 s; see incrementalNearDuplicates' scaladoc)
       val store = Dedup.signatureStore(
         docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .localCheckpoint(true)
       Dedup.incrementalNearDuplicates(store,
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           threshold = 0.10)

@@ -207,12 +207,25 @@ object Dedup {
     * and appends day over day.
     *
     * @return (id, sig array<long>[numHashes], buckets array<long>[bands]) */
+  /** Spread a CPU-dense signing input across the session's cores when
+    * its scan parallelism is below them: a sub-split-size parquet
+    * source is ONE split (the q143 lesson), which fuses the whole
+    * sign→band→probe pipeline into a single task — measured 9 s
+    * single-task vs ~1.5 s spread on q218's store build. The shuffle
+    * moves the raw text once, negligible next to the 64-pass MinHash
+    * it parallelizes; at real corpus sizes the scan already has
+    * ≥ cores splits and this is a no-op. */
+  private def spreadForSigning(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
+  }
+
   def signatureStore(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 2, numHashes: Int = 64,
       bands: Int = 32): DataFrame = {
     require(bands * 2 == numHashes,
       "portable banded store packs r = 2 signature slices")
-    df.select(col(idCol).as("id"),
+    spreadForSigning(df).select(col(idCol).as("id"),
         graft.expressions.TextHash
           .shingleHashes31(col(textCol), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -256,8 +269,17 @@ object Dedup {
       idCol: String, textCol: String,
       shingleSize: Int = 2, numHashes: Int = 64, bands: Int = 32,
       threshold: Double = 0.1): DataFrame = {
+    // batch-sized eager materialization, for two reasons: the broadcast
+    // build job re-executes its child plan anyway, and Catalyst's
+    // inferred not-null/size filters on the posexplode otherwise
+    // substitute the WHOLE buckets projection below the scan —
+    // re-evaluating the 64-pass MinHash up to 32x per row (measured
+    // 10 s -> 3 s on q218 with both sides materialized; a store read
+    // from parquet never hits this, the inferred filter lands on the
+    // stored column)
     val newSide = broadcast(
       signatureStore(batch, idCol, textCol, shingleSize, numHashes, bands)
+        .localCheckpoint(true)
         .select(col("id").as("new_id"), col("sig").as("new_sig"),
           posexplode(col("buckets")).as(Seq("band", "bucket"))))
     store
