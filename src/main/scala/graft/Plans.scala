@@ -5,6 +5,11 @@ package graft
 object Plans {
   def main(args: Array[String]): Unit = {
     val s = GraftSession.local("plans", 8)
+    // Pin the quantile family to its bracket+exact plan: PLANS.md's job
+    // is the 100-TB-shape evidence (bucket-bounded window partitions),
+    // and at sf0.01 production routing would show the one-window small
+    // branch instead. The header notes the routing.
+    s.conf.set("graft.agg.oneWindowRowLimit", "0")
     val dir = "/root/testdata/sf0.01"
     val picks = Seq(
       "q01_pricing_summary" -> "filtered scan → partial+final hash agg (pushdown + pruning)",
@@ -80,6 +85,10 @@ object Plans {
     sb.append("`WholeStageCodegen` spans over the hot paths, one `Exchange` per\n")
     sb.append("logical shuffle need (the trailing range exchange is the\n")
     sb.append("determinism ORDER BY for oracle hash parity).\n")
+    sb.append("Quantile-family plans are pinned to the bracket+exact\n")
+    sb.append("(scale-path) regime via graft.agg.oneWindowRowLimit=0;\n")
+    sb.append("production routing takes the one-window plan on proven-\n")
+    sb.append("small inputs (see Aggregations.quantilesDisc).\n")
     picks.foreach { case (name, why) =>
       sb.append(s"\n## $name — $why\n\n```\n")
       sb.append(SparkEntry.queries(name)(s, dir)
