@@ -3420,6 +3420,31 @@ object SparkEntry {
           expr("CAST((CAST(c_ab AS DECIMAL(38,0)) * __n * 1000000) div " +
             "(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("lift_ppm"))
         .orderBy("t_a", "t_b")
+    }),
+
+    // Time-to-convert distribution: per session that converts (first
+    // view followed by a purchase), exact p50/p90 of seconds from the
+    // first view to the first subsequent purchase — q100's funnel core
+    // with a quantile tail instead of survivor counts. Durations in
+    // whole seconds off the shared micros grid; the quantile input is
+    // sessions-sized and join-derived, so routing takes bracket+exact.
+    "q228_conversion_time" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts_ns", "event_type")
+      val sess = Sessions.sessionize(ev, "user_id", "ts_ns",
+        gapNanos = 3600L * 1000000000L)
+      val v = sess.groupBy("user_id", "session_id")
+        .agg(min(when(col("event_type") === "view", col("ts_ns"))).as("t_view"))
+        .filter(col("t_view").isNotNull)
+      val p = sess.join(v, Seq("user_id", "session_id"))
+        .filter(col("event_type") === "purchase" && col("ts_ns") > col("t_view"))
+        .groupBy("user_id", "session_id").agg(min("ts_ns").as("t_purchase"))
+      val d = p.join(v, Seq("user_id", "session_id"))
+        .select(lit("all").as("g"),
+          expr("((t_purchase div 1000) - (t_view div 1000)) div 1000000")
+            .as("secs"),
+          lit(1L).as("w"))
+      Aggregations.quantilesDisc(d, Seq("g"), "secs", "w",
+        Seq(500000L, 900000L)).orderBy("g")
     })
   )
 
@@ -7574,6 +7599,47 @@ object SparkEntry {
         |    (CAST(sa.c AS HUGEINT) * sb.c) AS BIGINT) AS lift_ppm
         |FROM pr JOIN s1 sa ON sa.t = pr.t_a
         |        JOIN s1 sb ON sb.t = pr.t_b CROSS JOIN nn
-        |ORDER BY t_a, t_b""".stripMargin
+        |ORDER BY t_a, t_b""".stripMargin,
+
+    "q228_conversion_time" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(CASE WHEN pts IS NOT NULL AND ts - pts > INTERVAL 1 HOUR
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+        |      AS session_id
+        |  FROM x),
+        |v AS (
+        |  SELECT user_id, session_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        |  FROM sess GROUP BY 1, 2 HAVING t_view IS NOT NULL),
+        |p AS (
+        |  SELECT s.user_id, s.session_id, min(s.ts) AS t_purchase
+        |  FROM sess s JOIN v ON s.user_id = v.user_id
+        |                    AND s.session_id = v.session_id
+        |  WHERE s.event_type = 'purchase' AND s.ts > v.t_view
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT 'all' AS g,
+        |    (epoch_us(p.t_purchase) - epoch_us(v.t_view)) // 1000000 AS secs
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |              AND p.session_id = v.session_id),
+        |pv AS (SELECT g, secs, count(*) AS w FROM d GROUP BY 1, 2),
+        |c AS (SELECT g, secs, w,
+        |  sum(w) OVER (PARTITION BY g ORDER BY secs
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(w) OVER (PARTITION BY g) AS tw FROM pv)
+        |SELECT g,
+        |  CAST(min(CASE WHEN cw * 1000000 >= 500000 * tw THEN secs END)
+        |    AS BIGINT) AS p500000,
+        |  CAST(min(CASE WHEN cw * 1000000 >= 900000 * tw THEN secs END)
+        |    AS BIGINT) AS p900000,
+        |  CAST(max(tw) AS BIGINT) AS total_w
+        |FROM c GROUP BY 1 ORDER BY g""".stripMargin
   )
 }

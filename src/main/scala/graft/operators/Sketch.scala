@@ -266,11 +266,26 @@ object Sketch {
     * @return (groupCols..., day, n, est_p&lt;q&gt; per requested ppm) */
   def logHistQuantilesTrailing(raw: DataFrame, groupCols: Seq[String],
       dayCol: String, valueCol: String, windowDays: Int,
-      quantilesPpm: Seq[Long]): DataFrame = {
-    require(windowDays >= 1, "windowDays must be >= 1")
-    require(quantilesPpm.nonEmpty &&
-      quantilesPpm.forall(q => q > 0 && q <= 1000000L),
-      "quantiles are ppm in (0, 1000000]")
+      quantilesPpm: Seq[Long]): DataFrame =
+    logHistQuantilesTrailingFromCells(
+      logHistCells(raw, groupCols, dayCol, valueCol)
+        // the ONE corpus-sized exchange; feeds both the day frame and
+        // the merge join (multi-branch rule)
+        .localCheckpoint(true),
+      groupCols, windowDays, quantilesPpm)
+
+  /** The persistable per-(group, day, bucket) cell table behind
+    * [[logHistQuantilesTrailing]] — the INCREMENTAL-maintenance unit:
+    * a daily pipeline appends `logHistCells(todaysBatch, ...)` to the
+    * stored table and serves any trailing window from
+    * [[logHistQuantilesTrailingFromCells]] without ever rescanning
+    * history (cells for distinct (group, day) partitions never
+    * interact, so append IS merge). Same positive-value contract and
+    * bucket rule as [[logHistQuantiles]].
+    *
+    * @return (groupCols..., day, bucket, n, min_v) */
+  def logHistCells(raw: DataFrame, groupCols: Seq[String],
+      dayCol: String, valueCol: String): DataFrame = {
     val df = raw.filter(col(valueCol).isNotNull && col(valueCol) >= 1)
     val g = groupCols.map(col)
     val v = col(valueCol).cast("long")
@@ -279,14 +294,29 @@ object Sketch {
          | (shiftright(CAST($valueCol AS BIGINT),
          |   greatest(length(conv(CAST($valueCol AS BIGINT), 10, 2)) - 3, 0))
          |  & 3)""".stripMargin.replace('\n', ' '))
-    // the ONE corpus-sized exchange; feeds both the day frame and the
-    // merge join (multi-branch rule)
-    val hist = df.groupBy(
-        g ++ Seq(col(dayCol).cast("long").as("__d"),
-          bucket.cast("long").as("__b")): _*)
-      .agg(count(lit(1)).as("__c"), min(v).as("__min"))
-      .localCheckpoint(true)
-    val merged = mergeTrailing(hist, groupCols, Seq("__b"), windowDays,
+    df.groupBy(
+        g ++ Seq(col(dayCol).cast("long").as("day"),
+          bucket.cast("long").as("bucket")): _*)
+      .agg(count(lit(1)).as("n"), min(v).as("min_v"))
+  }
+
+  /** Trailing-window quantile estimates from a prebuilt (possibly
+    * parquet-persisted and incrementally appended) [[logHistCells]]
+    * table. Cells for the same (group, day, bucket) from multiple
+    * appends are re-reduced here (sum/min are the merge), so an
+    * append-only store needs no compaction for correctness. */
+  def logHistQuantilesTrailingFromCells(cells: DataFrame,
+      groupCols: Seq[String], windowDays: Int,
+      quantilesPpm: Seq[Long]): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    require(quantilesPpm.nonEmpty &&
+      quantilesPpm.forall(q => q > 0 && q <= 1000000L),
+      "quantiles are ppm in (0, 1000000]")
+    val c = cells.select(
+      groupCols.map(col) ++ Seq(col("day").cast("long").as("__d"),
+        col("bucket").as("__b"), col("n").as("__c"),
+        col("min_v").as("__min")): _*)
+    val merged = mergeTrailing(c, groupCols, Seq("__b"), windowDays,
       Seq(sum(col("__c")).as("__c"), min(col("__min")).as("__min")))
     quantilesFromHist(merged, groupCols :+ "day", quantilesPpm)
   }

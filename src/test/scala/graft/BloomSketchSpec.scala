@@ -256,6 +256,33 @@ class BloomSketchSpec extends SparkSpec {
     assert(days == Seq(0L, 5L))
   }
 
+  test("logHistCells: parquet store + appended split batches == full recompute") {
+    import graft.operators.Sketch
+    val rows = for {
+      g <- Seq("a", "b"); d <- 0L to 9L; i <- 1L to 30L
+    } yield (g, d, i * (d + 1))
+    val df = rows.toDF("g", "d", "v")
+    // history persists as cells; day 9 arrives as TWO disjoint batches
+    // (sum/min re-reduce merges split cells of one day — append IS merge)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cells").toString
+    Sketch.logHistCells(df.filter(col("d") < 9), Seq("g"), "d", "v")
+      .write.mode("overwrite").parquet(dir)
+    val b1 = Sketch.logHistCells(
+      df.filter(col("d") === 9 && col("v") % 2 === 0), Seq("g"), "d", "v")
+    val b2 = Sketch.logHistCells(
+      df.filter(col("d") === 9 && col("v") % 2 =!= 0), Seq("g"), "d", "v")
+    val store = spark.read.parquet(dir).unionByName(b1).unionByName(b2)
+    val inc = Sketch.logHistQuantilesTrailingFromCells(store, Seq("g"),
+      windowDays = 3, Seq(500000L, 990000L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val full = Sketch.logHistQuantilesTrailing(df, Seq("g"), "d", "v",
+      windowDays = 3, Seq(500000L, 990000L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(inc == full && inc.nonEmpty)
+  }
+
   test("hllRegistersTrailing: merged registers equal the union's registers") {
     import graft.operators.Sketch
     val rows = for {
