@@ -63,4 +63,44 @@ class StreamingSketchSpec extends SparkSpec {
       .select(col("g"), col("est_ndv")).as[(String, Long)].collect().toMap
     assert(streamed1 === batch1Only)
   }
+
+  test("streaming cell appends: foreachBatch-built sketch store == batch recompute") {
+    val dir = Files.createTempDirectory("scells").toString
+    val src = s"$dir/src"; val ckpt = s"$dir/ckpt"; val store = s"$dir/store"
+    new java.io.File(src).mkdirs()
+    val batch1 = for (d <- 0L to 4L; i <- 1L to 40L) yield ("a", d, i * (d + 1))
+    val batch2 = for (d <- 4L to 7L; i <- 1L to 25L) yield ("a", d, i * 3 + 7)
+
+    // each micro-batch appends ITS OWN cells — the daily-ingest store
+    // pattern; the overlap day (4) lands as split cells that the
+    // read-side merge re-reduces (sum/min)
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("g STRING, d LONG, v LONG")
+        .parquet(src)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          Sketch.logHistCells(df, Seq("g"), "d", "v")
+            .write.mode("append").parquet(store)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    batch1.toDF("g", "d", "v").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+    batch2.toDF("g", "d", "v").coalesce(1).write.mode("append").parquet(src)
+    runOnce()
+
+    val inc = Sketch.logHistQuantilesTrailingFromCells(
+      spark.read.parquet(store), Seq("g"), windowDays = 3,
+      Seq(500000L, 990000L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val full = Sketch.logHistQuantilesTrailing(
+      (batch1 ++ batch2).toDF("g", "d", "v"), Seq("g"), "d", "v",
+      windowDays = 3, Seq(500000L, 990000L))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(inc == full && inc.nonEmpty)
+  }
 }
