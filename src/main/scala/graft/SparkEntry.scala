@@ -3435,8 +3435,14 @@ object SparkEntry {
       val v = sess.groupBy("user_id", "session_id")
         .agg(min(when(col("event_type") === "view", col("ts_ns"))).as("t_view"))
         .filter(col("t_view").isNotNull)
+      // strictly-after comparison on the shared MICROS grid (the q175
+      // lesson): DuckDB timestamps are micro-truncated, so a nano-grid
+      // `ts_ns > t_view` would include a purchase sharing the first
+      // view's microsecond with later nanos that the oracle excludes.
+      // min commutes with truncation, so t_view needs no change.
       val p = sess.join(v, Seq("user_id", "session_id"))
-        .filter(col("event_type") === "purchase" && col("ts_ns") > col("t_view"))
+        .filter(col("event_type") === "purchase" &&
+          expr("(ts_ns div 1000) > (t_view div 1000)"))
         .groupBy("user_id", "session_id").agg(min("ts_ns").as("t_purchase"))
       val d = p.join(v, Seq("user_id", "session_id"))
         .select(lit("all").as("g"),
@@ -4078,9 +4084,15 @@ object SparkEntry {
         |      ((((i+1)*1103515245 + 12345) % 2147483646 + 1) * h
         |        + ((i+7)*69069 + 1) % 2147483647) % 2147483647))) AS sig
         |  FROM sets WHERE len(sh) > 0),
-        |corp AS (
+        |corp0 AS (
         |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
         |  FROM sigs s, range(32) r(b) WHERE s.id % 10 <> 0),
+        |corp AS (
+        |  SELECT id, b, s1, s2 FROM (
+        |    SELECT id, b, s1, s2,
+        |      count(*) OVER (PARTITION BY b, s1, s2) AS bn
+        |    FROM corp0)
+        |  WHERE bn <= 64),
         |newb AS (
         |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
         |  FROM sigs s, range(32) r(b) WHERE s.id % 10 = 0),

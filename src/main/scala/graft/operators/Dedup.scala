@@ -243,18 +243,31 @@ object Dedup {
     * re-bands the whole corpus every run) and the near-dup complement
     * of exact-key stream dedup.
     *
-    * Scale shape — the corpus NEVER shuffles: the batch is signed and
-    * banded (batch-sized), then BROADCAST; the store is read in ONE
-    * scan whose per-band explode probes the broadcast hash relation,
-    * and the signature-agreement estimate is computed AT MATCH TIME,
-    * map-side (both signatures are present on the probe row — the
-    * carry-the-payload-into-the-bucket rule), so the only exchange is
-    * the candidate-pair dedup groupBy, already filtered to
-    * ≥ `threshold`. Hot-bucket discipline is inherited from store
-    * maintenance: an incremental pipeline appends only batch docs that
-    * were NOT flagged, so the store stays near-dup-free and its
-    * buckets discriminative (the full-corpus cap lives in
-    * [[minHashNearDuplicates]]'s bucketPairs).
+    * Scale shape — the corpus NEVER shuffles its text: the batch is
+    * signed and banded (batch-sized), then ROUTED — broadcast only when
+    * a proven row bound (Catalyst stats, else an exact count of the
+    * already-checkpointed signed batch, one cheap job) shows the
+    * exploded batch fits `graft.dedup.broadcastBatchBytes` (default
+    * 256 MB); a large ingest batch (at 100 TB corpus scale a daily
+    * batch is itself many GB of signatures) falls back to the shuffle
+    * band join on (band, bucket) instead of dying at the broadcast
+    * limit. Either regime computes the signature-agreement estimate AT
+    * MATCH TIME, map-side (both signatures are present on the probe
+    * row — the carry-the-payload-into-the-bucket rule), so the only
+    * other exchange is the candidate-pair dedup groupBy, already
+    * filtered to ≥ `threshold`.
+    *
+    * Hot-bucket discipline is NOT delegated to store maintenance:
+    * near-dup-free ≠ discriminative (q102's measured lesson — a
+    * boilerplate-heavy corpus put 1,473 docs in one band slice with
+    * zero near-dups), so store-side (band, bucket) cells with more
+    * than `maxBucketSize` members are dropped, the same guard as
+    * [[minHashNearDuplicates]]'s bucketPairs. The hot-cell list is
+    * computed by one column-pruned pass over the store's `buckets`
+    * column (a key-sized partial+final agg — the probe-side sig
+    * payload is never aboard), and the store explode anti-joins it
+    * (AQE sizes the tiny hot list into a broadcast on its own — not
+    * forced, per the proven-fit discipline).
     *
     * The estimate is the unbiased MinHash Jaccard (agreeing components
     * / numHashes — exact in binary for power-of-two numHashes), so the
@@ -264,28 +277,63 @@ object Dedup {
     *
     * @param store [[signatureStore]] output (typically read back from
     *              parquet; schema (id, sig, buckets))
+    * @param maxBucketSize drop store-side (band, bucket) cells larger
+    *              than this (0 disables the cap — test seam)
     * @return (new_id, corpus_id, jaccard ≥ threshold) */
   def incrementalNearDuplicates(store: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 2, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.1): DataFrame = {
-    // batch-sized eager materialization, for two reasons: the broadcast
-    // build job re-executes its child plan anyway, and Catalyst's
-    // inferred not-null/size filters on the posexplode otherwise
-    // substitute the WHOLE buckets projection below the scan —
-    // re-evaluating the 64-pass MinHash up to 32x per row (measured
-    // 10 s -> 3 s on q218 with both sides materialized; a store read
-    // from parquet never hits this, the inferred filter lands on the
-    // stored column)
-    val newSide = broadcast(
+      threshold: Double = 0.1, maxBucketSize: Int = 64): DataFrame = {
+    // batch-sized eager materialization, for three reasons: the count
+    // probe below must not re-sign, the broadcast build job re-executes
+    // its child plan anyway, and Catalyst's inferred not-null/size
+    // filters on the posexplode otherwise substitute the WHOLE buckets
+    // projection below the scan — re-evaluating the 64-pass MinHash up
+    // to 32x per row (measured 10 s -> 3 s on q218 with both sides
+    // materialized; a store read from parquet never hits this, the
+    // inferred filter lands on the stored column)
+    val signed =
       signatureStore(batch, idCol, textCol, shingleSize, numHashes, bands)
         .localCheckpoint(true)
-        .select(col("id").as("new_id"), col("sig").as("new_sig"),
-          posexplode(col("buckets")).as(Seq("band", "bucket"))))
-    store
+    val newSide = signed
+      .select(col("id").as("new_id"), col("sig").as("new_sig"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+    // Proven-fit broadcast routing (the GraphTuning discipline): the
+    // broadcast relation is batchRows × bands exploded rows, each
+    // carrying the numHashes-long signature. A bound only LICENSES the
+    // broadcast when it proves the fit; otherwise count exactly (the
+    // signed batch is checkpointed — one cheap job).
+    val spark = store.sparkSession
+    val budget = spark.conf.getOption("graft.dedup.broadcastBatchBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val bytesPerBatchRow = bands.toLong * (numHashes.toLong * 8L + 48L)
+    val limitRows = budget / bytesPerBatchRow
+    val (fits, est, src) = GraphTuning.rowUpperBound(signed) match {
+      case Some((u, s)) if u <= limitRows => (true, u, s)
+      case _ =>
+        val n = signed.count()
+        (n <= limitRows, n, "exact-count")
+    }
+    GraphTuning.logRouting(
+      s"[graft.dedup] incrementalNearDuplicates regime=" +
+        (if (fits) "broadcast" else "shuffle-band-join") +
+        s" batchRows=$est($src) limitRows=$limitRows" +
+        s" budgetBytes=$budget bands=$bands")
+    val exploded = store
       .select(col("id").as("corpus_id"), col("sig"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
-      .join(newSide, Seq("band", "bucket"))
+    val capped =
+      if (maxBucketSize <= 0) exploded
+      else {
+        val hot = store
+          .select(posexplode(col("buckets")).as(Seq("band", "bucket")))
+          .groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > maxBucketSize)
+          .select("band", "bucket")
+        exploded.join(hot, Seq("band", "bucket"), "left_anti")
+      }
+    capped
+      .join(if (fits) broadcast(newSide) else newSide, Seq("band", "bucket"))
       .withColumn("jaccard", graft.expressions.MinHashSig
         .overlap(col("sig"), col("new_sig")))
       .filter(col("jaccard") >= threshold)

@@ -355,12 +355,20 @@ object Sketch {
     * given per-(group, day) sketch cells keyed by `keyCols` (bucket
     * ids, registers), serve every window position [day−w+1, day] by
     * joining each cell to the ACTIVE days of its group it belongs to
-    * (broadcast — the day list is groups × days rows) and re-reducing
-    * per (group, day, key). Each CELL (never a corpus row) is
-    * replicated ≤ w times, so the whole merge is sketch-sized; the
-    * input must already be sketch-bounded per (group, day). Emits
+    * and re-reducing per (group, day, key). Each CELL (never a corpus
+    * row) is replicated ≤ w times, so the whole merge is sketch-sized;
+    * the input must already be sketch-bounded per (group, day). Emits
     * exactly the active (group, day) pairs. `cells` must carry the
-    * day index as `__d` (long). */
+    * day index as `__d` (long).
+    *
+    * The day list is groups × active-days rows — usually tiny, but
+    * NOT inherently bounded (high group cardinality × a long day
+    * history), so the broadcast is ROUTED, not assumed (ADVICE r12,
+    * the repo-wide proven-fit discipline): accept it only when the
+    * Catalyst bound or an exact count (one job over the sketch-sized
+    * cell table, which callers materialize) proves the list under the
+    * budget; otherwise fall back to the shuffle join — the range
+    * condition still prunes to ≤ w replicas per cell either way. */
   private def mergeTrailing(cells: DataFrame, groupCols: Seq[String],
       keyCols: Seq[String], windowDays: Int,
       aggs: Seq[Column]): DataFrame = {
@@ -368,11 +376,25 @@ object Sketch {
     val days = cells.select(
       groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__d").as("day"): _*)
       .distinct()
+    // ~32 B/row (UnsafeRow + HashedRelation overhead), GraphTuning's
+    // state-row constant; CLAUDE.md rule: a bound only LICENSES the
+    // broadcast when it proves the fit — otherwise measure exactly.
+    val limit = GraphTuning.DefaultBroadcastBytes / GraphTuning.StateRowBytes
+    val (fits, est, src) = GraphTuning.rowUpperBound(days) match {
+      case Some((u, s)) if u <= limit => (true, u, s)
+      case _ =>
+        val n = days.count()
+        (n <= limit, n, "exact-count")
+    }
+    GraphTuning.logRouting(
+      s"[graft.sketch] mergeTrailing dayList=" +
+        (if (fits) "broadcast" else "shuffle") +
+        s" rows=$est($src) limit=$limit")
     val cond = groupCols.map(c => col(c) === col(s"__g_$c"))
       .reduce(_ && _) &&
       col("__d") <= col("day") &&
       col("__d") >= col("day") - lit(windowDays - 1L)
-    cells.join(broadcast(days), cond)
+    cells.join(if (fits) broadcast(days) else days, cond)
       .groupBy(g ++ (col("day") +: keyCols.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
   }

@@ -45,6 +45,44 @@ class IncrementalDedupSpec extends SparkSpec {
       s"near-dup estimate off: $pairs")
   }
 
+  test("hot store cells above maxBucketSize are dropped; cap=0 disables") {
+    // two identical stored docs share EVERY (band, bucket) cell, so with
+    // maxBucketSize = 1 all their cells are hot and a probing duplicate
+    // finds nothing — the q102 hot-band guard firing. The default cap
+    // (64) and the disabled cap (0) both keep the cells.
+    val store = Dedup.signatureStore(
+      Seq((1L, d1), (2L, d1), (3L, d2)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val batch = Seq((10L, d1)).toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.incrementalNearDuplicates(store, batch,
+      "doc_id", "text", threshold = 0.10, maxBucketSize = cap)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(1).forall(p => p._2 != 1L && p._2 != 2L),
+      s"capped cells still produced pairs: ${run(1)}")
+    assert(run(64).map(p => (p._1, p._2)).toSet == Set((10L, 1L), (10L, 2L)),
+      s"default cap over-dropped: ${run(64)}")
+    assert(run(0).map(p => (p._1, p._2)).toSet == Set((10L, 1L), (10L, 2L)),
+      s"cap=0 should disable: ${run(0)}")
+  }
+
+  test("shuffle-band-join regime (batch over budget) matches the broadcast plan") {
+    val store = Dedup.signatureStore(
+      Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"), "doc_id", "text")
+    val batch = Seq((10L, d1), (11L, u1),
+      (12L, d1 + " with extra words appended at the tail end"))
+      .toDF("doc_id", "text")
+    def run() = Dedup.incrementalNearDuplicates(store, batch,
+      "doc_id", "text", threshold = 0.10)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val bcast = run()
+    spark.conf.set("graft.dedup.broadcastBatchBytes", "0")
+    try {
+      val shuffled = run()
+      assert(shuffled == bcast,
+        s"regimes disagree: broadcast=$bcast shuffle=$shuffled")
+    } finally spark.conf.unset("graft.dedup.broadcastBatchBytes")
+  }
+
   test("streaming ingest: screen then append survivors; cross-batch dup caught; stateless") {
     val dir = Files.createTempDirectory("incdedup").toString
     val src = s"$dir/src"; val storeDir = s"$dir/store"
