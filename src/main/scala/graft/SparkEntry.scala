@@ -3451,6 +3451,31 @@ object SparkEntry {
           lit(1L).as("w"))
       Aggregations.quantilesDisc(d, Seq("g"), "secs", "w",
         Seq(500000L, 900000L)).orderBy("g")
+    }),
+
+    // Auto-routed skew join (Skew.decideJoinPlan — q224's report turned
+    // into a decision): views keyed by a deliberately skewed key (every
+    // even user collapses to -1, so one key owns ~half the fact) join a
+    // per-key click-count dim; the pre-flight measures the top key's
+    // output share and routes to Skew.saltedJoin. hotKeyRowLimit is
+    // pinned low so the SALTED regime is the one exercised and
+    // oracle-checked at test SFs (production resolves the 4M conf
+    // default); the rewrite is purely physical, so the oracle is the
+    // plain join.
+    "q229_skew_routed_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def k = when(col("user_id") % 2 === 0, lit(-1L))
+        .otherwise(col("user_id")).as("k")
+      val fact = ev.filter(col("event_type") === "view")
+        .select(k, col("value"))
+      val dim = ev.filter(col("event_type") === "click")
+        .select(k).groupBy("k").agg(count(lit(1)).as("n_clicks"))
+      val (joined, _) = Skew.decideJoinPlan(fact, dim, "k",
+        buckets = 8, hotKeyRowLimit = 64)
+      joined.groupBy("k")
+        .agg(count(lit(1)).as("n_views"), max(col("n_clicks")).as("n_clicks"),
+          expr("sum(CAST(round(value * 100) AS BIGINT))").as("total_c"))
+        .orderBy("k")
     })
   )
 
@@ -7652,6 +7677,21 @@ object SparkEntry {
         |  CAST(min(CASE WHEN cw * 1000000 >= 900000 * tw THEN secs END)
         |    AS BIGINT) AS p900000,
         |  CAST(max(tw) AS BIGINT) AS total_w
-        |FROM c GROUP BY 1 ORDER BY g""".stripMargin
+        |FROM c GROUP BY 1 ORDER BY g""".stripMargin,
+
+    "q229_skew_routed_join" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS k,
+        |         value
+        |  FROM events WHERE event_type = 'view'),
+        |d AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id END AS k,
+        |         CAST(count(*) AS BIGINT) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_views,
+        |  max(n_clicks) AS n_clicks,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM f JOIN d USING (k)
+        |GROUP BY k ORDER BY k""".stripMargin
   )
 }

@@ -103,4 +103,79 @@ object Skew {
       .withColumn("out_rows", col("n_left") * col("n_right"))
       .orderBy(col("out_rows").desc, col(keyCol)).limit(k)
   }
+
+  /** One routed-join decision with every input that produced it
+    * ([[graft.operators.GraphTuning.RegimeDecision]] discipline). */
+  final case class JoinPlanDecision(
+      salted: Boolean, topSharePpm: Long, topFactRows: Long,
+      outRows: BigInt, buckets: Int, sharePpmThreshold: Long,
+      hotKeyRowLimit: Long) {
+    def describe: String =
+      s"[graft.skew] joinPlan=${if (salted) "salted" else "plain"} " +
+        s"topSharePpm=$topSharePpm(threshold=$sharePpmThreshold) " +
+        s"topFactRows=$topFactRows(limit=$hotKeyRowLimit) " +
+        s"outRows=$outRows buckets=$buckets"
+  }
+
+  /** Auto-routed equi-join: consumes [[joinSkewReport]]'s signal and
+    * picks the mitigation instead of leaving it to the reader. Salting
+    * fires only when BOTH hold:
+    *
+    *   - the top key owns more than `sharePpmThreshold` of the join's
+    *     output rows (a handful of keys owning most of the product is
+    *     the skew signature — under a uniform key the top share is
+    *     ~1/|keys| and AQE/plain hash join is the right plan), and
+    *   - that key's FACT-side rows exceed `hotKeyRowLimit` (conf
+    *     `graft.skew.hotKeyRowLimit`, default 4M): a hot key one
+    *     reducer can absorb isn't worth replicating the dim
+    *     `buckets`-fold for.
+    *
+    * The pre-flight costs two key-sized partial+final aggs and a
+    * one-row collect (the [[joinSkewReport]] shape — the fact tables
+    * shuffle only their key counts); run it where the join dominates.
+    * Output-contribution products ride DECIMAL(38,0) (two BIGINT
+    * counts can overflow a long). Result rows are identical in both
+    * regimes — [[saltedJoin]] is a pure physical rewrite — so routing
+    * never changes answers, only the plan. The decision is logged with
+    * all inputs ([[JoinPlanDecision.describe]]).
+    *
+    * @param hotKeyRowLimit -1 = resolve conf/default
+    * @return (joined frame, decision) */
+  def decideJoinPlan(
+      fact: DataFrame, dim: DataFrame, keyCol: String,
+      buckets: Int = 16, sharePpmThreshold: Long = 200000L,
+      hotKeyRowLimit: Long = -1L): (DataFrame, JoinPlanDecision) = {
+    require(buckets >= 2 && sharePpmThreshold > 0)
+    val limit =
+      if (hotKeyRowLimit >= 0L) hotKeyRowLimit
+      else fact.sparkSession.conf.getOption("graft.skew.hotKeyRowLimit")
+        .map(_.toLong).getOrElse(4000000L)
+    val lc = fact.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_left"))
+    val rc = dim.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n_right"))
+    val stat = lc.join(rc, Seq(keyCol))
+      .select((col("n_left").cast("decimal(38,0)") * col("n_right"))
+        .as("out"), col("n_left"))
+      .agg(sum(col("out")).as("total"),
+        max(struct(col("out"), col("n_left"))).as("top"))
+      .collect()(0)
+    val (salted, sharePpm, topFact, total) =
+      if (stat.isNullAt(0)) (false, 0L, 0L, BigInt(0)) // empty key overlap
+      else {
+        val total = BigInt(stat.getDecimal(0).toBigInteger)
+        val top = stat.getStruct(1)
+        val topOut = BigInt(top.getDecimal(0).toBigInteger)
+        val share = if (total > 0) (topOut * 1000000 / total).toLong else 0L
+        val tf = top.getLong(1)
+        (share > sharePpmThreshold && tf > limit, share, tf, total)
+      }
+    val d = JoinPlanDecision(salted, sharePpm, topFact, total, buckets,
+      sharePpmThreshold, limit)
+    GraphTuning.logRouting(d.describe)
+    val joined =
+      if (salted) saltedJoin(fact, dim, Seq(keyCol), buckets)
+      else fact.join(dim, Seq(keyCol))
+    (joined, d)
+  }
 }

@@ -45,6 +45,31 @@ class SkewIvfSpec extends SparkSpec {
     assert(top == got.take(2))
   }
 
+  test("decideJoinPlan: skew routes salted, uniform plain, limit vetoes; rows identical") {
+    val fact = ((1 to 500).map(_ => (0L, 1.5)) ++
+      (1 to 50).map(i => ((i % 10 + 1).toLong, 2.5))).toDF("k", "v")
+    val dim = (0L to 10L).map(k => (k, s"d$k")).toDF("k", "attr")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "attr").as[(Long, Double, String)].collect().toSeq.sorted
+    val (joined, d) = Skew.decideJoinPlan(fact, dim, "k",
+      buckets = 4, hotKeyRowLimit = 100)
+    assert(d.salted && d.topSharePpm > 500000L && d.topFactRows == 500L,
+      s"expected salted: $d")
+    assert(rows(joined) == rows(fact.join(dim, Seq("k"))),
+      "salted result differs from plain join")
+    // a hot key one reducer can absorb is NOT worth replicating the dim for
+    val (_, vetoed) = Skew.decideJoinPlan(fact, dim, "k",
+      buckets = 4, hotKeyRowLimit = 1000000L)
+    assert(!vetoed.salted && vetoed.topSharePpm == d.topSharePpm, s"$vetoed")
+    // uniform key: top share ~1/|keys|, plain join is the right plan
+    val uni = (0L to 10L).flatMap(k => (1 to 10).map(i => (k, i * 0.5)))
+      .toDF("k", "v")
+    val (uJoined, uD) = Skew.decideJoinPlan(uni, dim, "k",
+      buckets = 4, hotKeyRowLimit = 0)
+    assert(!uD.salted && uD.topSharePpm < 200000L, s"$uD")
+    assert(rows(uJoined) == rows(uni.join(dim, Seq("k"))))
+  }
+
   test("IVF ANN: centroids train, probes bound work, recall is reasonable") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < 5)
