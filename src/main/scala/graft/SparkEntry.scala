@@ -3476,6 +3476,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_views"), max(col("n_clicks")).as("n_clicks"),
           expr("sum(CAST(round(value * 100) AS BIGINT))").as("total_c"))
         .orderBy("k")
+    }),
+
+    // Persisted ANN index probe (Ann.ivfIndex / ivfProbeIndex) — the
+    // embedding-space sibling of q218's signature store: the corpus
+    // (vec_id % 10 != 0) is clustered ONCE into a persistable
+    // (centroids, cell-assignments) pair; the batch (vec_id % 10 == 0)
+    // probes its nProbe closest cells WITHOUT re-clustering, and the
+    // store scan is filtered to the probed cells only (IN on the
+    // STORED cell column — partition pruning on a cell-partitioned
+    // store). Deterministic smallest-id centroids, no Lloyd (q43's
+    // oracle discipline: float cosine affects rank only). Both index
+    // tables materialized like the real flow (the q218 pattern — they
+    // ARE parquet tables a pipeline reads back).
+    "q230_ivf_index_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (cent, asg) = Ann.ivfIndex(e.filter(col("vec_id") % 10 =!= 0),
+        nCentroids = 8, initById = true)
+      Ann.ivfProbeIndex(cent.localCheckpoint(true),
+          asg.localCheckpoint(true),
+          e.filter(col("vec_id") % 10 === 0), k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -7692,6 +7714,53 @@ object SparkEntry {
         |  max(n_clicks) AS n_clicks,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
         |FROM f JOIN d USING (k)
-        |GROUP BY k ORDER BY k""".stripMargin
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "q230_ivf_index_probe" ->
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 8)),
+        |asg AS (
+        |  SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.embedding AS v, c.ci AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.cv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        c.ci DESC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 10 <> 0)
+        |  WHERE rn = 1),
+        |prb AS (
+        |  SELECT query_id, qv, cell FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.ci AS cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.embedding, c.cv),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(q.embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.cv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        c.ci DESC) AS rn
+        |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 10 = 0)
+        |  WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.query_id, p.qv, a.id, a.v
+        |  FROM prb p JOIN asg a USING (cell) WHERE a.id <> p.query_id),
+        |scored AS (
+        |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id ORDER BY
+        |      list_sum(list_transform(list_zip(qv, v),
+        |        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(v,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |      id ASC) AS rnk
+        |  FROM cand)
+        |SELECT query_id, id AS neighbor_id, CAST(rnk AS INT) AS rank
+        |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

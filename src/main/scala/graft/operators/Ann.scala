@@ -135,33 +135,31 @@ object Ann extends Logging {
     * assignment is one narrow map + one shuffle by cell id, and queries
     * touch nProbe/nCentroids of the data.
     */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, lloydIterations: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      initById: Boolean = false): DataFrame = {
-    val spark = corpus.sparkSession
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+  /** Nearest-centroid assignment as a scan-stage expression: argmax
+    * cosine against the k·dim centroid literals, ties to the larger
+    * cell id (struct max orders by score then index). */
+  private def nearestCellCol(centroids: Array[Seq[Float]], v: Column): Column = {
+    val scored = centroids.zipWithIndex.map { case (cent, i) =>
+      struct(cosineF(v, typedLit(cent)).as("s"), lit(i).as("i"))
+    }
+    array_max(array(scored: _*)).getField("i")
+  }
 
-    // deterministic init: the nCentroids rows with smallest hash(id) for
-    // a spread sample, or smallest id (`initById`) for the sampled-coarse-
-    // quantizer variant that a SQL oracle can reproduce (with
-    // lloydIterations = 0 the whole operator is engine-independent).
+  /** Shared coarse-quantizer training for [[ivfTopK]] / [[ivfIndex]].
+    * Deterministic init: the nCentroids rows with smallest hash(id) for
+    * a spread sample, or smallest id (`initById`) for the sampled-
+    * coarse-quantizer variant a SQL oracle can reproduce (with
+    * lloydIterations = 0 the result is engine-independent). `c` must
+    * have columns (id, v). */
+  private def trainCentroids(c: DataFrame, nCentroids: Int,
+      lloydIterations: Int, initById: Boolean): Array[Seq[Float]] = {
     var centroids: Array[Seq[Float]] = c
       .orderBy(if (initById) col("id") else hash(col("id")), col("id"))
       .limit(nCentroids)
       .select("v").collect().map(_.getSeq[Float](0))
-
-    def nearestCell(v: Column): Column = {
-      val scored = centroids.zipWithIndex.map { case (cent, i) =>
-        struct(cosineF(v, typedLit(cent)).as("s"), lit(i).as("i"))
-      }
-      array_max(array(scored: _*)).getField("i")
-    }
-
     var iter = 0
     while (iter < lloydIterations) {
-      val assigned = c.withColumn("cell", nearestCell(col("v")))
+      val assigned = c.withColumn("cell", nearestCellCol(centroids, col("v")))
       val means = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos").agg(avg(col("col")).as("m"))
@@ -174,6 +172,17 @@ object Ann extends Logging {
         r.getAs[Int]("cell"), r.getSeq[Float](1)))
       iter += 1
     }
+    centroids
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, lloydIterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initById: Boolean = false): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val centroids = trainCentroids(c, nCentroids, lloydIterations, initById)
+    def nearestCell(v: Column): Column = nearestCellCol(centroids, v)
 
     val cells = c.withColumn("cell", nearestCell(col("v")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -193,6 +202,89 @@ object Ann extends Logging {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Persisted IVF index — the embedding-space sibling of
+    * [[Dedup.signatureStore]]: the parquet pair a daily similarity
+    * pipeline maintains so new-batch vectors are probed WITHOUT
+    * re-clustering (or even fully re-scanning) the corpus. Same
+    * deterministic training as [[ivfTopK]] (smallest-hash(id) init,
+    * or smallest-id with `initById` for the SQL-reproducible variant;
+    * Lloyd refinement optional).
+    *
+    * Write the assignments `partitionBy("cell")`: [[ivfProbeIndex]]
+    * filters on the cell column with a collected probe-cell list, so a
+    * cell-partitioned store serves a probe by reading only the probed
+    * nProbe/nCentroids fraction of the data (partition pruning — the
+    * filter is pushable because cell is a STORED column, not a
+    * recomputed expression).
+    *
+    * @return (centroids (cell int, centroid array<float>) — tiny;
+    *         assignments (id, cell, v) — corpus-sized) */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int,
+      lloydIterations: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initById: Boolean = false): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = trainCentroids(
+      if (lloydIterations > 0) c.cache() else c,
+      nCentroids, lloydIterations, initById)
+    import spark.implicits._
+    val centDf = centroids.zipWithIndex
+      .map { case (cv, i) => (i, cv) }.toSeq
+      .toDF("cell", "centroid")
+    val assignments = c
+      .withColumn("cell", nearestCellCol(centroids, col("v")))
+      .select(col("id"), col("cell"), col("v"))
+    (centDf, assignments)
+  }
+
+  /** Probe a persisted [[ivfIndex]] with a new batch: collect the
+    * centroid table (nCentroids-bounded — licensed), pick each query's
+    * `nProbe` closest cells, then read ONLY the probed cells from the
+    * assignments store — the probed-cell set is collected (bounded by
+    * nCentroids, never by batch size) and applied as an IN filter on
+    * the stored cell column, so a cell-partitioned parquet store
+    * prunes unprobed partitions at the scan. Exact cosine re-rank
+    * within candidates, identical ranks to [[ivfTopK]] run fresh on
+    * the same corpus (spec-asserted parity).
+    *
+    * @return (query_id, neighbor_id, rank, sim) */
+  def ivfProbeIndex(centroids: DataFrame, assignments: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent: Array[Seq[Float]] = centroids.select("cell", "centroid")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1))
+    require(cent.nonEmpty, "empty centroid table")
+    // batch-sized, read twice (probed-cell collect + candidate join) —
+    // materialize once, the shared-branch rule
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("probe", {
+        val scored = cent.zipWithIndex.map { case (cv, i) =>
+          struct(cosineF(col("q_vec"), typedLit(cv)).as("s"), lit(i).as("i"))
+        }
+        slice(reverse(array_sort(array(scored: _*))), 1, nProbe)
+      })
+      .select(col("query_id"), col("q_vec"),
+        explode(col("probe").getField("i")).as("cell"))
+      .localCheckpoint(true)
+    val probedCells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted // ≤ nCentroids rows — licensed
+    logInfo(s"[graft.ann] ivfProbeIndex probes ${probedCells.length}/" +
+      s"${cent.length} cells: ${probedCells.mkString(",")}")
+    val cand = assignments
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("sim", cosineF(col("q_vec"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"),
+        col("sim"))
   }
 
   /** Product-quantization ANN (inner-product / ADC variant): vectors are

@@ -83,4 +83,33 @@ class SkewIvfSpec extends SparkSpec {
     // near-random embeddings: probing half the cells ⇒ recall ≈ nProbe/nCentroids
     assert(recall >= 0.3, s"IVF recall too low: $recall")
   }
+
+  test("ivfIndex parquet round-trip: probe = fresh ivfTopK, probed cells prune the store") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 200)
+    val (cent, asg) = Ann.ivfIndex(corpus, nCentroids = 8, initById = true)
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    asg.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+    val probe = Ann.ivfProbeIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"),
+      batch, k = 5, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    // batch parity: the persisted index answers exactly like clustering
+    // fresh — the index round-trip loses nothing
+    val fresh = Ann.ivfTopK(corpus, batch, k = 5, nCentroids = 8,
+      nProbe = 2, lloydIterations = 0, initById = true)
+    assert(rows(probe) == rows(fresh), "index probe != fresh ivfTopK")
+    // the store scan carries the probed-cell IN filter on the stored
+    // cell column — on this cell-partitioned parquet that is a
+    // PartitionFilter (pruning), not a post-scan residual
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cell") && l.contains(" IN ")),
+      s"probed-cell pruning missing from scan: $pf")
+  }
 }
