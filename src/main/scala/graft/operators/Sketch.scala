@@ -321,6 +321,25 @@ object Sketch {
     quantilesFromHist(merged, groupCols :+ "day", quantilesPpm)
   }
 
+  /** Serve ONE trailing-window position from a persisted [[logHistCells]]
+    * store — the daily-query shape of the incremental pipeline ("append
+    * today's cells, ask for today's trailing quantiles"): the w-day
+    * range lands on the STORED day column BEFORE anything else, so on a
+    * parquet store it is a pushed scan filter (PushedFilters — and
+    * partition pruning when the store is day-partitioned); history
+    * outside the window is never read, which is the whole point of
+    * keeping the cell store. Result rows are exactly the `day = day`
+    * slice of [[logHistQuantilesTrailingFromCells]] over the full store
+    * (spec-asserted): cells outside the range cannot contribute to this
+    * window position, and the emitted-day filter drops the partial
+    * windows the range's older days would otherwise produce. */
+  def logHistQuantilesAt(cells: DataFrame, groupCols: Seq[String],
+      day: Long, windowDays: Int, quantilesPpm: Seq[Long]): DataFrame =
+    logHistQuantilesTrailingFromCells(
+      cells.filter(col("day").between(day - (windowDays - 1L), day)),
+      groupCols, windowDays, quantilesPpm)
+      .filter(col("day") === day)
+
   /** Trailing-window HLL registers — [[logHistQuantilesTrailing]]'s
     * distinct-count sibling (sliding weekly/monthly active users, per
     * group per day) and the reason HLL merges at all: the max of two

@@ -283,6 +283,40 @@ class BloomSketchSpec extends SparkSpec {
     assert(inc == full && inc.nonEmpty)
   }
 
+  test("logHistQuantilesAt: one window position = full-store slice; store scan is day-pruned") {
+    import graft.operators.Sketch
+    val rows = for {
+      g <- Seq("a", "b"); d <- 0L to 9L; i <- 1L to 30L
+    } yield (g, d, i * (d + 1))
+    val df = rows.toDF("g", "d", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cells-at").toString
+    Sketch.logHistCells(df, Seq("g"), "d", "v")
+      .write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val at = Sketch.logHistQuantilesAt(store, Seq("g"), day = 7L,
+      windowDays = 3, Seq(500000L, 990000L))
+    val got = at.as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    val full = Sketch.logHistQuantilesTrailingFromCells(store, Seq("g"),
+      windowDays = 3, Seq(500000L, 990000L))
+      .filter(col("day") === 7L)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == full && got.nonEmpty)
+    // the point of the store: serving one position READS only the w-day
+    // range — the range predicate reaches the parquet scan as a pushed
+    // filter, never a post-scan residual over full history
+    val scans = at.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PushedFilters")).toSeq
+    // cell branch: the w-day range; day-list branch: Catalyst pushes the
+    // emitted-day equality through the join — BOTH store reads are pruned
+    assert(scans.exists(l => l.contains("GreaterThanOrEqual(day,5)") &&
+      l.contains("LessThanOrEqual(day,7)")),
+      s"day range not pushed to the cell scan: $scans")
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("(day,5)") || l.contains("(day,7)")),
+      s"a store scan reads unpruned history: $scans")
+  }
+
   test("hllRegistersTrailing: merged registers equal the union's registers") {
     import graft.operators.Sketch
     val rows = for {
