@@ -3498,6 +3498,27 @@ object SparkEntry {
           e.filter(col("vec_id") % 10 === 0), k = 5, nProbe = 2)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
+    }),
+
+    // Cell-store serving path (Sketch.logHistQuantilesAt): the
+    // persisted sketch store answers the daily question — "today's
+    // trailing 7-day p50/p99" — from the w-day range ONLY (the range
+    // predicate prunes the store scan; plan committed in PLANS.md,
+    // parquet round-trip in BloomSketchSpec). Cells materialized once
+    // as the store (q218 pattern); the max-day probe is the store-
+    // sized lookup a real pipeline replaces with today's date.
+    "q231_cellstore_serve_day" -> ((s, dir) => {
+      val store = Sketch.logHistCells(
+        Tables.events(s, dir).select(col("event_type").as("g"),
+          expr("((ts_ns div 1000) div 86400000000)").as("d"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v")),
+        Seq("g"), "d", "v").localCheckpoint(true)
+      val day = store.agg(max("day")).first().getLong(0)
+      Sketch.logHistQuantilesAt(store, Seq("g"), day, windowDays = 7,
+        Seq(500000L, 990000L))
+        .select(col("g").as("event_type"), col("day"), col("n"),
+          col("est_p500000"), col("est_p990000"))
+        .orderBy("event_type")
     })
   )
 
@@ -7761,6 +7782,34 @@ object SparkEntry {
         |      id ASC) AS rnk
         |  FROM cand)
         |SELECT query_id, id AS neighbor_id, CAST(rnk AS INT) AS rank
-        |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+        |FROM scored WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q231_cellstore_serve_day" ->
+      """WITH src AS (SELECT event_type AS g,
+        |    epoch_us(ts) // 86400000000 AS d,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |hb AS (SELECT g, d, v,
+        |    (length(bin(v)) - 1) * 4 +
+        |    ((v >> greatest(length(bin(v)) - 3, 0)) & 3) AS b
+        |  FROM src WHERE v >= 1),
+        |hist AS MATERIALIZED (SELECT g, d, b, count(*) AS c, min(v) AS mn
+        |  FROM hb GROUP BY 1, 2, 3),
+        |mx AS (SELECT max(d) AS day FROM hist),
+        |days AS (SELECT DISTINCT g, d AS day FROM hist
+        |  JOIN mx ON hist.d = mx.day),
+        |m AS (SELECT h.g, days.day, h.b, sum(h.c) AS c, min(h.mn) AS mn
+        |  FROM hist h JOIN days ON days.g = h.g
+        |    AND h.d <= days.day AND h.d >= days.day - 6
+        |  GROUP BY 1, 2, 3),
+        |cum AS (SELECT g, day, b, mn,
+        |  sum(c) OVER (PARTITION BY g, day ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |  sum(c) OVER (PARTITION BY g, day) AS tw FROM m)
+        |SELECT g AS event_type, day, CAST(max(tw) AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cw * 1000000 >= 500000 * tw THEN mn END)
+        |    AS BIGINT) AS est_p500000,
+        |  CAST(min(CASE WHEN cw * 1000000 >= 990000 * tw THEN mn END)
+        |    AS BIGINT) AS est_p990000
+        |FROM cum GROUP BY 1, 2 ORDER BY event_type""".stripMargin
   )
 }

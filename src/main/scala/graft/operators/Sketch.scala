@@ -340,6 +340,21 @@ object Sketch {
       groupCols, windowDays, quantilesPpm)
       .filter(col("day") === day)
 
+  /** Serve ONE trailing-window position from a persisted
+    * [[hllRegisters]] store — [[logHistQuantilesAt]]'s distinct-count
+    * sibling: the w-day range prunes the register-store scan the same
+    * way, the bucket-wise MAX merges only in-range cells, and only the
+    * requested day's windows are emitted (groups active ON that day,
+    * matching [[hllRegistersTrailing]]'s active-day contract). */
+  def hllRegistersAt(cells: DataFrame, groupCols: Seq[String],
+      dayCol: String, day: Long, windowDays: Int): DataFrame =
+    mergeTrailing(
+      cells.filter(col(dayCol).between(day - (windowDays - 1L), day))
+        .withColumn("__d", col(dayCol).cast("long")).drop(dayCol),
+      groupCols, Seq("bucket"), windowDays,
+      Seq(max(col("register")).as("register")))
+      .filter(col("day") === day)
+
   /** Trailing-window HLL registers — [[logHistQuantilesTrailing]]'s
     * distinct-count sibling (sliding weekly/monthly active users, per
     * group per day) and the reason HLL merges at all: the max of two

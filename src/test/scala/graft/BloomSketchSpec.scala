@@ -317,6 +317,31 @@ class BloomSketchSpec extends SparkSpec {
       s"a store scan reads unpruned history: $scans")
   }
 
+  test("hllRegistersAt: one position from a persisted register store = trailing slice") {
+    import graft.operators.Sketch
+    val rows = for {
+      d <- 0L to 6L; i <- 1L to 120L
+    } yield ("g", d, d * 37L + i % (30L + d * 10L))
+    val df = rows.toDF("g", "d", "k")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-at").toString
+    Sketch.hllRegisters(df, "k", Seq("g", "d")).write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val at = Sketch.hllRegistersAt(store, Seq("g"), "d", day = 5L,
+      windowDays = 4)
+    val got = at.as[(String, Long, Int, Int)].collect().sortBy(_._3).toSeq
+    val full = Sketch.hllRegistersTrailing(df, "k", Seq("g"), "d",
+      windowDays = 4)
+      .filter(col("day") === 5L)
+      .as[(String, Long, Int, Int)].collect().sortBy(_._3).toSeq
+    assert(got == full && got.nonEmpty)
+    // the register-store scan reads only the 4-day range
+    val scans = at.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PushedFilters")).toSeq
+    assert(scans.exists(l => l.contains("GreaterThanOrEqual(d,2)") &&
+      l.contains("LessThanOrEqual(d,5)")),
+      s"day range not pushed to the register store scan: $scans")
+  }
+
   test("hllRegistersTrailing: merged registers equal the union's registers") {
     import graft.operators.Sketch
     val rows = for {
