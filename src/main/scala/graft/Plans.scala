@@ -85,7 +85,9 @@ object Plans {
       "q227_session_baskets" -> "session-basket lift: sessionize window, basket table checkpointed once for its three reads, self-join keyed (user, session) with <= |types| rows/key, DECIMAL(38,0) lift products",
       "q228_conversion_time" -> "conversion-time quantiles: funnel joins on (user, session), micros-grid strictly-after filter, bracket+exact quantiles over the sessions-sized durations",
       "q229_skew_routed_join" -> "auto-routed skew join: the pre-flight's two key-sized aggs decide, then the salted regime replicates the dim buckets-fold and spreads the hot key over (key, salt) reducers — result-identical to the plain join",
-      "q230_ivf_index_probe" -> "persisted IVF index probe: corpus assigned once against centroid literals, probe reads ONLY the probed cells (IN filter on the stored cell column — partition pruning on a cell-partitioned store), exact re-rank windows are cell-bounded")
+      "q230_ivf_index_probe" -> "persisted IVF index probe: corpus assigned once against centroid literals, probe reads ONLY the probed cells (IN filter on the stored cell column — partition pruning on a cell-partitioned store), exact re-rank windows are cell-bounded",
+      "q231_cellstore_serve_day" -> "cell-store serve-one-day (driver-gated): the trailing window is served from the materialized store's w-day range; see also the bespoke parquet-store section below for the pushed day filter",
+      "q232_pq_index_probe" -> "persisted PQ index probe: the scan side is the ~32x-compressed CODES store (raw embeddings never re-read), query LUTs broadcast, ADC score is array lookups, per-query top-k window")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`, sf0.01)\n\n")
     sb.append("Evidence for ARCHITECTURE.md's claims: `PushedFilters`/`ReadSchema`\n")

@@ -3519,6 +3519,24 @@ object SparkEntry {
         .select(col("g").as("event_type"), col("day"), col("n"),
           col("est_p500000"), col("est_p990000"))
         .orderBy("event_type")
+    }),
+
+    // Persisted PQ index probe (Ann.pqIndex / pqProbeIndex) — q230's
+    // compressed sibling: the corpus (vec_id % 10 != 0) encodes ONCE
+    // into the ~32x-smaller codes table; the batch (vec_id % 10 == 0)
+    // scores by ADC lookups against the codes STORE — raw corpus
+    // embeddings are never re-read or re-encoded. q126's determinism
+    // discipline (smallest-id seeds, no Lloyd, tie → larger codeword,
+    // subspace-ascending ADC sums); index tables materialized like the
+    // real flow (q218 pattern).
+    "q232_pq_index_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (cbk, codes) = Ann.pqIndex(e.filter(col("vec_id") % 10 =!= 0),
+        numSubspaces = 8, codebookSize = 16, initById = true)
+      Ann.pqProbeIndex(cbk.localCheckpoint(true),
+          codes.localCheckpoint(true),
+          e.filter(col("vec_id") % 10 === 0), k = 5)
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -7810,6 +7828,43 @@ object SparkEntry {
         |    AS BIGINT) AS est_p500000,
         |  CAST(min(CASE WHEN cw * 1000000 >= 990000 * tw THEN mn END)
         |    AS BIGINT) AS est_p990000
-        |FROM cum GROUP BY 1, 2 ORDER BY event_type""".stripMargin
+        |FROM cum GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+
+    "q232_pq_index_probe" -> """
+      |WITH seed AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 16)),
+      |cb AS MATERIALIZED (
+      |  SELECT m.m, s.ci, list_slice(s.cv, m.m*8+1, m.m*8+8) AS cent
+      |  FROM seed s CROSS JOIN
+      |       (SELECT unnest([0,1,2,3,4,5,6,7]) AS m) m),
+      |codes AS MATERIALIZED (
+      |  SELECT id, m, ci AS code FROM (
+      |    SELECT e.vec_id AS id, c.m, c.ci,
+      |      row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(list_slice(e.embedding, c.m*8+1, c.m*8+8), c.cent),
+      |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) DESC,
+      |        c.ci DESC) AS rn
+      |    FROM embeddings e CROSS JOIN cb c WHERE e.vec_id % 10 <> 0)
+      |  WHERE rn = 1),
+      |lut AS MATERIALIZED (
+      |  SELECT q.vec_id AS query_id, c.m, c.ci,
+      |    list_sum(list_transform(
+      |      list_zip(list_slice(q.embedding, c.m*8+1, c.m*8+8), c.cent),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS d
+      |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id % 10 = 0),
+      |scored AS (
+      |  SELECT l.query_id, cd.id, list_sum(list(l.d ORDER BY l.m)) AS score
+      |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.ci = cd.code
+      |  WHERE cd.id <> l.query_id
+      |  GROUP BY l.query_id, cd.id),
+      |r AS (
+      |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, id ASC) AS rnk
+      |  FROM scored)
+      |SELECT query_id, id AS neighbor_id, CAST(rnk AS INT) AS rank
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -314,17 +314,17 @@ object Ann extends Logging {
     *        an exact cosine re-rank — the standard PQ recall recovery,
     *        priced at a semi-join of candidate ids instead of a corpus
     *        scan. */
-  def pqTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      numSubspaces: Int = 8, codebookSize: Int = 16,
-      lloydIterations: Int = 0,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      initById: Boolean = false, rerankFactor: Int = 0): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+  /** Shared PQ codebook training for [[pqTopK]] / [[pqIndex]]: seed =
+    * the codebookSize smallest rows by hash(id) (or id with `initById`
+    * — engine-independent with lloydIterations = 0), then optional
+    * Lloyd refinement, ONE corpus pass per round refining every
+    * subspace. `c` must have columns (id, v). */
+  private def trainCodebook(c: DataFrame, numSubspaces: Int,
+      codebookSize: Int, lloydIterations: Int,
+      initById: Boolean): Array[Array[Seq[Float]]] = {
     val dim = c.select(size(col("v"))).first().getInt(0)
     require(dim % numSubspaces == 0, s"dim $dim not divisible by $numSubspaces")
     val ds = dim / numSubspaces
-
     val seedRows: Array[Seq[Float]] = c
       .orderBy(if (initById) col("id") else hash(col("id")), col("id"))
       .limit(codebookSize).select("v").collect().map(_.getSeq[Float](0))
@@ -332,22 +332,14 @@ object Ann extends Logging {
     val cb: Array[Array[Seq[Float]]] =
       Array.tabulate(numSubspaces, codebookSize)((mm, ci) =>
         seedRows(ci).slice(mm * ds, (mm + 1) * ds))
-
-    def subv(v: Column, mm: Int): Column = slice(v, mm * ds + 1, ds)
-    // All codes in one fused kernel pass (PqCodes): the composed
-    // slice+dot+struct+array_max spelling built a 128-node tree with a
-    // fresh 8-float slice allocation per (mm, ci) — measured 0.5 s/rep
-    // on 5k×64 where the kernel is sub-ms. Snapshot the mutable
-    // codebook per use (Lloyd refines it in place between rounds).
-    def codesCol(v: Column): Column =
-      graft.expressions.VectorExpressions.pqCodesF(
-        v, cb.flatten.flatten, numSubspaces, codebookSize)
-
     var iter = 0
     while (iter < lloydIterations) {
       // ONE corpus pass refines every subspace: explode to (mm, ci, subvec)
       val assigned = c
-        .select(col("v"), posexplode(codesCol(col("v"))).as(Seq("mm", "ci")))
+        .select(col("v"), posexplode(
+          graft.expressions.VectorExpressions.pqCodesF(
+            col("v"), cb.flatten.flatten, numSubspaces, codebookSize))
+          .as(Seq("mm", "ci")))
         .select(col("mm"), col("ci"),
           expr(s"slice(v, mm * $ds + 1, $ds)").as("sv"))
       val means = assigned.select(col("mm"), col("ci"), posexplode(col("sv")))
@@ -361,6 +353,26 @@ object Ann extends Logging {
         cb(r.getAs[Int]("mm"))(r.getAs[Int]("ci")) = r.getSeq[Float](2))
       iter += 1
     }
+    cb
+  }
+
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      numSubspaces: Int = 8, codebookSize: Int = 16,
+      lloydIterations: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initById: Boolean = false, rerankFactor: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val cb = trainCodebook(c, numSubspaces, codebookSize, lloydIterations,
+      initById)
+
+    // All codes in one fused kernel pass (PqCodes): the composed
+    // slice+dot+struct+array_max spelling built a 128-node tree with a
+    // fresh 8-float slice allocation per (mm, ci) — measured 0.5 s/rep
+    // on 5k×64 where the kernel is sub-ms.
+    def codesCol(v: Column): Column =
+      graft.expressions.VectorExpressions.pqCodesF(
+        v, cb.flatten.flatten, numSubspaces, codebookSize)
 
     val codes = c.select(col("id"), codesCol(col("v")).as("codes"))
     val ql = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
@@ -394,6 +406,72 @@ object Ann extends Logging {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
     }
+  }
+
+  /** Persisted PQ index — [[ivfIndex]]'s compressed sibling: the
+    * (codebook, codes) parquet pair a pipeline maintains so query
+    * batches score against the ~32×-smaller CODES table and the raw
+    * embeddings are never re-read or re-encoded. Same deterministic
+    * training as [[pqTopK]] (smallest-hash(id)/smallest-id seeds,
+    * optional Lloyd).
+    *
+    * @return (codebook (mm, ci, cent array<float>) — M×K rows, tiny;
+    *         codes (id, codes array<int>) — corpus-sized but ~32×
+    *         narrower than the embeddings) */
+  def pqIndex(corpus: DataFrame,
+      numSubspaces: Int = 8, codebookSize: Int = 16,
+      lloydIterations: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      initById: Boolean = false): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cc = if (lloydIterations > 0) c.cache() else c
+    val cb = trainCodebook(cc, numSubspaces, codebookSize, lloydIterations,
+      initById)
+    import spark.implicits._
+    val cbDf = (for {
+      mm <- 0 until numSubspaces; ci <- 0 until codebookSize
+    } yield (mm, ci, cb(mm)(ci))).toDF("mm", "ci", "cent")
+    val codes = cc.select(col("id"),
+      graft.expressions.VectorExpressions.pqCodesF(
+        col("v"), cb.flatten.flatten, numSubspaces, codebookSize).as("codes"))
+    (cbDf, codes)
+  }
+
+  /** Probe a persisted [[pqIndex]] with a new batch: collect the
+    * codebook (M×K rows — licensed), precompute each query's LUT of
+    * subvector dots (broadcast), and score by ADC over the CODES table
+    * — the scan side is the compressed store; raw corpus vectors are
+    * never touched (at 100 TB of embeddings that is the difference
+    * between scanning ~3 TB of codes and the full corpus per batch).
+    * Ranks are identical to [[pqTopK]] (rerankFactor = 0) run fresh on
+    * the same corpus (spec-asserted parity).
+    *
+    * @return (query_id, neighbor_id, rank) */
+  def pqProbeIndex(codebook: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val rows = codebook.select("mm", "ci", "cent").collect()
+    require(rows.nonEmpty, "empty codebook")
+    val numSubspaces = rows.iterator.map(_.getInt(0)).max + 1
+    val codebookSize = rows.iterator.map(_.getInt(1)).max + 1
+    require(rows.length == numSubspaces * codebookSize,
+      s"codebook has ${rows.length} rows, want $numSubspaces x $codebookSize")
+    val cb = Array.ofDim[Seq[Float]](numSubspaces, codebookSize)
+    rows.foreach(r => cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2))
+    val flat = cb.flatten.flatten
+    val ql = queries.select(col(idCol).as("query_id"),
+      graft.expressions.VectorExpressions.pqLutF(col(vecCol), flat,
+        numSubspaces, codebookSize).as("lut"))
+    val scored = codes.crossJoin(broadcast(ql))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score", graft.expressions.VectorExpressions.pqAdcF(
+        col("codes"), col("lut"), codebookSize))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"))
   }
 
   /** LSH-bucketed ANN: hyperplane signatures with `nTables` independent

@@ -112,4 +112,32 @@ class SkewIvfSpec extends SparkSpec {
     assert(pf.exists(l => l.contains("cell") && l.contains(" IN ")),
       s"probed-cell pruning missing from scan: $pf")
   }
+
+  test("pqIndex parquet round-trip: probe over the codes store = fresh pqTopK") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 200)
+    val (cbk, codes) = Ann.pqIndex(corpus, numSubspaces = 8,
+      codebookSize = 16, initById = true)
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    cbk.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val probe = Ann.pqProbeIndex(
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"),
+      batch, k = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    val fresh = Ann.pqTopK(corpus, batch, k = 5, numSubspaces = 8,
+      codebookSize = 16, lloydIterations = 0, initById = true)
+    assert(rows(probe) == rows(fresh), "codes-store probe != fresh pqTopK")
+    // the probe plan reads the CODES table — the raw embedding column
+    // appears in no scan on the probe side
+    val scans = probe.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).toSeq
+    assert(scans.exists(_.contains("codes")) &&
+      !scans.exists(s => s.contains(s"$dir/codes") && s.contains("embedding")),
+      s"probe re-read raw embeddings: $scans")
+  }
 }
