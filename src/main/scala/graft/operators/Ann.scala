@@ -240,6 +240,23 @@ object Ann extends Logging {
     (centDf, assignments)
   }
 
+  /** Assign new vectors against a persisted [[ivfIndex]] centroid table
+    * WITHOUT retraining — the store-maintenance op of the incremental
+    * similarity pipeline: screen a batch with [[ivfProbeIndex]], then
+    * append `assignCells(centroids, survivors)` to the assignments
+    * store (cell-partitioned) so tomorrow's probes see them. One scan
+    * against the collected centroid literals; same argmax/tie rule as
+    * index build, so appended rows are indistinguishable from original
+    * ones. */
+  def assignCells(centroids: DataFrame, vectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent: Array[Seq[Float]] = centroids.select("cell", "centroid")
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1))
+    require(cent.nonEmpty, "empty centroid table")
+    vectors.select(col(idCol).as("id"),
+      nearestCellCol(cent, col(vecCol)).as("cell"), col(vecCol).as("v"))
+  }
+
   /** Probe a persisted [[ivfIndex]] with a new batch: collect the
     * centroid table (nCentroids-bounded — licensed), pick each query's
     * `nProbe` closest cells, then read ONLY the probed cells from the

@@ -113,6 +113,64 @@ class SkewIvfSpec extends SparkSpec {
       s"probed-cell pruning missing from scan: $pf")
   }
 
+  test("ivfIndex streaming ingest: probe then append survivors; cross-batch semantic dup caught; stateless") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val e = Tables.embeddings(spark, sfDir)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 500)
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    val (cent, asg) = Ann.ivfIndex(corpus, nCentroids = 8, initById = true)
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    asg.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assignments")
+    // batch 1 carries a vector IDENTICAL to a stored one (vec 1 under a
+    // new id) plus a fresh survivor; batch 2 duplicates the SURVIVOR —
+    // catchable only because batch 1's survivors joined the store
+    val v1 = corpus.filter(col("vec_id") === 1)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val novel = Seq.tabulate(dim)(i => (if (i % 2 == 0) 0.9f else -0.7f))
+    def write(rows: Seq[(Long, Seq[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(src)
+    var stateless = true
+    def runOnce(tag: Int): Unit = {
+      val q = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>").parquet(src)
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val cents = spark.read.parquet(s"$dir/centroids")
+          val store = spark.read.parquet(s"$dir/assignments")
+          val hits = Ann.ivfProbeIndex(cents, store, df, k = 1, nProbe = 2)
+            .filter(col("sim") > 0.999).localCheckpoint(true)
+          hits.write.mode("overwrite").parquet(s"$dir/out_${tag}_$id")
+          // survivors are assigned against the SAME persisted centroids
+          // (never re-clustered) and appended cell-partitioned
+          val survivors = df.join(
+            hits.select(col("query_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          Ann.assignCells(cents, survivors)
+            .write.mode("append").partitionBy("cell")
+            .parquet(s"$dir/assignments")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      stateless &&= Option(q.lastProgress).forall(_.stateOperators.isEmpty)
+    }
+    write(Seq((10001L, v1), (10002L, novel))); runOnce(0)
+    write(Seq((10003L, novel))); runOnce(1)
+    val pairs = spark.read.parquet(
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.startsWith("out_")).map(_.toString): _*)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10001L, 1L)), s"store dup missed: $pairs")
+    assert(pairs.contains((10003L, 10002L)),
+      s"cross-micro-batch semantic dup missed (survivor not appended?): $pairs")
+    assert(!pairs.exists(_._1 == 10002L), s"novel vector flagged: $pairs")
+    assert(stateless, "expected a stateless streaming plan")
+  }
+
   test("pqIndex parquet round-trip: probe over the codes store = fresh pqTopK") {
     val e = Tables.embeddings(spark, sfDir)
     val corpus = e.filter(col("vec_id") % 10 =!= 0)
