@@ -136,6 +136,63 @@ object Scale {
       try incdedupShape(docsN.filter(col("doc_id") % 10 === 0))
       finally spark.conf.unset("graft.dedup.broadcastBatchBytes")
     }
+    // IVF probe-index, the 10x BATCH axis with the STORE HELD constant
+    // (VERDICT r13 #1, the q218 axis applied to the embedding side):
+    // the probe-batch broadcast is routed by the proven-fit license;
+    // the forced arm exercises the over-budget fallback (shuffle hash
+    // join on cell — the store stays scan-pruned) on the same inputs.
+    // Index built once in its OWN timed arm, the incdedup pattern.
+    var ivfCent: DataFrame = null
+    var ivfAsg: DataFrame = null
+    time("ivfprobe_index_build") {
+      val (c0, a0) = graft.operators.Ann.ivfIndex(
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0),
+        nCentroids = 32, initById = true)
+      ivfCent = c0.localCheckpoint(true)
+      ivfAsg = a0.localCheckpoint(true)
+      ivfAsg.count()
+    }
+    val probe1 = Tables.embeddings(spark, dir).filter(col("vec_id") % 10 === 0)
+    val probeN = (0 until mult).map(i =>
+        probe1.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionByName _)
+    def ivfProbeShape(batch: DataFrame): Long =
+      graft.operators.Ann.ivfProbeIndex(ivfCent, ivfAsg, batch,
+        k = 5, nProbe = 4).count()
+    time("ivfprobe_1x") { ivfProbeShape(probe1) }
+    time(s"ivfprobe_${mult}x") { ivfProbeShape(probeN) }
+    time(s"ivfprobe_shuffle_${mult}x") {
+      spark.conf.set(graft.operators.Ann.BroadcastBatchBytesKey, "0")
+      try ivfProbeShape(probeN)
+      finally spark.conf.unset(graft.operators.Ann.BroadcastBatchBytesKey)
+    }
+    // Composed IVF∘PQ probe on the same axis — candidate work bounded
+    // by the probed cells, codes-only scan; forced arm = the same
+    // shuffle cell-join fallback (the composition IS pqProbeIndex's
+    // scale path).
+    var pqCent: DataFrame = null
+    var pqCbk: DataFrame = null
+    var pqCodes: DataFrame = null
+    time("ivfpqprobe_index_build") {
+      val (c0, b0, k0) = graft.operators.Ann.ivfPqIndex(
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 10 =!= 0),
+        nCentroids = 32, numSubspaces = 8, codebookSize = 16,
+        initById = true)
+      pqCent = c0.localCheckpoint(true)
+      pqCbk = b0.localCheckpoint(true)
+      pqCodes = k0.localCheckpoint(true)
+      pqCodes.count()
+    }
+    def ivfPqProbeShape(batch: DataFrame): Long =
+      graft.operators.Ann.ivfPqProbeIndex(pqCent, pqCbk, pqCodes, batch,
+        k = 5, nProbe = 4).count()
+    time("ivfpqprobe_1x") { ivfPqProbeShape(probe1) }
+    time(s"ivfpqprobe_${mult}x") { ivfPqProbeShape(probeN) }
+    time(s"ivfpqprobe_shuffle_${mult}x") {
+      spark.conf.set(graft.operators.Ann.BroadcastBatchBytesKey, "0")
+      try ivfPqProbeShape(probeN)
+      finally spark.conf.unset(graft.operators.Ann.BroadcastBatchBytesKey)
+    }
     // vocabulary = explode → partial+final agg: shuffle bytes O(|vocab|),
     // so N× corpus at ~constant vocab must scale by scan cost only
     time("vocab_1x") { Corpus.vocabulary(docs1, "text", 1000).count() }

@@ -3537,6 +3537,47 @@ object SparkEntry {
           codes.localCheckpoint(true),
           e.filter(col("vec_id") % 10 === 0), k = 5)
         .orderBy("query_id", "rank")
+    }),
+
+    // Composed IVF∘PQ probe (Ann.ivfPqIndex / ivfPqProbeIndex) — q230's
+    // cell pruning and q232's ADC scoring in ONE store: the batch
+    // probes its nProbe closest cells, the codes store is scan-pruned
+    // to those cells, and scoring is LUT lookups over the pruned
+    // ~32x-narrower codes — candidate work nProbe/nCentroids of q232's,
+    // raw embeddings never re-read. Same determinism disciplines as
+    // both parents (smallest-id centroids AND seeds, no Lloyd, ties to
+    // the larger id, subspace-ascending ADC sums); index tables
+    // materialized like the real flow (q218 pattern).
+    "q233_ivfpq_index_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (cent, cbk, codes) = Ann.ivfPqIndex(
+        e.filter(col("vec_id") % 10 =!= 0), nCentroids = 8,
+        numSubspaces = 8, codebookSize = 16, initById = true)
+      Ann.ivfPqProbeIndex(cent.localCheckpoint(true),
+          cbk.localCheckpoint(true), codes.localCheckpoint(true),
+          e.filter(col("vec_id") % 10 === 0), k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
+    // q218's screen with the hot-cell list read from persisted
+    // METADATA instead of a store-wide bucket scan per micro-batch
+    // (Dedup.bucketCounts / mergeBucketCounts — VERDICT r13 #4): two
+    // "append generations" of the store each contribute their own
+    // counts, merged additively, exactly how a pipeline maintains the
+    // sibling table on append. The stats path is purely physical (the
+    // hot set is identical), so the oracle is q218's.
+    "q234_incdedup_bucketstats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.signatureStore(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+        .localCheckpoint(true)
+      val stats = Dedup.mergeBucketCounts(
+        Dedup.bucketCounts(store.filter(col("id") % 2 === 0)),
+        Dedup.bucketCounts(store.filter(col("id") % 2 =!= 0)))
+      Dedup.incrementalNearDuplicates(store,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          threshold = 0.10, bucketStats = Some(stats))
+        .orderBy("new_id", "corpus_id")
     })
   )
 
@@ -3564,7 +3605,53 @@ object SparkEntry {
 
   // ---- oracles ---------------------------------------------------------
 
+  /** q218's replay, shared verbatim by q234: the bucket-stats path is
+    * purely physical (the hot-cell set is identical whether recomputed
+    * or read from the persisted counts), so both keys gate against the
+    * same SQL. */
+  private val incdedupOracleSql =
+    """WITH tk AS (
+      |  SELECT doc_id AS id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS t0
+      |  FROM documents),
+      |sets AS (
+      |  SELECT id, list_sort(list_distinct(list_transform(
+      |    list_transform(generate_series(1, len(t0) - 1),
+      |                   i -> t0[i] || ' ' || t0[i+1]),
+      |    sh -> ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647))) AS sh
+      |  FROM tk),
+      |sigs AS (
+      |  SELECT id, list_transform(range(64), i ->
+      |    list_min(list_transform(sh, h ->
+      |      ((((i+1)*1103515245 + 12345) % 2147483646 + 1) * h
+      |        + ((i+7)*69069 + 1) % 2147483647) % 2147483647))) AS sig
+      |  FROM sets WHERE len(sh) > 0),
+      |corp0 AS (
+      |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
+      |  FROM sigs s, range(32) r(b) WHERE s.id % 10 <> 0),
+      |corp AS (
+      |  SELECT id, b, s1, s2 FROM (
+      |    SELECT id, b, s1, s2,
+      |      count(*) OVER (PARTITION BY b, s1, s2) AS bn
+      |    FROM corp0)
+      |  WHERE bn <= 64),
+      |newb AS (
+      |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
+      |  FROM sigs s, range(32) r(b) WHERE s.id % 10 = 0),
+      |cand AS (
+      |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+      |  FROM newb n JOIN corp c USING (b, s1, s2)),
+      |est AS (
+      |  SELECT cand.new_id, cand.corpus_id,
+      |    CAST(len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1]))
+      |      AS DOUBLE) / 64 AS jaccard
+      |  FROM cand JOIN sigs sa ON sa.id = cand.new_id
+      |            JOIN sigs sb ON sb.id = cand.corpus_id)
+      |SELECT new_id, corpus_id, jaccard FROM est WHERE jaccard >= 0.10
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q234_incdedup_bucketstats" -> incdedupOracleSql,
     "q201_containment_canonical" ->
       """WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, lang, source, n_chars,
         |  list_distinct(list_transform(
@@ -4153,46 +4240,7 @@ object SparkEntry {
     // q28's portable minhash31 replay, split store-vs-batch: candidates
     // = packed r=2 band-slice equality across the split, estimate =
     // agreeing components / 64 (exact in binary).
-    "q218_incremental_neardup" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t0
-        |  FROM documents),
-        |sets AS (
-        |  SELECT id, list_sort(list_distinct(list_transform(
-        |    list_transform(generate_series(1, len(t0) - 1),
-        |                   i -> t0[i] || ' ' || t0[i+1]),
-        |    sh -> ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647))) AS sh
-        |  FROM tk),
-        |sigs AS (
-        |  SELECT id, list_transform(range(64), i ->
-        |    list_min(list_transform(sh, h ->
-        |      ((((i+1)*1103515245 + 12345) % 2147483646 + 1) * h
-        |        + ((i+7)*69069 + 1) % 2147483647) % 2147483647))) AS sig
-        |  FROM sets WHERE len(sh) > 0),
-        |corp0 AS (
-        |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
-        |  FROM sigs s, range(32) r(b) WHERE s.id % 10 <> 0),
-        |corp AS (
-        |  SELECT id, b, s1, s2 FROM (
-        |    SELECT id, b, s1, s2,
-        |      count(*) OVER (PARTITION BY b, s1, s2) AS bn
-        |    FROM corp0)
-        |  WHERE bn <= 64),
-        |newb AS (
-        |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
-        |  FROM sigs s, range(32) r(b) WHERE s.id % 10 = 0),
-        |cand AS (
-        |  SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
-        |  FROM newb n JOIN corp c USING (b, s1, s2)),
-        |est AS (
-        |  SELECT cand.new_id, cand.corpus_id,
-        |    CAST(len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1]))
-        |      AS DOUBLE) / 64 AS jaccard
-        |  FROM cand JOIN sigs sa ON sa.id = cand.new_id
-        |            JOIN sigs sb ON sb.id = cand.corpus_id)
-        |SELECT new_id, corpus_id, jaccard FROM est WHERE jaccard >= 0.10
-        |ORDER BY new_id, corpus_id""".stripMargin,
+    "q218_incremental_neardup" -> incdedupOracleSql,
 
     "q196_stream_dedup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -7860,6 +7908,77 @@ object SparkEntry {
       |  FROM codes cd JOIN lut l ON l.m = cd.m AND l.ci = cd.code
       |  WHERE cd.id <> l.query_id
       |  GROUP BY l.query_id, cd.id),
+      |r AS (
+      |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, id ASC) AS rnk
+      |  FROM scored)
+      |SELECT query_id, id AS neighbor_id, CAST(rnk AS INT) AS rank
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q233_ivfpq_index_probe" -> """
+      |WITH cent AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 8)),
+      |seed AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 16)),
+      |cb AS MATERIALIZED (
+      |  SELECT m.m, s.ci, list_slice(s.cv, m.m*8+1, m.m*8+8) AS cent
+      |  FROM seed s CROSS JOIN
+      |       (SELECT unnest([0,1,2,3,4,5,6,7]) AS m) m),
+      |asg AS MATERIALIZED (
+      |  SELECT id, cell FROM (
+      |    SELECT e.vec_id AS id, c.ci AS cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(e.embedding, c.cv),
+      |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(e.embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(c.cv,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+      |        c.ci DESC) AS rn
+      |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id % 10 <> 0)
+      |  WHERE rn = 1),
+      |codes AS MATERIALIZED (
+      |  SELECT id, m, ci AS code FROM (
+      |    SELECT e.vec_id AS id, c.m, c.ci,
+      |      row_number() OVER (PARTITION BY e.vec_id, c.m ORDER BY
+      |        list_sum(list_transform(
+      |          list_zip(list_slice(e.embedding, c.m*8+1, c.m*8+8), c.cent),
+      |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) DESC,
+      |        c.ci DESC) AS rn
+      |    FROM embeddings e CROSS JOIN cb c WHERE e.vec_id % 10 <> 0)
+      |  WHERE rn = 1),
+      |prb AS MATERIALIZED (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c.ci AS cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.embedding, c.cv),
+      |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |        / (sqrt(list_sum(list_transform(q.embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |           * sqrt(list_sum(list_transform(c.cv,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+      |        c.ci DESC) AS rn
+      |    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id % 10 = 0)
+      |  WHERE rn <= 2),
+      |lut AS MATERIALIZED (
+      |  SELECT q.vec_id AS query_id, c.m, c.ci,
+      |    list_sum(list_transform(
+      |      list_zip(list_slice(q.embedding, c.m*8+1, c.m*8+8), c.cent),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS d
+      |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id % 10 = 0),
+      |scored AS (
+      |  SELECT p.query_id, a.id, list_sum(list(l.d ORDER BY l.m)) AS score
+      |  FROM prb p
+      |  JOIN asg a USING (cell)
+      |  JOIN codes cd ON cd.id = a.id
+      |  JOIN lut l ON l.query_id = p.query_id
+      |            AND l.m = cd.m AND l.ci = cd.code
+      |  WHERE a.id <> p.query_id
+      |  GROUP BY p.query_id, a.id),
       |r AS (
       |  SELECT query_id, id, row_number() OVER (PARTITION BY query_id
       |           ORDER BY score DESC, id ASC) AS rnk

@@ -207,25 +207,11 @@ object Aggregations {
     * the bound already says the input cannot be small.
     *
     * The count probe is MEMOIZED by an md5 digest of the canonicalized
-    * logical plan for the session: a repeatedly-built identical frame
-    * (Bench reps, a med+mad pass pair) pays the probe job once. The
-    * digest (not the full plan string) keeps entries O(32 B) for deep
-    * plans; a stale entry is only possible if the underlying files
-    * change under a live session — and even then the route is purely
-    * physical, so results cannot change, only the regime choice.
-    * Eviction is access-ordered LRU (never a wholesale clear), and
-    * the count JOB runs OUTSIDE the map lock — computeIfAbsent would
-    * hold the bin lock across a whole Spark job, serializing any
-    * concurrent caller hashing to the same bin (ADVICE r12); the
-    * get→count→putIfAbsent race at worst double-counts the same
-    * frame, which is idempotent. */
-  private val probeCache: java.util.Map[String, java.lang.Long] =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
-          size() > 256
-      })
+    * logical plan for the session ([[GraphTuning.memoizedCount]] — the
+    * memo this router introduced in r13, hoisted to GraphTuning in r14
+    * so every proven-fit license shares it): a repeatedly-built
+    * identical frame (Bench reps, a med+mad pass pair) pays the probe
+    * job once. */
   private def routeOneWindow(df: DataFrame,
       inputRowsHint: Long): (Boolean, Long, String) = {
     val limit = oneWindowRowLimit(df)
@@ -235,15 +221,7 @@ object Aggregations {
       case Some((u, s)) if u <= limit => (true, u, s)
       case Some((u, s)) if u > 256000000L => (false, u, s)
       case b if cheapToCount(df) =>
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(df.queryExecution.optimizedPlan.canonicalized.toString
-            .getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val n = Option(probeCache.get(key)).map(_.longValue())
-          .getOrElse {
-            val c = df.count() // the job runs with NO map lock held
-            probeCache.putIfAbsent(key, java.lang.Long.valueOf(c))
-            c
-          }
+        val n = GraphTuning.memoizedCount(df)
         (n <= limit, n, "exact-count-memo")
       case b =>
         (false, b.map(_._1).getOrElse(-1L), "unproven-assume-big")

@@ -262,12 +262,17 @@ object Dedup {
     * boilerplate-heavy corpus put 1,473 docs in one band slice with
     * zero near-dups), so store-side (band, bucket) cells with more
     * than `maxBucketSize` members are dropped, the same guard as
-    * [[minHashNearDuplicates]]'s bucketPairs. The hot-cell list is
-    * computed by one column-pruned pass over the store's `buckets`
-    * column (a key-sized partial+final agg — the probe-side sig
-    * payload is never aboard), and the store explode anti-joins it
-    * (AQE sizes the tiny hot list into a broadcast on its own — not
-    * forced, per the proven-fit discipline).
+    * [[minHashNearDuplicates]]'s bucketPairs. The hot-cell list comes
+    * from `bucketStats` when the pipeline maintains one (a persisted
+    * [[bucketCounts]] sibling table, updated on append via
+    * [[mergeBucketCounts]] — at daily cadence over a 100 TB store the
+    * default recompute is a full metadata scan per micro-batch,
+    * VERDICT r13 #4); absent stats it is recomputed by one
+    * column-pruned pass over the store's `buckets` column (a key-sized
+    * partial+final agg — the probe-side sig payload is never aboard).
+    * Either way the store explode anti-joins the tiny hot list (AQE
+    * sizes it into a broadcast on its own — not forced, per the
+    * proven-fit discipline).
     *
     * The estimate is the unbiased MinHash Jaccard (agreeing components
     * / numHashes — exact in binary for power-of-two numHashes), so the
@@ -279,11 +284,16 @@ object Dedup {
     *              parquet; schema (id, sig, buckets))
     * @param maxBucketSize drop store-side (band, bucket) cells larger
     *              than this (0 disables the cap — test seam)
+    * @param bucketStats persisted [[bucketCounts]] of `store` — when
+    *              given, the hot-cell pass reads it instead of
+    *              re-scanning the store's buckets column (purely
+    *              physical: spec-asserted equal to the recompute)
     * @return (new_id, corpus_id, jaccard ≥ threshold) */
   def incrementalNearDuplicates(store: DataFrame, batch: DataFrame,
       idCol: String, textCol: String,
       shingleSize: Int = 2, numHashes: Int = 64, bands: Int = 32,
-      threshold: Double = 0.1, maxBucketSize: Int = 64): DataFrame = {
+      threshold: Double = 0.1, maxBucketSize: Int = 64,
+      bucketStats: Option[DataFrame] = None): DataFrame = {
     // batch-sized eager materialization, for three reasons: the count
     // probe below must not re-sign, the broadcast build job re-executes
     // its child plan anyway, and Catalyst's inferred not-null/size
@@ -304,16 +314,12 @@ object Dedup {
     // broadcast when it proves the fit; otherwise count exactly (the
     // signed batch is checkpointed — one cheap job).
     val spark = store.sparkSession
-    val budget = spark.conf.getOption("graft.dedup.broadcastBatchBytes")
-      .map(_.toLong).getOrElse(256L << 20)
+    val budget = GraphTuning.confBytes(spark,
+      "graft.dedup.broadcastBatchBytes", 256L << 20)
     val bytesPerBatchRow = bands.toLong * (numHashes.toLong * 8L + 48L)
     val limitRows = budget / bytesPerBatchRow
-    val (fits, est, src) = GraphTuning.rowUpperBound(signed) match {
-      case Some((u, s)) if u <= limitRows => (true, u, s)
-      case _ =>
-        val n = signed.count()
-        (n <= limitRows, n, "exact-count")
-    }
+    // signed is checkpointed — the exact-count fallback is one cheap job
+    val (fits, est, src) = GraphTuning.broadcastFitsRows(signed, limitRows)
     GraphTuning.logRouting(
       s"[graft.dedup] incrementalNearDuplicates regime=" +
         (if (fits) "broadcast" else "shuffle-band-join") +
@@ -325,11 +331,13 @@ object Dedup {
     val capped =
       if (maxBucketSize <= 0) exploded
       else {
-        val hot = store
-          .select(posexplode(col("buckets")).as(Seq("band", "bucket")))
-          .groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") > maxBucketSize)
-          .select("band", "bucket")
+        val hot = bucketStats
+          .map(_.filter(col("n") > maxBucketSize).select("band", "bucket"))
+          .getOrElse(store
+            .select(posexplode(col("buckets")).as(Seq("band", "bucket")))
+            .groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") > maxBucketSize)
+            .select("band", "bucket"))
         exploded.join(hot, Seq("band", "bucket"), "left_anti")
       }
     capped
@@ -339,6 +347,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .groupBy("new_id", "corpus_id")
       .agg(max(col("jaccard")).as("jaccard"))
+  }
+
+  /** Per-(band, bucket) member counts of a [[signatureStore]] — the
+    * hot-cell METADATA a pipeline persists as a sibling table of the
+    * store so [[incrementalNearDuplicates]] screens a batch without a
+    * store-wide bucket scan per micro-batch (at daily cadence over a
+    * 100 TB store the recompute is a full metadata pass each time —
+    * VERDICT r13 #4). Counts are additive, so the table is maintained
+    * incrementally on append: write `bucketCounts(signedBatch)` of the
+    * just-appended survivors and re-reduce via [[mergeBucketCounts]] —
+    * spec-asserted equal to recomputing from the whole store.
+    *
+    * @return (band, bucket, n) */
+  def bucketCounts(store: DataFrame): DataFrame =
+    store.select(posexplode(col("buckets")).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+
+  /** Additive merge of [[bucketCounts]] tables (the persisted counts +
+    * each appended batch's own counts) — key-sized partial+final agg,
+    * the append-time maintenance op of the hot-cell metadata. */
+  def mergeBucketCounts(counts: DataFrame*): DataFrame = {
+    require(counts.nonEmpty, "mergeBucketCounts needs at least one table")
+    counts.reduce(_ unionByName _)
+      .groupBy("band", "bucket").agg(sum(col("n")).as("n"))
   }
 
   /** Portable SimHash (md5 bit votes, hex-string signature) — the

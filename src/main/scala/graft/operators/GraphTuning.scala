@@ -160,6 +160,73 @@ object GraphTuning extends Logging {
     }
   }
 
+  /** Parse a byte-count session conf, failing with the conf KEY in the
+    * message instead of a bare NumberFormatException from deep inside an
+    * operator (ADVICE r13 — `graft.dedup.broadcastBatchBytes` was
+    * `map(_.toLong)`). */
+  def confBytes(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key).map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"conf $key must be a byte count (long), got '$v'")
+      }
+    }.getOrElse(default)
+
+  /** Session-scoped memoized exact count, keyed by an md5 digest of the
+    * CANONICALIZED optimized plan — the count-probe memo the quantile
+    * router introduced (`Aggregations.routeOneWindow`), hoisted here so
+    * every proven-fit broadcast license shares one implementation
+    * (ADVICE r13: `Sketch.mergeTrailing` re-counted its day list per
+    * invocation). The digest (not the plan string) keeps entries
+    * O(32 B); eviction is access-ordered LRU, never a wholesale clear;
+    * the count JOB runs OUTSIDE the map lock (computeIfAbsent would
+    * hold the bin lock across a whole Spark job), and the
+    * get→count→putIfAbsent race at worst double-counts the same frame,
+    * which is idempotent. A stale entry is only possible if the
+    * underlying files change under a live session — and the memo only
+    * feeds PHYSICAL regime routing, so results cannot change. Note a
+    * `localCheckpoint`ed frame gets a fresh RDD id per checkpoint, so
+    * per-invocation checkpoints always miss — counting checkpointed
+    * blocks is one cheap job, which is why callers checkpoint first. */
+  private val countCache: java.util.Map[String, java.lang.Long] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+          size() > 256
+      })
+  def memoizedCount(df: DataFrame): Long = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(df.queryExecution.optimizedPlan.canonicalized.toString
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    Option(countCache.get(key)).map(_.longValue()).getOrElse {
+      val c = df.count() // the job runs with NO map lock held
+      countCache.putIfAbsent(key, java.lang.Long.valueOf(c))
+      c
+    }
+  }
+
+  /** Proven-fit broadcast license (the repo-wide routing discipline —
+    * `Dedup.incrementalNearDuplicates`, `Sketch.mergeTrailing`, the
+    * `Ann` probe batches): a bound only LICENSES the broadcast when it
+    * PROVES the row count under `limitRows`; an inconclusive bound
+    * falls back to an exact count (memoized by canonicalized-plan
+    * digest when `memoized` — use for frames rebuilt identically per
+    * Bench rep; a checkpointed frame should pass false, its count is
+    * one cheap job and its digest never repeats).
+    *
+    * @return (fits, rowEstimate, source) */
+  def broadcastFitsRows(df: DataFrame, limitRows: Long,
+      memoized: Boolean = false): (Boolean, Long, String) =
+    rowUpperBound(df) match {
+      case Some((u, s)) if u <= limitRows => (true, u, s)
+      case _ =>
+        val n = if (memoized) memoizedCount(df) else df.count()
+        (n <= limitRows, n,
+          if (memoized) "exact-count-memo" else "exact-count")
+    }
+
   /** One regime decision with every input that produced it.
     * `broadcast` is the choice; `fits` alone is what co-bucket ROUTING
     * tests (a non-fitting state table must leave the broadcast loop

@@ -414,12 +414,12 @@ object Sketch {
     // state-row constant; CLAUDE.md rule: a bound only LICENSES the
     // broadcast when it proves the fit — otherwise measure exactly.
     val limit = GraphTuning.DefaultBroadcastBytes / GraphTuning.StateRowBytes
-    val (fits, est, src) = GraphTuning.rowUpperBound(days) match {
-      case Some((u, s)) if u <= limit => (true, u, s)
-      case _ =>
-        val n = days.count()
-        (n <= limit, n, "exact-count")
-    }
+    // exact-count fallback memoized by canonicalized-plan digest (ADVICE
+    // r13: Bench reps re-counted the same day list each rep; per-rep
+    // localCheckpoint'ed cells still miss the memo, but that count is
+    // one cheap job over the checkpointed sketch cells)
+    val (fits, est, src) =
+      GraphTuning.broadcastFitsRows(days, limit, memoized = true)
     GraphTuning.logRouting(
       s"[graft.sketch] mergeTrailing dayList=" +
         (if (fits) "broadcast" else "shuffle") +

@@ -27,12 +27,26 @@ object Skew {
   def min_(c: Column, as: String): SaltedAgg = SaltedAgg(c, "min", as)
   def max_(c: Column, as: String): SaltedAgg = SaltedAgg(c, "max", as)
 
+  /** The per-row salt BOTH salted operators draw from — one rule, one
+    * implementation (VERDICT r13 #2: saltedAggregate salted by CONTENT
+    * hash while saltedJoin's own comment explains why that is wrong):
+    * a hot key's rows are often exact DUPLICATES, which a content hash
+    * sends to one reducer — defeating the salt exactly where it
+    * matters. A per-row id spreads duplicates too. The id is
+    * partition-indexed (a task retry may renumber), but the salt only
+    * picks WHICH stage-1 partial / join bucket a row lands in — stage 2
+    * regroups by key alone and join output is salt-independent, so
+    * results are identical for ANY salt assignment
+    * (commutative-associative aggregates; decimal sums stay
+    * bit-identical — order independence is what exactSum buys). */
+  private[graft] def rowSalt(buckets: Int): Column =
+    pmod(hash(monotonically_increasing_id()), lit(buckets))
+
   def saltedAggregate(
       df: DataFrame, keyCols: Seq[String], aggs: Seq[SaltedAgg],
       buckets: Int = 64): DataFrame = {
     require(aggs.nonEmpty)
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+    val salted = df.withColumn("__salt", rowSalt(buckets))
     def partial(a: SaltedAgg, name: String): Column = a.how match {
       case "sum"   => sum(a.valueCol).as(name)
       case "count" => count(a.valueCol).as(name)
@@ -63,11 +77,8 @@ object Skew {
   def saltedJoin(
       fact: DataFrame, dim: DataFrame, keyCols: Seq[String],
       buckets: Int = 16): DataFrame = {
-    // salt from a per-row id, NOT row content: a hot key's rows are often
-    // exact duplicates, which a content hash would send to one reducer.
-    // Join correctness doesn't depend on which salt a row gets.
-    val saltedFact = fact.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(buckets)))
+    // salt from a per-row id, NOT row content — see rowSalt
+    val saltedFact = fact.withColumn("__salt", rowSalt(buckets))
     val replicatedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(replicatedDim, keyCols :+ "__salt").drop("__salt")
@@ -134,7 +145,12 @@ object Skew {
     * one-row collect (the [[joinSkewReport]] shape — the fact tables
     * shuffle only their key counts); run it where the join dominates.
     * Output-contribution products ride DECIMAL(38,0) (two BIGINT
-    * counts can overflow a long). Result rows are identical in both
+    * counts can overflow a long); the TOTAL is additionally summed in
+    * double so a decimal-SUM overflow (NULL in non-ANSI mode) is
+    * distinguished from an empty key overlap — the share is then
+    * computed from the double total (logged loudly) instead of
+    * silently routing plain in the extreme-skew regime that needs
+    * salting most (ADVICE r13). Result rows are identical in both
     * regimes — [[saltedJoin]] is a pure physical rewrite — so routing
     * never changes answers, only the plan. The decision is logged with
     * all inputs ([[JoinPlanDecision.describe]]).
@@ -154,21 +170,42 @@ object Skew {
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n_left"))
     val rc = dim.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("n_right"))
+    // Per-key products each FIT decimal(38,0) (two long counts multiply
+    // to < 8.5e37), but their SUM can overflow it, and non-ANSI decimal
+    // overflow returns NULL — indistinguishable from an empty key
+    // overlap without the count, which silently routed PLAIN in exactly
+    // the extreme-skew regime that needs salting most (ADVICE r13). The
+    // double total is carried alongside: ~16 significant digits is
+    // plenty for a ppm share, and a double sum cannot overflow here
+    // (products < 1e38 ≪ 1e308).
     val stat = lc.join(rc, Seq(keyCol))
       .select((col("n_left").cast("decimal(38,0)") * col("n_right"))
         .as("out"), col("n_left"))
       .agg(sum(col("out")).as("total"),
-        max(struct(col("out"), col("n_left"))).as("top"))
+        sum(col("out").cast("double")).as("totalD"),
+        max(struct(col("out"), col("n_left"))).as("top"),
+        count(lit(1)).as("nk"))
       .collect()(0)
     val (salted, sharePpm, topFact, total) =
-      if (stat.isNullAt(0)) (false, 0L, 0L, BigInt(0)) // empty key overlap
+      if (stat.getLong(3) == 0L) (false, 0L, 0L, BigInt(0)) // empty overlap
       else {
-        val total = BigInt(stat.getDecimal(0).toBigInteger)
-        val top = stat.getStruct(1)
+        val top = stat.getStruct(2)
         val topOut = BigInt(top.getDecimal(0).toBigInteger)
-        val share = if (total > 0) (topOut * 1000000 / total).toLong else 0L
         val tf = top.getLong(1)
-        (share > sharePpmThreshold && tf > limit, share, tf, total)
+        val (share, tot) =
+          if (!stat.isNullAt(0)) {
+            val t = BigInt(stat.getDecimal(0).toBigInteger)
+            (if (t > 0) (topOut * 1000000 / t).toLong else 0L, t)
+          } else {
+            val tD = stat.getDouble(1)
+            GraphTuning.logRouting(
+              "[graft.skew] decideJoinPlan decimal(38,0) total OVERFLOWED " +
+                f"(double total ≈ $tD%.3e output rows) — routing on the " +
+                "double share; at this scale prefer the salted plan")
+            ((BigDecimal(topOut) * 1000000 /
+              BigDecimal(tD)).toLong, BigDecimal(tD).toBigInt)
+          }
+        (share > sharePpmThreshold && tf > limit, share, tf, tot)
       }
     val d = JoinPlanDecision(salted, sharePpm, topFact, total, buckets,
       sharePpmThreshold, limit)

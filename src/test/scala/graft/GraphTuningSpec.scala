@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, Graph, GraphTuning}
+import graft.sources.Tables
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.functions._
 
@@ -264,5 +265,31 @@ class GraphTuningSpec extends SparkSpec {
     assert(msg.contains("plan-size-upper-bound") ||
       msg.contains("plan-rowcount"))
     assert(jobsUsed > 0) // sanity: the listener actually observed the run
+  }
+
+  test("confBytes: value, default, and a malformed conf names its key") {
+    spark.conf.set("graft.test.bytes", " 1024 ")
+    try assert(GraphTuning.confBytes(spark, "graft.test.bytes", 7L) == 1024L)
+    finally spark.conf.unset("graft.test.bytes")
+    assert(GraphTuning.confBytes(spark, "graft.test.bytes", 7L) == 7L)
+    spark.conf.set("graft.test.bytes", "256mb")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraphTuning.confBytes(spark, "graft.test.bytes", 7L)
+      }
+      assert(e.getMessage.contains("graft.test.bytes") &&
+        e.getMessage.contains("256mb"), e.getMessage)
+    } finally spark.conf.unset("graft.test.bytes")
+  }
+
+  test("memoizedCount: identical plans pay the count job once") {
+    def frame() = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 10).select("l_orderkey")
+    val n1 = countJobs(assert(GraphTuning.memoizedCount(frame()) ==
+      frame().count()))
+    // the memo key is the CANONICALIZED plan — a rebuilt identical
+    // frame (fresh expr ids) must hit
+    val n2 = countJobs(GraphTuning.memoizedCount(frame()))
+    assert(n2 < n1, s"expected a memo hit: first=$n1 jobs, second=$n2")
   }
 }

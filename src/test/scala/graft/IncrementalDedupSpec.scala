@@ -83,6 +83,44 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.broadcastBatchBytes")
   }
 
+  test("bucketCounts metadata: append-maintained == recomputed; probe skips the store-wide bucket scan") {
+    val dir = Files.createTempDirectory("bucketstats").toString
+    val base = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val appended = Seq((3L, u1), (4L, d1 + " trailing tail")).toDF("doc_id", "text")
+    Dedup.signatureStore(base, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/store")
+    // append-time maintenance: the batch contributes ONLY its own counts
+    val gen0 = Dedup.bucketCounts(spark.read.parquet(s"$dir/store"))
+    val appendedSigs = Dedup.signatureStore(appended, "doc_id", "text")
+    appendedSigs.write.mode("append").parquet(s"$dir/store")
+    val maintained = Dedup.mergeBucketCounts(gen0,
+      Dedup.bucketCounts(appendedSigs))
+    maintained.write.mode("overwrite").parquet(s"$dir/stats")
+    val store = spark.read.parquet(s"$dir/store")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(sorted(maintained) == sorted(Dedup.bucketCounts(store)),
+      "append-maintained counts != recomputed counts")
+    // stats-path screen == recompute-path screen (purely physical) ...
+    val batch = Seq((10L, d1)).toDF("doc_id", "text")
+    val stats = spark.read.parquet(s"$dir/stats")
+    def run(bs: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.incrementalNearDuplicates(store, batch, "doc_id", "text",
+        threshold = 0.10, maxBucketSize = 1, bucketStats = bs)
+    assert(run(Some(stats)).as[(Long, Long, Double)].collect().sorted.toSeq ==
+      run(None).as[(Long, Long, Double)].collect().sorted.toSeq,
+      "bucket-stats hot set differs from the recomputed one")
+    // ... and the batch plan reads the STORE parquet exactly once (the
+    // candidate explode); the hot-cell list comes from the stats table
+    def storeScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Location") && l.contains(s"$dir/store"))
+    assert(storeScans(run(None)) == 2,
+      "recompute path should scan the store twice (premise)")
+    assert(storeScans(run(Some(stats))) == 1,
+      "stats path still scans the store for the hot-cell list")
+  }
+
   test("streaming ingest: screen then append survivors; cross-batch dup caught; stateless") {
     val dir = Files.createTempDirectory("incdedup").toString
     val src = s"$dir/src"; val storeDir = s"$dir/store"

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Skew}
+import graft.operators.{Ann, GraphTuning, Skew}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -26,6 +26,25 @@ class SkewIvfSpec extends SparkSpec {
     val d = direct.orderBy("k").collect().map(_.toSeq)
     val sl = salted.orderBy("k").collect().map(_.toSeq)
     assert(d.toSeq == sl.toSeq)
+  }
+
+  test("rowSalt spreads exact-duplicate hot-key rows; content hash cannot") {
+    // the r13 contradiction: saltedAggregate salted by CONTENT hash,
+    // which sends a hot key's (typically duplicate) rows to ONE reducer
+    val dup = Seq.fill(512)(("hot", 1.0)).toDF("k", "v")
+    val saltSpread = dup.withColumn("s", Skew.rowSalt(8))
+      .select("s").distinct().count()
+    assert(saltSpread > 1, s"per-row salt left duplicates on $saltSpread bucket")
+    val contentSpread = dup
+      .withColumn("s", pmod(hash(dup.columns.map(col): _*), lit(8)))
+      .select("s").distinct().count()
+    assert(contentSpread == 1L,
+      "content hash unexpectedly spread duplicates — test premise broken")
+    // and the salted aggregate stays correct on the duplicate-heavy key
+    val got = Skew.saltedAggregate(dup, Seq("k"),
+      Seq(Skew.count_("n"), Skew.sum_(col("v").cast("decimal(28,10)"), "sv")),
+      buckets = 8).as[(String, Long, BigDecimal)].collect().toSeq
+    assert(got == Seq(("hot", 512L, BigDecimal(512).setScale(10))), s"$got")
   }
 
   test("joinSkewReport: counts, products, orphans, top-k order") {
@@ -169,6 +188,124 @@ class SkewIvfSpec extends SparkSpec {
       s"cross-micro-batch semantic dup missed (survivor not appended?): $pairs")
     assert(!pairs.exists(_._1 == 10002L), s"novel vector flagged: $pairs")
     assert(stateless, "expected a stateless streaming plan")
+  }
+
+  test("probe batches route: forced over-budget regimes match the broadcast plans") {
+    // the r13 weak mark: ivfProbeIndex/pqProbeIndex broadcast the batch
+    // unconditionally. Force the budget to 0 (every batch over budget)
+    // and assert the fallback regimes return IDENTICAL rows — the
+    // routing is purely physical. Covers the routed entry points:
+    // ivfProbeIndex (shuffle cell join), pqProbeIndex (partition-paired
+    // cartesian), ivfPqProbeIndex (shuffle cell join), bruteForceTopK
+    // (cartesian), lshTopK (shuffle bucket join), ivfTopK (cell join).
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 600)
+    val batch = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 200)
+    val (cent, asg) = Ann.ivfIndex(corpus, nCentroids = 8, initById = true)
+    val (centC, asgC) = (cent.localCheckpoint(true), asg.localCheckpoint(true))
+    val (cbk, codes) = Ann.pqIndex(corpus, numSubspaces = 8,
+      codebookSize = 16, initById = true)
+    val (cbkC, codesC) = (cbk.localCheckpoint(true), codes.localCheckpoint(true))
+    val (c3, b3, k3) = Ann.ivfPqIndex(corpus, nCentroids = 8,
+      numSubspaces = 8, codebookSize = 16, initById = true)
+    val (c3C, b3C, k3C) = (c3.localCheckpoint(true),
+      b3.localCheckpoint(true), k3.localCheckpoint(true))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    def runAll() = Seq(
+      rows(Ann.ivfProbeIndex(centC, asgC, batch, k = 5, nProbe = 2)),
+      rows(Ann.pqProbeIndex(cbkC, codesC, batch, k = 5)),
+      rows(Ann.ivfPqProbeIndex(c3C, b3C, k3C, batch, k = 5, nProbe = 2)),
+      rows(Ann.bruteForceTopK(corpus, batch, k = 5)),
+      rows(Ann.lshTopK(corpus, batch, k = 5, nBits = 8, nTables = 2)),
+      rows(Ann.ivfTopK(corpus, batch, k = 5, nCentroids = 8, nProbe = 2,
+        lloydIterations = 0, initById = true)))
+    val bcast = runAll()
+    assert(GraphTuning.lastRouting.exists(_.contains("regime=broadcast")),
+      s"expected a licensed broadcast: ${GraphTuning.lastRouting}")
+    spark.conf.set(Ann.BroadcastBatchBytesKey, "0")
+    try {
+      val routed = runAll()
+      assert(GraphTuning.lastRouting.exists(m =>
+        m.contains("regime=no-broadcast") || m.contains("regime=cartesian")),
+        s"expected the over-budget regime: ${GraphTuning.lastRouting}")
+      assert(routed == bcast, "over-budget regimes disagree with broadcast")
+    } finally spark.conf.unset(Ann.BroadcastBatchBytesKey)
+    // malformed conf fails loudly, naming the key
+    spark.conf.set(Ann.BroadcastBatchBytesKey, "lots")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Ann.ivfProbeIndex(centC, asgC, batch, k = 5, nProbe = 2)
+      }
+      assert(err.getMessage.contains(Ann.BroadcastBatchBytesKey), err.getMessage)
+    } finally spark.conf.unset(Ann.BroadcastBatchBytesKey)
+  }
+
+  test("malformed persisted stores fail loudly: gappy centroid cells, duplicate codebook rows") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 300)
+    val batch = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 100)
+    val (cent, asg) = Ann.ivfIndex(corpus, nCentroids = 8, initById = true)
+    // a FILTERED centroid read: positions no longer equal cell ids —
+    // pre-r14 this silently probed the wrong partitions
+    val gappy = intercept[IllegalArgumentException] {
+      Ann.ivfProbeIndex(cent.filter(col("cell") =!= 3), asg, batch,
+        k = 5, nProbe = 2)
+    }
+    assert(gappy.getMessage.contains("exactly 0.."), gappy.getMessage)
+    val gappyAssign = intercept[IllegalArgumentException] {
+      Ann.assignCells(cent.filter(col("cell") > 0), batch)
+    }
+    assert(gappyAssign.getMessage.contains("exactly 0.."), gappyAssign.getMessage)
+    // a double-appended codebook: pre-r14 the duplicate (mm, ci) rows
+    // passed the M×K length check and left null slots to NPE on
+    val (cbk, codes) = Ann.pqIndex(corpus, numSubspaces = 8,
+      codebookSize = 16, initById = true)
+    // same M×K row count (passes the pre-r14 length check), but 8 rows
+    // are duplicated in place of 8 missing (mm, ci) slots
+    val doubled = cbk.filter(col("mm") =!= 0 || col("ci") >= 8)
+      .unionByName(cbk.filter(col("mm") === 0 && col("ci") >= 8))
+    val dup = intercept[IllegalArgumentException] {
+      Ann.pqProbeIndex(doubled, codes, batch, k = 5)
+    }
+    assert(dup.getMessage.contains("duplicate (mm, ci)"), dup.getMessage)
+  }
+
+  test("ivfPqIndex round-trip: composed probe prunes cells AND scans codes only") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0)
+    val batch = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 200)
+    val (cent, cbk, codes) = Ann.ivfPqIndex(corpus, nCentroids = 8,
+      numSubspaces = 8, codebookSize = 16, initById = true)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    cbk.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    val probe = Ann.ivfPqProbeIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/codes"),
+      batch, k = 5, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+    // parity vs the in-memory composition (index round-trip loses
+    // nothing); semantic parity vs the uncomposed parents is gated by
+    // the q233 DuckDB oracle (prune-then-ADC replayed in SQL)
+    val fresh = Ann.ivfPqProbeIndex(cent.localCheckpoint(true),
+      cbk.localCheckpoint(true), codes.localCheckpoint(true),
+      batch, k = 5, nProbe = 2)
+    assert(rows(probe) == rows(fresh), "store probe != fresh composition")
+    // plan: probed-cell pruning on the cell-partitioned codes store...
+    val plan = probe.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cell") && l.contains(" IN ")),
+      s"probed-cell pruning missing from the codes scan: $pf")
+    // ...and no scan on the probe side ever re-reads raw embeddings
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(!scans.exists(s => s.contains(s"$dir/codes") && s.contains("embedding")),
+      s"probe re-read raw embeddings: $scans")
   }
 
   test("pqIndex parquet round-trip: probe over the codes store = fresh pqTopK") {
