@@ -87,7 +87,9 @@ object Plans {
       "q229_skew_routed_join" -> "auto-routed skew join: the pre-flight's two key-sized aggs decide, then the salted regime replicates the dim buckets-fold and spreads the hot key over (key, salt) reducers — result-identical to the plain join",
       "q230_ivf_index_probe" -> "persisted IVF index probe: corpus assigned once against centroid literals, probe reads ONLY the probed cells (IN filter on the stored cell column — partition pruning on a cell-partitioned store), exact re-rank windows are cell-bounded",
       "q231_cellstore_serve_day" -> "cell-store serve-one-day (driver-gated): the trailing window is served from the materialized store's w-day range; see also the bespoke parquet-store section below for the pushed day filter",
-      "q232_pq_index_probe" -> "persisted PQ index probe: the scan side is the ~32x-compressed CODES store (raw embeddings never re-read), query LUTs broadcast, ADC score is array lookups, per-query top-k window")
+      "q232_pq_index_probe" -> "persisted PQ index probe: the scan side is the ~32x-compressed CODES store (raw embeddings never re-read), query LUTs ROUTED-broadcast (proven fit vs graft.ann.broadcastBatchBytes; over budget = partition-paired cartesian over the checkpointed LUTs), ADC score is array lookups, per-query top-k window",
+      "q233_ivfpq_index_probe" -> "composed IVF∘PQ probe: cell pruning FIRST (probed-cell IN filter on the stored cell column of the codes table — partition pruning), THEN ADC over the pruned ~32x-compressed codes; the batch joins on cell under the routed-broadcast license (over budget = one shuffle of the batch, store stays pruned); candidate work nProbe/nCentroids of the uncomposed PQ probe",
+      "q234_incdedup_bucketstats" -> "q218's screen with the hot-cell list from bucket-count METADATA instead of a store-wide bucket recount per micro-batch; in this oracle dump the stats are built inline (two filtered bucketCounts generations merged additively — the union+sum subtree under the anti-join); with the PERSISTED sibling table the store parquet is scanned exactly once, plan-asserted in IncrementalDedupSpec")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`, sf0.01)\n\n")
     sb.append("Evidence for ARCHITECTURE.md's claims: `PushedFilters`/`ReadSchema`\n")

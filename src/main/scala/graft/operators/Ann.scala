@@ -10,15 +10,23 @@ import org.apache.spark.sql.functions._
   * column.
   *
   * Two tiers:
-  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
-  *    set against the corpus, one narrow map stage + per-query top-k via
-  *    window. The corpus is never shuffled; at 100 TB this is a single
-  *    scan. Correct baseline for recall measurement.
+  *  - [[bruteForceTopK]]: exact cosine top-k — the query set joins the
+  *    corpus (one narrow map stage + per-query top-k via window). The
+  *    corpus is never shuffled; at 100 TB this is a single scan. Correct
+  *    baseline for recall measurement.
   *  - [[lshTopK]]: random-hyperplane LSH — corpus and queries are bucketed
   *    by packed sign bits; candidates = bucket collisions (multi-probe via
   *    several independent tables), then exact re-rank within candidates.
   *    Shuffles only (bucket, id) pairs; the standard recall/cost dial is
   *    (nBits, nTables).
+  *
+  * Plus the persisted-index family ([[ivfIndex]], [[pqIndex]], and the
+  * composed [[ivfPqIndex]]) for the incremental daily-ingest pipeline.
+  * EVERY query/probe batch side is ROUTED by the proven-fit broadcast
+  * license (`routedBatch` — the [[Dedup.incrementalNearDuplicates]]
+  * discipline): broadcast only when a bound or exact count proves the
+  * batch under [[BroadcastBatchBytesKey]]; an oversized batch degrades
+  * to a shuffle/cartesian plan instead of dying at the broadcast limit.
   */
 object Ann extends Logging {
 
