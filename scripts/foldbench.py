@@ -16,8 +16,10 @@ import sys
 def main(out_path, run_paths):
     mins, forced, sf = {}, set(), None
     for p in run_paths:
+        # Bench may emit its record line more than once (stdout tail +
+        # final compact line) — take the first JSON line
         with open(p) as f:
-            run = json.load(f)
+            run = json.loads(f.readline())
         sf = run.get("sf", sf)
         forced.update(run.get("forced_regime", []))
         for q, sec in run["queries"].items():
