@@ -682,6 +682,27 @@ object Ann extends Logging {
     (centDf, cbDf, codes)
   }
 
+  /** Encode new vectors against a persisted [[ivfPqIndex]] WITHOUT
+    * retraining — the composed store's maintenance op, [[assignCells]]'
+    * sibling: screen a batch with [[ivfPqProbeIndex]], then append
+    * `assignCodes(centroids, codebook, survivors)` to the codes store
+    * (cell-partitioned) so tomorrow's probes see them. One scan against
+    * the collected centroid + codebook literals; the same argmax/tie
+    * rules as index build, so appended rows are INDISTINGUISHABLE from
+    * original ones (spec-asserted: re-encoding the corpus reproduces
+    * the index codes exactly). */
+  def assignCodes(centroids: DataFrame, codebook: DataFrame,
+      vectors: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = collectCentroids(centroids)
+    val (cb, numSubspaces, codebookSize) = collectCodebook(codebook)
+    vectors.select(col(idCol).as("id"),
+      nearestCellCol(cent, col(vecCol)).as("cell"),
+      graft.expressions.VectorExpressions.pqCodesF(
+        col(vecCol), cb.flatten.flatten, numSubspaces, codebookSize)
+        .as("codes"))
+  }
+
   /** Probe a persisted [[ivfPqIndex]]: nProbe cell pruning first (the
     * [[ivfProbeIndex]] IN-filter discipline — a cell-partitioned codes
     * store serves the probe from nProbe/nCentroids of its partitions),

@@ -308,6 +308,75 @@ class SkewIvfSpec extends SparkSpec {
       s"probe re-read raw embeddings: $scans")
   }
 
+  test("assignCodes maintains the composed store: appended rows indistinguishable; stream probe sees cross-batch appends") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val e = Tables.embeddings(spark, sfDir)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val corpus = e.filter(col("vec_id") % 10 =!= 0 && col("vec_id") < 500)
+    val (cent, cbk, codes) = Ann.ivfPqIndex(corpus, nCentroids = 8,
+      numSubspaces = 8, codebookSize = 16, initById = true)
+    // indistinguishable-append: re-encoding the corpus against the
+    // persisted (centroids, codebook) reproduces the index codes exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell", "codes")
+        .as[(Long, Int, Seq[Int])].collect().toSeq.sortBy(_._1)
+    assert(rows(Ann.assignCodes(cent, cbk, corpus)) == rows(codes),
+      "assignCodes disagrees with the index build on the same vectors")
+    // streaming ingest over the persisted composed store: batch 1
+    // probes (its copy of stored vec 1 must hit id 1 at rank 1) and is
+    // appended via assignCodes; batch 2's copy of a BATCH-1 vector must
+    // hit that appended id — cross-micro-batch visibility
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqstream").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    cent.write.mode("overwrite").parquet(s"$dir/centroids")
+    cbk.write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    val v1 = corpus.filter(col("vec_id") === 1)
+      .select(col("embedding")).first().getSeq[Float](0)
+    val novel = Seq.tabulate(dim)(i => (if (i % 2 == 0) 0.9f else -0.7f))
+    def write(rs: Seq[(Long, Seq[Float])]): Unit =
+      rs.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(src)
+    var stateless = true
+    def runOnce(tag: Int): Unit = {
+      val q = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>").parquet(src)
+        .writeStream.option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val cents = spark.read.parquet(s"$dir/centroids")
+          val cb = spark.read.parquet(s"$dir/codebook")
+          val store = spark.read.parquet(s"$dir/codes")
+          Ann.ivfPqProbeIndex(cents, cb, store, df, k = 1, nProbe = 2)
+            .write.mode("overwrite").parquet(s"$dir/out_${tag}_$id")
+          // every row joins the store, encoded against the SAME
+          // persisted (centroids, codebook) — never re-trained
+          Ann.assignCodes(cents, cb, df)
+            .write.mode("append").partitionBy("cell")
+            .parquet(s"$dir/codes")
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      stateless &&= Option(q.lastProgress).forall(_.stateOperators.isEmpty)
+    }
+    // the novel vector gets id 0 — BELOW the corpus id range — so even
+    // if some corpus vector quantizes to the same 8 codes (ADC ties are
+    // plausible at codebookSize=16), the id-ascending tie-break still
+    // picks the appended row deterministically
+    write(Seq((0L, novel), (10001L, v1))); runOnce(0)
+    write(Seq((10003L, novel))); runOnce(1)
+    val top1 = spark.read.parquet(
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.startsWith("out_")).map(_.toString): _*)
+      .filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(top1(10001L) == 1L, s"stored twin not top-1: $top1")
+    assert(top1(10003L) == 0L,
+      s"cross-micro-batch append not visible to the probe: $top1")
+    assert(stateless, "expected a stateless streaming plan")
+  }
+
   test("pqIndex parquet round-trip: probe over the codes store = fresh pqTopK") {
     val e = Tables.embeddings(spark, sfDir)
     val corpus = e.filter(col("vec_id") % 10 =!= 0)
