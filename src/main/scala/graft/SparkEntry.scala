@@ -3578,7 +3578,21 @@ object SparkEntry {
           docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
           threshold = 0.10, bucketStats = Some(stats))
         .orderBy("new_id", "corpus_id")
-    })
+    }),
+
+    // Greedy farthest-point (k-center) coreset selection over the
+    // embeddings (KMeans.farthestPointSample) — the diversity-sampling
+    // primitive: seed = lowest id, then 7 rounds of argmax min-dist²
+    // against the selected set (already-selected ids excluded, ties to
+    // the lower id), plus the nearest-center census giving the coreset
+    // WEIGHTS. The whole greedy loop runs on the q159 fixed-point
+    // integer grid (exact integer squared-L2, grid quantize), so an
+    // 8-step sequential selection replays bit-exactly as a chained
+    // materialized-CTE oracle.
+    "q235_coreset_fps" -> ((s, dir) =>
+      KMeans.farthestPointSample(Tables.embeddings(s, dir),
+        "vec_id", "embedding", k = 8, scale = 1000)
+        .orderBy("ord"))
   )
 
   /** Verify-time oracle preconditions — eager assertions that LICENSE a
@@ -3650,7 +3664,62 @@ object SparkEntry {
       |SELECT new_id, corpus_id, jaccard FROM est WHERE jaccard >= 0.10
       |ORDER BY new_id, corpus_id""".stripMargin
 
+  /** q235's greedy farthest-point replay: the k-step selection is
+    * inherently sequential, so the oracle unrolls it as a chained
+    * materialized-CTE loop (the q197 deflation discipline — DuckDB
+    * inlines plain CTEs and re-expansion goes combinatorial). Each
+    * round keeps the RUNNING min-dist² frame (d{i} = LEAST(d{i-1},
+    * dist² to the newest center)), equal by construction to the Spark
+    * side's min over all selected centers. Built by a string loop —
+    * eight near-identical CTE pairs are less reviewable handwritten. */
+  private val fpsOracleSql: String = {
+    def dist2(a: String, b: String): String =
+      s"list_aggregate(list_transform(range(64), i -> " +
+        s"($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), 'sum')"
+    val rounds = (1 until 8).map { i =>
+      val prev = if (i == 1) "d1" else s"d$i"
+      val notIn = (0 until i).map(j => s"SELECT id FROM s$j")
+        .mkString(" UNION ALL ")
+      val dcte =
+        if (i == 1)
+          s"""d1 AS MATERIALIZED (
+             |  SELECT q.id, q.v, ${dist2("q.v", "s.v")} AS d
+             |  FROM q, s0 s),""".stripMargin
+        else
+          s"""d$i AS MATERIALIZED (
+             |  SELECT p.id, p.v, LEAST(p.d, ${dist2("p.v", "s.v")}) AS d
+             |  FROM d${i - 1} p, s${i - 1} s),""".stripMargin
+      s"""$dcte
+         |s$i AS MATERIALIZED (
+         |  SELECT id, v, d FROM $prev
+         |  WHERE id NOT IN ($notIn)
+         |  ORDER BY d DESC, id LIMIT 1),""".stripMargin
+    }.mkString("\n")
+    val sel = (0 until 8).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS ord, id, d, v FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |s0 AS MATERIALIZED (
+       |  SELECT id, v, 0::BIGINT AS d FROM q ORDER BY id LIMIT 1),
+       |$rounds
+       |sel AS MATERIALIZED (
+       |  $sel),
+       |best AS (
+       |  SELECT id, ord FROM (
+       |    SELECT q.id, sel.ord, ${dist2("q.v", "sel.v")} AS dd
+       |    FROM q, sel)
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dd, ord) = 1),
+       |cnt AS (SELECT ord, count(*) AS n_members FROM best GROUP BY ord)
+       |SELECT sel.ord, sel.id AS vec_id, CAST(sel.d AS BIGINT) AS radius2,
+       |  COALESCE(cnt.n_members, 0) AS n_members
+       |FROM sel LEFT JOIN cnt USING (ord) ORDER BY ord""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q235_coreset_fps" -> fpsOracleSql,
     "q234_incdedup_bucketstats" -> incdedupOracleSql,
     "q201_containment_canonical" ->
       """WITH RECURSIVE t AS MATERIALIZED (SELECT doc_id, lang, source, n_chars,

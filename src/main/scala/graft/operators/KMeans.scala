@@ -94,6 +94,86 @@ object KMeans {
         col("best").getField("d").as("dist2"))
   }
 
+  /** Greedy farthest-point (k-center / Gonzalez) coreset selection over
+    * an embedding column — the diversity-sampling primitive a
+    * training-data pipeline uses to pick a small set of maximally-spread
+    * exemplars (coreset seeding, eval-set selection, active-learning
+    * batch picks). Seed = the lowest-id vector; each subsequent center
+    * is the point maximizing its min distance to the already-selected
+    * set (ties to the lower id; already-selected ids excluded so a
+    * duplicate-heavy corpus cannot re-pick a center). The classical
+    * 2-approximation to the k-center optimum.
+    *
+    * Runs entirely on the [[integerLloydAssign]] fixed-point grid —
+    * exact integer squared-L2, so every selection (and the final
+    * assignment census) is bit-reproducible in any engine with 64-bit
+    * integers, which is what puts a k-round greedy loop under a SQL
+    * oracle.
+    *
+    * Scale shape: the corpus quantizes once (checkpointed — the
+    * iterative-loop rule) and NEVER shuffles; each of the k rounds is
+    * one scan against the selected-center literals feeding a top-1
+    * TakeOrderedAndProject (per-partition top-1, driver merge — no
+    * sort, no exchange); the selected set is a k·dim driver array (the
+    * licensed codebook-sized pattern). The census pass is one more scan
+    * + a k-row agg. At 100 TB you run FPS on a uniform sample and
+    * assign the full corpus as a pure map — exactly as with Lloyd.
+    *
+    * @return k rows (ord, id, radius2, n_members): selection order, the
+    *         selected id, its min-dist² to the prior centers at
+    *         selection time (the coverage radius sequence — radius2 of
+    *         ord 0 is 0, and the sequence is non-increasing), and the
+    *         member count of each center under nearest-center
+    *         assignment over the full input (ties to the lower ord) —
+    *         the coreset WEIGHTS. */
+  def farthestPointSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol), scale).as("v"))
+      .localCheckpoint(true)
+    val seed = q.orderBy("id").limit(1).collect()
+    require(seed.nonEmpty, "farthestPointSample on an empty input")
+    // (id, center vector, radius2-at-selection), selection order
+    var selected = Vector[(Long, Seq[Long], Long)](
+      (seed(0).getLong(0), seed(0).getSeq[Long](1), 0L))
+    while (selected.size < k) {
+      // min-dist² against ALL selected centers as baked literals: no
+      // growing lineage, no per-round checkpoint — k²/2 total dist
+      // evals is cheaper than k materializations of a corpus-wide frame
+      val dmin = array_min(array(
+        selected.map(c => dist2(col("v"), c._2)): _*))
+      val next = q
+        .filter(!col("id").isin(selected.map(c => Long.box(c._1)): _*))
+        .select(col("id"), col("v"), dmin.as("d"))
+        .orderBy(col("d").desc, col("id").asc)
+        .limit(1).collect()
+      require(next.nonEmpty,
+        s"corpus exhausted at ${selected.size} < $k centers")
+      selected :+= ((next(0).getLong(0), next(0).getSeq[Long](1),
+        next(0).getLong(2)))
+    }
+    // census: nearest selected center per point, ties to the lower ord
+    val scored = selected.zipWithIndex.map { case ((_, cv, _), ord) =>
+      struct(dist2(col("v"), cv).as("d"), lit(ord).as("i"))
+    }
+    val counts = q
+      .withColumn("ord", array_min(array(scored: _*)).getField("i")
+        .cast("long"))
+      .groupBy("ord").agg(count(lit(1)).as("n_members"))
+    import spark.implicits._
+    val sel = selected.zipWithIndex
+      .map { case ((id, _, r), ord) => (ord.toLong, id, r) }
+      .toDF("ord", "id", "radius2")
+    // LEFT join: a center that duplicates an earlier one wins no
+    // members (census ties go to the lower ord) and must read 0, not
+    // vanish from the k-row result
+    sel.join(counts, Seq("ord"), "left")
+      .select(col("ord"), col("id").as(idCol), col("radius2"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
+
   /** Per-cluster simplified (centroid-distance) silhouette — the
     * clustering-quality gate next to [[integerLloydAssign]]: for each
     * vector, a = d² to its own (nearest) centroid, b = min d² to any

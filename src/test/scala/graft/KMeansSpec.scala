@@ -55,6 +55,64 @@ class KMeansSpec extends SparkSpec {
     assert(out(1L)._1 == 0L && out(2L)._1 == 0L)
     assert(out(3L)._1 == out(4L)._1)
   }
+  test("farthestPointSample: hand-computed greedy selection and census") {
+    // 1-D positions 0, 1, 10, 11, 5 (scale 1000). Seed = id 1 (pos 0);
+    // round 1 argmax = id 4 (pos 11, d = 121e6); round 2 min-dists to
+    // {0, 11} put id 5 (pos 5) on top at 25e6. Census ties go to the
+    // lower ord.
+    val df = Seq((1L, Seq(0f)), (2L, Seq(1f)), (3L, Seq(10f)),
+      (4L, Seq(11f)), (5L, Seq(5f))).toDF("vec_id", "embedding")
+    val got = KMeans.farthestPointSample(df, "vec_id", "embedding", k = 3)
+      .orderBy("ord").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 0L, 2L),
+      (1L, 4L, 121000000L, 2L),
+      (2L, 5L, 25000000L, 1L)), s"got $got")
+  }
+
+  test("farthestPointSample: duplicate-heavy corpus never re-picks a center") {
+    // three identical points + one distinct: after the distinct one is
+    // taken, every remaining min-dist² is 0 — the selection must move
+    // to the lowest UNSELECTED id with radius 0, not loop on the seed
+    val df = Seq((1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)), (3L, Seq(0f, 0f)),
+      (4L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val got = KMeans.farthestPointSample(df, "vec_id", "embedding", k = 3)
+      .orderBy("ord").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 4L, 2L), s"got $got")
+    assert(got(2)._3 == 0L, s"duplicate center must carry radius 0: $got")
+    assert(got.map(_._2).distinct.size == 3)
+  }
+
+  test("farthestPointSample equals a driver-side greedy replay; radii non-increasing") {
+    val e = Tables.embeddings(spark, sfDir)
+    val got = KMeans.farthestPointSample(e, "vec_id", "embedding", k = 6)
+      .orderBy("ord").as[(Long, Long, Long, Long)].collect().toSeq
+
+    val q = e.select(col("vec_id"),
+        KMeans.quantize(col("embedding"), 1000).as("v"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var sel = Vector((q.head._1, q.head._2, 0L))
+    while (sel.size < 6) {
+      val selIds = sel.map(_._1).toSet
+      val next = q.filterNot(p => selIds(p._1))
+        .map { case (id, v) => (id, v, sel.map(c => d2(v, c._2)).min) }
+        .maxBy { case (id, _, d) => (d, -id) }
+      sel :+= next
+    }
+    val counts = q.map { case (_, v) =>
+      sel.zipWithIndex.map { case ((_, cv, _), i) => (d2(v, cv), i) }.min._2
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = sel.zipWithIndex.map { case ((id, _, r), i) =>
+      (i.toLong, id, r, counts(i)) }
+    assert(got == want)
+    assert(got.drop(2).map(_._3).zip(got.drop(1).map(_._3))
+      .forall { case (cur, prev) => cur <= prev },
+      s"coverage radii must be non-increasing after ord 1: $got")
+    assert(got.map(_._4).sum == q.length)
+  }
+
   test("simplifiedSilhouette: separated clusters read ~1e6, identical points read 0") {
     // k=2, rounds=1: centroids = the two lowest ids, one per cluster.
     // v2 joins c0: a=1, b=998001 -> 999998; v0: a=0, b=1e6 -> 1e6
