@@ -3592,7 +3592,29 @@ object SparkEntry {
     "q235_coreset_fps" -> ((s, dir) =>
       KMeans.farthestPointSample(Tables.embeddings(s, dir),
         "vec_id", "embedding", k = 8, scale = 1000)
-        .orderBy("ord"))
+        .orderBy("ord")),
+
+    // Hot-cell split maintenance for the persisted IVF store
+    // (Ann.splitHotCells): cells grown past the mean count
+    // split in two via deterministic integer 2-means (seed A = lowest
+    // id, seed B = farthest member on the fixed-point grid, members
+    // move iff strictly closer, grid-rounded mean re-centering);
+    // everything else untouched. The census reports every post-split
+    // cell with its parent, member count, and quantized-centroid
+    // checksum. A cell splits only when provably non-degenerate
+    // (max dist² > 0 — seed B always moves), so new ids stay
+    // contiguous and the updated store revalidates. Index built with
+    // q230's assignment discipline (smallest-id centroids, no Lloyd,
+    // cosine ties to the larger cell); both index tables materialized
+    // like the real flow (q218 pattern).
+    "q236_ivf_split_hotcells" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (cent, asg) = Ann.ivfIndex(e, nCentroids = 8, initById = true)
+      val n = e.count()
+      val (census, _, _) = Ann.splitHotCells(cent.localCheckpoint(true),
+        asg.localCheckpoint(true), maxCellRows = n / 8L)
+      census.orderBy("cell")
+    })
   )
 
   /** Verify-time oracle preconditions — eager assertions that LICENSE a
@@ -3719,6 +3741,74 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q236_ivf_split_hotcells" ->
+      """WITH cent AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 8)),
+        |asg AS MATERIALIZED (
+        |  SELECT id, v, cell FROM (
+        |    SELECT e.vec_id AS id, e.embedding AS v, c.ci AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(e.embedding, c.cv),
+        |          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(e.embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * sqrt(list_sum(list_transform(c.cv,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC,
+        |        c.ci DESC) AS rn
+        |    FROM embeddings e CROSS JOIN cent c)
+        |  WHERE rn = 1),
+        |cnt AS MATERIALIZED (SELECT cell, count(*) AS n FROM asg GROUP BY cell),
+        |tot AS (SELECT count(*) AS nn FROM embeddings),
+        |hot AS (SELECT cell FROM cnt, tot WHERE n > nn // 8),
+        |hm AS MATERIALIZED (
+        |  SELECT a.cell, a.id, list_transform(a.v, x ->
+        |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        |  FROM asg a JOIN hot USING (cell)),
+        |sa AS (SELECT cell, qv AS av FROM hm
+        |  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY id) = 1),
+        |da AS MATERIALIZED (
+        |  SELECT hm.cell, hm.id, hm.qv,
+        |    list_aggregate(list_transform(range(64), i ->
+        |      (hm.qv[i+1] - sa.av[i+1]) * (hm.qv[i+1] - sa.av[i+1])),
+        |      'sum') AS dA
+        |  FROM hm JOIN sa USING (cell)),
+        |sp AS MATERIALIZED (
+        |  SELECT cell, row_number() OVER (ORDER BY cell) - 1 AS j
+        |  FROM (SELECT cell FROM da GROUP BY cell HAVING max(dA) > 0)),
+        |sb AS (SELECT cell, qv AS bv FROM da JOIN sp USING (cell)
+        |  QUALIFY row_number() OVER (PARTITION BY cell
+        |    ORDER BY dA DESC, id) = 1),
+        |re AS MATERIALIZED (
+        |  SELECT da.cell, da.id, da.qv,
+        |    CASE WHEN list_aggregate(list_transform(range(64), i ->
+        |        (da.qv[i+1] - sb.bv[i+1]) * (da.qv[i+1] - sb.bv[i+1])),
+        |        'sum') < da.dA
+        |      THEN 8 + sp.j ELSE da.cell END AS newcell
+        |  FROM da JOIN sb USING (cell) JOIN sp USING (cell)),
+        |hme AS (
+        |  SELECT newcell, min(cell) AS parent, i,
+        |    CAST(floor(sum(qv[i+1])::DOUBLE / count(*) + 0.5) AS BIGINT) AS m,
+        |    count(*) AS c
+        |  FROM re, range(64) t(i) GROUP BY newcell, i),
+        |hcen AS (
+        |  SELECT newcell AS cell, min(parent) AS parent_cell,
+        |    max(c) AS n_members, sum(abs(m)) AS chk
+        |  FROM hme GROUP BY newcell),
+        |cold AS (
+        |  SELECT c.ci AS cell, c.ci AS parent_cell,
+        |    COALESCE(cnt.n, 0) AS n_members,
+        |    list_sum(list_transform(c.cv, x ->
+        |      abs(CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)))) AS chk
+        |  FROM cent c LEFT JOIN cnt ON cnt.cell = c.ci
+        |  WHERE c.ci NOT IN (SELECT cell FROM sp))
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(parent_cell AS BIGINT) AS parent_cell,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(chk AS BIGINT) AS centroid_chk
+        |FROM (SELECT * FROM cold UNION ALL SELECT * FROM hcen)
+        |ORDER BY cell""".stripMargin,
     "q235_coreset_fps" -> fpsOracleSql,
     "q234_incdedup_bucketstats" -> incdedupOracleSql,
     "q201_containment_canonical" ->

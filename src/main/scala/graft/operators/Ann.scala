@@ -703,6 +703,133 @@ object Ann extends Logging {
         .as("codes"))
   }
 
+  /** Split overfull cells of a persisted [[ivfIndex]] in two — the
+    * rebalancing maintenance op of the incremental similarity pipeline:
+    * daily [[assignCells]] appends drift the store, hot cells grow past
+    * the probe-cost budget, and the fix is to split THOSE cells only —
+    * never to re-cluster the corpus. Each overfull cell 2-means-splits
+    * deterministically: seed A = its lowest-id member, seed B = the
+    * member farthest from A (exact integer squared-L2 on the
+    * [[KMeans.quantize]] grid, ties to the lower id), members move to B
+    * iff strictly closer, and both halves' centroids re-center on the
+    * grid-rounded member mean (the [[KMeans.integerLloydAssign]] update
+    * rule) — all integer fixed-point, so the split replays bit-exactly
+    * under a SQL oracle.
+    *
+    * A hot cell SPLITS only when its members are not a single point
+    * mass (max dist² to seed A > 0 — exactly when seed B provably moves
+    * to the new cell, so every allocated cell id is non-empty); new ids
+    * are nCells + rank(cell), keeping the updated centroid table
+    * CONTIGUOUS — it passes [[collectCentroids]] validation and feeds
+    * [[assignCells]]/[[ivfProbeIndex]] unchanged.
+    *
+    * Scale shape: the trigger pass is a column-pruned (cell-only) count
+    * — or, at daily cadence, the persisted counts sibling the
+    * [[Dedup.bucketCounts]] pattern maintains; ALL member work
+    * (seeding, reassignment, re-centering) scans only the hot cells —
+    * partition-pruned on a cell-partitioned store; seeds and the new-id
+    * map are nCells-bounded driver state (the licensed pattern); the
+    * heavy frames shuffle by cell only.
+    *
+    * @return (census (cell, parent_cell, n_members, centroid_chk — the
+    *         abs-sum of the quantized centroid, a portable checksum),
+    *         one row per post-split cell;
+    *         updated centroids (cell, centroid) — contiguous ids;
+    *         updated assignments (id, cell, v) — hot-cell members
+    *         remapped, everything else untouched) */
+  def splitHotCells(centroids: DataFrame, assignments: DataFrame,
+      maxCellRows: Long, scale: Int = 1000)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(maxCellRows >= 1, s"need maxCellRows >= 1 (got $maxCellRows)")
+    val nCells = collectCentroids(centroids).length
+    def chkOf(c: Column): Column = aggregate(
+      transform(c, x =>
+        abs(floor(x.cast("double") * scale + 0.5).cast("long"))),
+      lit(0L), (a, x) => a + x)
+    def censusOf(cells: DataFrame, counts: DataFrame): DataFrame = cells
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell").cast("long").as("cell"),
+        col("cell").cast("long").as("parent_cell"),
+        coalesce(col("n"), lit(0L)).as("n_members"),
+        chkOf(col("centroid")).as("centroid_chk"))
+    // trigger pass: cell column only — feeds the hot collect AND the
+    // unsplit-cell census (shared-branch rule)
+    val counts = assignments.groupBy("cell").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val hot = counts.filter(col("n") > maxCellRows)
+      .select("cell").collect().map(_.getInt(0)).sorted // ≤ nCells — licensed
+    if (hot.isEmpty) {
+      logInfo(s"[graft.ann] splitHotCells maxCellRows=$maxCellRows: " +
+        "no hot cells, store unchanged")
+      return (censusOf(centroids, counts), centroids, assignments)
+    }
+    def d2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (s, x) => s + x)
+    // member work reads ONLY the hot cells (partition-pruned on a
+    // cell-partitioned store); read by seed/reassign branches —
+    // materialize once
+    val members = assignments
+      .filter(col("cell").isin(hot.map(Int.box): _*))
+      .select(col("cell"), col("id"), col("v"),
+        KMeans.quantize(col("v"), scale).as("qv"))
+      .localCheckpoint(true)
+    val wA = Window.partitionBy("cell").orderBy("id")
+    val seedA = members.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1).select(col("cell"), col("qv").as("av"))
+    val da = members.join(broadcast(seedA), Seq("cell")) // seeds ≤ nCells — licensed
+      .withColumn("dA", d2(col("qv"), col("av")))
+      .localCheckpoint(true) // feeds splittable probe + seed B + reassign
+    val splittable = da.groupBy("cell").agg(max("dA").as("mx"))
+      .filter(col("mx") > 0L)
+      .select("cell").collect().map(_.getInt(0)).sorted // ≤ nCells — licensed
+    logInfo(s"[graft.ann] splitHotCells maxCellRows=$maxCellRows " +
+      s"hot=${hot.length}/$nCells splittable=${splittable.length} " +
+      s"cells: ${splittable.mkString(",")}")
+    val coldCensus = censusOf(
+      centroids.filter(!col("cell").isin(splittable.map(Int.box): _*)),
+      counts)
+    if (splittable.isEmpty) // hot cells that are single point masses
+      return (coldCensus, centroids, assignments)
+    val newId = splittable.zipWithIndex
+      .map { case (c, j) => (c, nCells + j) }.toMap
+    val daS = da.filter(col("cell").isin(splittable.map(Int.box): _*))
+    val wB = Window.partitionBy("cell")
+      .orderBy(col("dA").desc, col("id").asc)
+    val seedB = daS.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") === 1).select(col("cell"), col("qv").as("bv"))
+    val re = daS.join(broadcast(seedB), Seq("cell"))
+      .withColumn("newcell",
+        when(d2(col("qv"), col("bv")) < col("dA"), // ties stay with A
+          element_at(typedLit(newId), col("cell")))
+          .otherwise(col("cell")))
+    // grid-rounded member means per half: one (cell·dim)-row partial agg
+    val hotAgg = re.select(col("newcell"), col("cell"), posexplode(col("qv")))
+      .groupBy("newcell", "pos")
+      .agg(min("cell").as("parent"),
+        floor(sum(col("col")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("m"),
+        count(lit(1)).as("c"))
+      .groupBy("newcell")
+      .agg(min("parent").as("parent_cell"), max("c").as("n_members"),
+        sum(abs(col("m"))).as("centroid_chk"),
+        array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .localCheckpoint(true) // feeds census + updated centroid table
+    val census = coldCensus.unionByName(hotAgg.select(
+      col("newcell").cast("long").as("cell"),
+      col("parent_cell").cast("long").as("parent_cell"),
+      col("n_members"), col("centroid_chk")))
+    val newCent = centroids
+      .filter(!col("cell").isin(splittable.map(Int.box): _*))
+      .unionByName(hotAgg.select(col("newcell").as("cell"),
+        transform(col("pm"), p =>
+          (p.getField("m").cast("double") / scale).cast("float"))
+          .as("centroid")))
+    val newAsg = assignments
+      .filter(!col("cell").isin(splittable.map(Int.box): _*))
+      .unionByName(re.select(col("id"), col("newcell").as("cell"), col("v")))
+    (census, newCent, newAsg)
+  }
+
   /** Probe a persisted [[ivfPqIndex]]: nProbe cell pruning first (the
     * [[ivfProbeIndex]] IN-filter discipline — a cell-partitioned codes
     * store serves the probe from nProbe/nCentroids of its partitions),

@@ -132,6 +132,83 @@ class SkewIvfSpec extends SparkSpec {
       s"probed-cell pruning missing from scan: $pf")
   }
 
+  test("splitHotCells: no hot cells is the identity; store round-trip splits stay consistent") {
+    val e = Tables.embeddings(spark, sfDir)
+    val (cent, asg) = Ann.ivfIndex(e, nCentroids = 8, initById = true)
+    val centC = cent.localCheckpoint(true)
+    val asgC = asg.localCheckpoint(true)
+    val total = asgC.count()
+
+    // identity: nothing over budget — census is the plain per-cell
+    // count table, parent = cell, store frames pass through
+    val (idCensus, idCent, idAsg) =
+      Ann.splitHotCells(centC, asgC, maxCellRows = total)
+    val idRows = idCensus.orderBy("cell")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(idRows.map(_._1) == (0L until 8L) &&
+      idRows.forall(r => r._1 == r._2), s"identity census: $idRows")
+    assert(idRows.map(_._3).sum == total)
+    assert(idCent.count() == 8 && idAsg.count() == total)
+
+    // real split through a cell-partitioned parquet store
+    val dir = java.nio.file.Files.createTempDirectory("ivfsplit").toString
+    centC.write.mode("overwrite").parquet(s"$dir/centroids")
+    asgC.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+    val (census, newCent, newAsg) = Ann.splitHotCells(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"), maxCellRows = total / 8)
+    val c = census.orderBy("cell").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(c.map(_._1).max >= 8, "expected at least one split at mean cap")
+    // census partitions the corpus; every new cell is non-empty and
+    // points at a real parent
+    assert(c.map(_._3).sum == total)
+    assert(c.filter(_._1 >= 8).forall(r => r._2 < 8 && r._3 >= 1))
+    // parent + child counts reassemble the original per-cell counts
+    val before = asgC.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val regrouped = c.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(regrouped.forall { case (p, n) => before(p.toInt) == n },
+      s"parent regroup mismatch: $regrouped vs $before")
+    // updated stores stay mutually consistent and CONTIGUOUS — the
+    // validated-read gate accepts them (assignCells collects centroids)
+    val centIds = newCent.select("cell").as[Int].collect().sorted
+    assert(centIds.sameElements(0 until centIds.length))
+    val after = newAsg.groupBy("cell").count().as[(Int, Long)]
+      .collect().toMap
+    assert(c.forall(r => after.getOrElse(r._1.toInt, 0L) == r._3))
+    assert(newAsg.select("id").as[Long].collect().sorted.toSeq ==
+      asgC.select("id").as[Long].collect().sorted.toSeq)
+    Ann.assignCells(newCent, e.limit(5)).collect() // must not throw
+  }
+
+  test("splitHotCells: a point-mass hot cell stays whole; a spread cell splits by the seed rule") {
+    val cents = Seq((0, Seq(0f, 0f)), (1, Seq(10f, 10f)))
+      .toDF("cell", "centroid")
+    val asg = (Seq(1L, 2L, 3L, 4L).map(id => (id, 0, Seq(0f, 0f))) ++
+      Seq((11L, 1, Seq(10f, 10f)), (12L, 1, Seq(10f, 10f)),
+        (13L, 1, Seq(12f, 12f)), (14L, 1, Seq(12f, 12f))))
+      .toDF("id", "cell", "v")
+    val (census, newCent, newAsg) =
+      Ann.splitHotCells(cents, asg, maxCellRows = 2)
+    val c = census.orderBy("cell").as[(Long, Long, Long, Long)]
+      .collect().toSeq
+    // cell 0 is hot (4 > 2) but a point mass — max dA = 0, no split,
+    // stored-centroid checksum; cell 1 splits: A = id 11 at (10,10),
+    // B = id 13 at (12,12) (farthest, tie to the lower id), ids 13/14
+    // move, both halves re-center on their member means
+    assert(c == Seq(
+      (0L, 0L, 4L, 0L),
+      (1L, 1L, 2L, 20000L),
+      (2L, 1L, 2L, 24000L)), s"got $c")
+    assert(newCent.orderBy("cell").as[(Int, Seq[Float])].collect().toSeq ==
+      Seq((0, Seq(0f, 0f)), (1, Seq(10f, 10f)), (2, Seq(12f, 12f))))
+    val moved = newAsg.filter(col("cell") === 2).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(moved == Seq(13L, 14L), s"moved $moved")
+  }
+
   test("ivfIndex streaming ingest: probe then append survivors; cross-batch semantic dup caught; stateless") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.streaming.Trigger
