@@ -3614,6 +3614,27 @@ object SparkEntry {
       val (census, _, _) = Ann.splitHotCells(cent.localCheckpoint(true),
         asg.localCheckpoint(true), maxCellRows = n / 8L)
       census.orderBy("cell")
+    }),
+
+    // Skip-gram co-occurrence over deterministic walks
+    // (Graph.walkCooccurrence) — the corpus-prep step between walking
+    // and training graph features (DeepWalk pair extraction, PPMI/
+    // GloVe-style association counts): q152's walk graph and seeds,
+    // 4 steps, window 2; unordered pairs with count >= 2 scored by the
+    // integer PMI ratio lift_ppm = c_ab·T²·10⁶ div (c_a·c_b·P) — the
+    // pre-log PMI, exact in 64-bit integers where a float log would
+    // diverge between engines.
+    "q237_walk_cooccurrence" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd
+        .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+      Graph.walkCooccurrence(edges, seeds, steps = 4, window = 2)
+        .orderBy("na", "nb")
     })
   )
 
@@ -3741,6 +3762,53 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q237_walk_cooccurrence" -> {
+      // q152's walk replay extended to 4 steps, then the pair/count
+      // algebra — lead() unrolled per offset (window = 2)
+      val stepCte = (1 to 4).map { t =>
+        s"""w$t AS (
+           |  SELECT walk, dst AS node FROM (
+           |    SELECT w.walk, e.dst,
+           |      ('0x'||substr(md5(CAST(w.walk AS VARCHAR)||':$t:'||
+           |        CAST(e.dst AS VARCHAR)),1,8))::BIGINT AS h
+           |    FROM w${t - 1} w JOIN e ON e.src = w.node)
+           |  QUALIFY row_number() OVER (PARTITION BY walk
+           |    ORDER BY h, dst) = 1)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to 4).map(t =>
+        s"SELECT walk, CAST($t AS BIGINT) AS step, node FROM w$t")
+        .mkString("\n  UNION ALL ")
+      s"""WITH e AS (
+         |  SELECT DISTINCT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey * 2 + 1, l_orderkey * 2 FROM lineitem),
+         |w0 AS (
+         |  SELECT DISTINCT l_partkey * 2 + 1 AS walk, l_partkey * 2 + 1 AS node
+         |  FROM lineitem WHERE l_partkey % 97 = 0),
+         |$stepCte,
+         |pos AS MATERIALIZED (
+         |  $unions),
+         |pr AS (
+         |  SELECT least(u, v) AS na, greatest(u, v) AS nb FROM (
+         |    SELECT node AS u, lead(node, 1) OVER (
+         |      PARTITION BY walk ORDER BY step) AS v FROM pos
+         |    UNION ALL
+         |    SELECT node, lead(node, 2) OVER (
+         |      PARTITION BY walk ORDER BY step) FROM pos)
+         |  WHERE v IS NOT NULL AND u <> v),
+         |pc AS MATERIALIZED (
+         |  SELECT na, nb, count(*) AS c_ab FROM pr GROUP BY 1, 2),
+         |occ AS (SELECT node, count(*) AS c FROM pos GROUP BY 1),
+         |tt AS (SELECT count(*) AS t FROM pos),
+         |pp AS (SELECT sum(c_ab) AS p FROM pc)
+         |SELECT pc.na, pc.nb, pc.c_ab,
+         |  CAST((pc.c_ab * tt.t * tt.t * 1000000)
+         |    // (oa.c * ob.c * pp.p) AS BIGINT) AS lift_ppm
+         |FROM pc JOIN occ oa ON oa.node = pc.na
+         |        JOIN occ ob ON ob.node = pc.nb, tt, pp
+         |WHERE pc.c_ab >= 2 ORDER BY na, nb""".stripMargin
+    },
     "q236_ivf_split_hotcells" ->
       """WITH cent AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cv

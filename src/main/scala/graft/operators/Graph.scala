@@ -1327,6 +1327,63 @@ object Graph {
     out.reduce(_ unionByName _).select("walk", "step", "node")
   }
 
+  /** Skip-gram co-occurrence statistics over [[deterministicWalks]] —
+    * the corpus-prep step BETWEEN walking and training graph features
+    * (DeepWalk/node2vec turn walks into (center, context) pairs; the
+    * GloVe/PPMI family trains on exactly these association counts):
+    * for every walk position, its nodes within `window` later steps
+    * form an unordered pair (self-pairs from immediate backtracks
+    * dropped), and each surviving pair carries its count and an
+    * integer association score
+    *
+    *   lift_ppm = c_ab · T² · 10⁶ div (c_a · c_b · P)
+    *
+    * — the PMI ratio BEFORE the log (rank-equivalent, and exact in
+    * 64-bit integers where a float log diverges between engines).
+    * T = walk positions, P = total pairs, c_x = node occurrence counts.
+    *
+    * Scale shape: pairs come from ONE window pass over the walk table
+    * (an array of `lead` offsets sharing the walk partitioning — no
+    * self-join, no per-offset scan); the walk table and the pair-count
+    * table each materialize once and feed their scalar totals via
+    * broadcast one-row frames (shared-branch rule, no driver collect);
+    * the only shuffles are the walk-keyed window and the two count
+    * aggs. Association math is safe in longs up to T ≈ 3·10⁶ positions
+    * (c_ab·T²·10⁶ < 2⁶³); beyond that shard the corpus or drop the 10⁶
+    * scale — at walk corpora past that size you are training, not
+    * auditing.
+    *
+    * @return (na, nb, c_ab, lift_ppm), na < nb, c_ab >= minCount */
+  def walkCooccurrence(edges: DataFrame, seeds: DataFrame, steps: Int,
+      window: Int, minCount: Long = 2L,
+      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
+    require(window >= 1, s"need window >= 1 (got $window)")
+    val w = deterministicWalks(edges, seeds, steps, broadcastNodeLimit)
+      .localCheckpoint(true) // feeds pairs + occurrence counts + T
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy("walk").orderBy("step")
+    val ctx = array((1 to window).map(o =>
+      lead(col("node"), o).over(wk)): _*)
+    // window exprs evaluate in their own projection; the generator
+    // explodes the materialized array in the next one
+    val pairs = w.select(col("node").as("u"), ctx.as("ctx"))
+      .select(col("u"), explode(col("ctx")).as("v"))
+      .filter(col("v").isNotNull && col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("na"),
+        greatest(col("u"), col("v")).as("nb"))
+    val pc = pairs.groupBy("na", "nb").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true) // feeds the result + the P total
+    val occ = w.groupBy("node").agg(count(lit(1)).as("c"))
+    val tot = w.agg(count(lit(1)).as("t"))
+    val ptot = pc.agg(sum(col("c_ab")).as("p"))
+    pc.filter(col("c_ab") >= minCount)
+      .join(occ.select(col("node").as("na"), col("c").as("ca")), Seq("na"))
+      .join(occ.select(col("node").as("nb"), col("c").as("cb")), Seq("nb"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
+      .select(col("na"), col("nb"), col("c_ab"),
+        expr("(c_ab * t * t * 1000000) div (ca * cb * p)").as("lift_ppm"))
+  }
+
   /** One co-bucketed k-core survivor filter (exposed for plan
     * inspection): semi-join on src is bucket-to-bucket [0 Exchange];
     * the dst-side semi-join re-clusters the shrinking edge set [the

@@ -872,4 +872,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.linkPredictionFeatures(tri).count() == 0L)
   }
 
+  test("walkCooccurrence: hand-computed skip-gram pairs and integer lift") {
+    // directed line 1→2→3→4→5: single out-edges make the walks
+    // hash-independent — walks are 1-2-3-4 (seed 1) and 2-3-4-5
+    // (seed 2). T = 8 positions, P = 10 pairs; the repeated pairs are
+    // (2,3), (3,4), (2,4), each c_ab = 2 with occ 2 for nodes 2/3/4:
+    // lift = 2·8²·10⁶ div (2·2·10) = 3,200,000.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("id")
+    val got = Graph.walkCooccurrence(edges, seeds, steps = 3, window = 2)
+      .orderBy("na", "nb").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 3L, 2L, 3200000L),
+      (2L, 4L, 2L, 3200000L),
+      (3L, 4L, 2L, 3200000L)), s"got $got")
+    // minCount = 1 keeps the singleton pairs too — 7 distinct pairs
+    // on these two walks ((4,5) and (3,5) only occur on walk 2)
+    assert(Graph.walkCooccurrence(edges, seeds, steps = 3, window = 2,
+      minCount = 1L).count() == 7L)
+  }
+
 }
