@@ -3635,6 +3635,22 @@ object SparkEntry {
         .select((col("l_partkey") * 2 + 1).as("id")).distinct()
       Graph.walkCooccurrence(edges, seeds, steps = 4, window = 2)
         .orderBy("na", "nb")
+    }),
+
+    // DSIR importance weights (Corpus.importanceWeights): every raw
+    // document (doc_id % 7 != 0) scored by how target-like (doc_id % 7
+    // == 0 plays the curated domain) its hashed-token bag is — the
+    // pretraining data-selection recipe. log2 runs in 2⁻²⁰ fixed point
+    // (bitlength + shifts — pure integer, engine-exact where a float
+    // log2 breaks hash parity); buckets ride the q173 portable md5
+    // spelling.
+    "q238_importance_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Corpus.importanceWeights(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text", bins = 256)
+        .orderBy("doc_id")
     })
   )
 
@@ -3761,7 +3777,44 @@ object SparkEntry {
        |FROM sel LEFT JOIN cnt USING (ord) ORDER BY ord""".stripMargin
   }
 
+  /** q238's fixed-point log2 over a named BIGINT expression — DuckDB
+    * spelling of `Corpus.importanceWeights`' lgS (shiftright ≡ >>). */
+  private def duckLg(x: String): String =
+    s"((length(bin($x)) - 1) * 1048576 + " +
+      s"((($x) << 20) >> (length(bin($x)) - 1)) - 1048576)"
+
   def oracleSql: Map[String, String] = Map(
+    "q238_importance_weights" ->
+      s"""WITH rtk AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 % 256 AS b
+         |  FROM (SELECT doc_id,
+         |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents WHERE doc_id % 7 <> 0)
+         |  WHERE tok <> ''),
+         |ttk AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483647 % 256 AS b
+         |  FROM (SELECT doc_id,
+         |          unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |        FROM documents WHERE doc_id % 7 = 0)
+         |  WHERE tok <> ''),
+         |cr AS MATERIALIZED (SELECT b, count(*) AS cr FROM rtk GROUP BY 1),
+         |ct AS MATERIALIZED (SELECT b, count(*) AS ct FROM ttk GROUP BY 1),
+         |bs AS (
+         |  SELECT cr.b,
+         |    ${duckLg("COALESCE(ct.ct, 0) + 1")}
+         |      - ${duckLg("cr.cr + 1")} AS lg_b
+         |  FROM cr LEFT JOIN ct USING (b)),
+         |tt AS (
+         |  SELECT CAST((SELECT sum(cr) FROM cr) AS BIGINT) + 256 AS rp,
+         |         CAST((SELECT sum(ct) FROM ct) AS BIGINT) + 256 AS tp),
+         |c0 AS (SELECT ${duckLg("rp")} - ${duckLg("tp")} AS c FROM tt),
+         |d AS (SELECT doc_id, b, count(*) AS cnt FROM rtk GROUP BY 1, 2)
+         |SELECT d.doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
+         |  CAST(sum(cnt * (lg_b + c0.c)) AS BIGINT) AS dsir_fp
+         |FROM d JOIN bs USING (b), c0
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q237_walk_cooccurrence" -> {
       // q152's walk replay extended to 4 steps, then the pair/count
       // algebra — lead() unrolled per offset (window = 2)

@@ -838,4 +838,77 @@ object Corpus {
           .as("sgn"))
       .groupBy(col(idCol), col("bin")).agg(sum(col("sgn")).as("v"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each RAW
+    * document by how much more likely its hashed-token bag is under the
+    * TARGET domain's unigram bucket distribution than under the raw
+    * corpus's own —
+    *
+    *   dsir_fp(doc) = Σ_tok [ log2(p_target(b(tok))) − log2(p_raw(b(tok))) ]
+    *
+    * with add-1 smoothing per bucket. High scores = target-like docs;
+    * resampling by these weights is the standard pretraining-data
+    * selection recipe when the target domain is small and curated.
+    *
+    * log2 runs in FIXED POINT (2⁻²⁰ units): lg(x) = (e«20) +
+    * ((x«20)»e) − (1«20) with e = bitlength(x) − 1 — the linear
+    * interpolation between powers of two, monotone, exact at powers of
+    * two, max error ~0.086 bits, and PURE 64-bit integer arithmetic
+    * (`length(bin(x))`, shifts) that evaluates bit-identically in any
+    * engine — a float log2 diverges in the last ulp between libms and
+    * breaks hash parity. Safe for counts up to 2⁴³ (the «20 headroom).
+    *
+    * Scale shape: two scan-stage tokenize+bucket passes per corpus
+    * (deliberately re-evaluated: at 100 TB an extra columnar scan beats
+    * materializing a token-exploded corpus); bucket tables are
+    * bins-row frames (checkpointed — each feeds its census and its
+    * total) joined and broadcast into the per-doc agg; the per-doc
+    * constant c0 rides a one-row broadcast. The only corpus-sized
+    * exchange is the (doc, bucket) partial agg.
+    *
+    * @return per raw doc: (idCol, n_toks, dsir_fp) — dsir_fp in 2⁻²⁰
+    *         log2 units, comparable across docs of similar length
+    *         (normalize by n_toks for a per-token score) */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, bins: Int = 256): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    def binned(df: DataFrame): DataFrame = df
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(trim(col(textCol))))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col(idCol),
+        expr("CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)" +
+          s" % 2147483647 % $bins").as("b"))
+    // fixed-point log2 over a named BIGINT column, spelled so DuckDB's
+    // ((x << 20) >> e) replays it exactly (shiftright ≡ >> on longs)
+    def lgS(x: String): String =
+      s"((length(bin($x)) - 1) * 1048576 + " +
+        s"shiftright(shiftleft($x, 20), length(bin($x)) - 1) - 1048576)"
+    val rtk = binned(raw)
+    val ttk = binned(target)
+    // bins-row frames, each read twice (bucket scores + totals)
+    val cr = rtk.groupBy("b").agg(count(lit(1)).as("cr"))
+      .localCheckpoint(true)
+    val ct = ttk.groupBy("b").agg(count(lit(1)).as("ct"))
+      .localCheckpoint(true)
+    // every bucket a raw doc touches exists in cr (the doc IS raw), so
+    // building scores FROM cr covers the scoring join; absent target
+    // buckets smooth to +1
+    val bs = cr.join(ct, Seq("b"), "left")
+      .withColumn("ctp", coalesce(col("ct"), lit(0L)) + lit(1L))
+      .withColumn("crp", col("cr") + lit(1L))
+      .select(col("b"), (expr(lgS("ctp")) - expr(lgS("crp"))).as("lg_b"))
+    val c0 = cr.agg(sum("cr").as("rtot"))
+      .crossJoin(ct.agg(sum("ct").as("ttot")))
+      .withColumn("rp", col("rtot") + lit(bins.toLong))
+      .withColumn("tp", col("ttot") + lit(bins.toLong))
+      .select((expr(lgS("rp")) - expr(lgS("tp"))).as("c0"))
+    rtk.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(bs), Seq("b")) // bins-bounded — licensed
+      .crossJoin(broadcast(c0))
+      .groupBy(idCol)
+      .agg(sum("cnt").as("n_toks"),
+        sum(col("cnt") * (col("lg_b") + col("c0"))).as("dsir_fp"))
+  }
 }

@@ -483,4 +483,47 @@ class CorpusSpec extends SparkSpec {
       modulus = 4).as[(String, Long, Long, Long)].collect().head
     assert(rep == t)
   }
+
+  test("importanceWeights: exact Scala replay; target-like docs score higher") {
+    val raw = Seq((1L, "alpha alpha beta"), (2L, "omega omega gamma"),
+      (3L, "alpha omega")).toDF("doc_id", "text")
+    val tgt = Seq((9L, "alpha alpha alpha beta")).toDF("doc_id", "text")
+    val got = Corpus.importanceWeights(raw, tgt, "doc_id", "text",
+      bins = 64).orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+
+    // driver-side replay of the md5 bucket + fixed-point-log2 pipeline
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2147483647L % 64L
+    }
+    def lg(x: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      (e.toLong << 20) + ((x << 20) >> e) - (1L << 20)
+    }
+    val rawToks = Map(
+      1L -> Seq("alpha", "alpha", "beta"),
+      2L -> Seq("omega", "omega", "gamma"),
+      3L -> Seq("alpha", "omega"))
+    val tgtToks = Seq("alpha", "alpha", "alpha", "beta")
+    val cr = rawToks.values.flatten.toSeq.groupBy(bucket)
+      .view.mapValues(_.size.toLong).toMap
+    val ct = tgtToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val c0 = lg(rawToks.values.map(_.size).sum + 64L) -
+      lg(tgtToks.size + 64L)
+    def score(ts: Seq[String]): Long = ts.map { t =>
+      val b = bucket(t)
+      lg(ct.getOrElse(b, 0L) + 1) - lg(cr(b) + 1) + c0
+    }.sum
+    val want = rawToks.toSeq.sortBy(_._1)
+      .map { case (id, ts) => (id, ts.size.toLong, score(ts)) }
+    assert(got == want, s"got $got want $want")
+    // fixed-point log2 anchors: exact at powers of two, monotone between
+    assert(lg(1L) == 0L && lg(2L) == (1L << 20) && lg(4L) == (2L << 20))
+    assert(lg(3L) > lg(2L) && lg(3L) < lg(4L))
+    // semantic reading (skipped under bucket collision): the all-target-
+    // token doc outranks the never-in-target doc
+    if (Seq("alpha", "omega", "beta", "gamma").map(bucket).distinct.size == 4)
+      assert(got.find(_._1 == 1L).get._3 > got.find(_._1 == 2L).get._3)
+  }
 }
