@@ -89,7 +89,12 @@ object Plans {
       "q231_cellstore_serve_day" -> "cell-store serve-one-day (driver-gated): the trailing window is served from the materialized store's w-day range; see also the bespoke parquet-store section below for the pushed day filter",
       "q232_pq_index_probe" -> "persisted PQ index probe: the scan side is the ~32x-compressed CODES store (raw embeddings never re-read), query LUTs ROUTED-broadcast (proven fit vs graft.ann.broadcastBatchBytes; over budget = partition-paired cartesian over the checkpointed LUTs), ADC score is array lookups, per-query top-k window",
       "q233_ivfpq_index_probe" -> "composed IVF∘PQ probe: cell pruning FIRST (probed-cell IN filter on the stored cell column of the codes table — partition pruning), THEN ADC over the pruned ~32x-compressed codes; the batch joins on cell under the routed-broadcast license (over budget = one shuffle of the batch, store stays pruned); candidate work nProbe/nCentroids of the uncomposed PQ probe",
-      "q234_incdedup_bucketstats" -> "q218's screen with the hot-cell list from bucket-count METADATA instead of a store-wide bucket recount per micro-batch; in this oracle dump the stats are built inline (two filtered bucketCounts generations merged additively — the union+sum subtree under the anti-join); with the PERSISTED sibling table the store parquet is scanned exactly once, plan-asserted in IncrementalDedupSpec")
+      "q234_incdedup_bucketstats" -> "q218's screen with the hot-cell list from bucket-count METADATA instead of a store-wide bucket recount per micro-batch; in this oracle dump the stats are built inline (two filtered bucketCounts generations merged additively — the union+sum subtree under the anti-join); with the PERSISTED sibling table the store parquet is scanned exactly once, plan-asserted in IncrementalDedupSpec",
+      "q235_coreset_fps" -> "farthest-point coreset (census pass shown): the checkpointed quantized corpus is scanned ONCE against the k selected-center literals (all integer dist² in codegen), k-row partial+final agg, k-row broadcast join — each greedy round before it was the same scan shape into a top-1 TakeOrderedAndProject (per-partition top-1, no sort exchange)",
+      "q236_ivf_split_hotcells" -> "IVF hot-cell split census: member work reads ONLY the hot cells (cell IN filter — partition pruning on a cell-partitioned store); seed joins are nCells-bounded broadcasts; the re-center is one (cell·dim)-row partial+final agg; unsplit-cell census is a metadata-sized count join, the corpus never shuffles",
+      "q237_walk_cooccurrence" -> "walk skip-gram associations: pairs from ONE lead-array window pass over the checkpointed walk table (no self-join), two count aggs, scalar T/P totals ride broadcast one-row frames — the only exchanges are the walk-keyed window and the pair/occurrence aggs",
+      "q238_importance_weights" -> "DSIR importance weights: scan-stage tokenize+md5-bucket (re-scanned, never a materialized token explosion), bins-row bucket-score table BROADCAST into the per-doc agg, fixed-point log2 is pure codegen integer math (bitlength + shifts) — the only corpus-sized exchange is the (doc, bucket) partial agg",
+      "q239_tokenizer_fertility" -> "tokenizer fertility by language: q139's cached (doc, tok) projection feeds trainer and encoder (one tokenize scan), vocab-sized merge work, width join deliberately shuffled (100 TB vocab outgrows broadcast), lang rollup over doc-sized rows")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`, sf0.01)\n\n")
     sb.append("Evidence for ARCHITECTURE.md's claims: `PushedFilters`/`ReadSchema`\n")

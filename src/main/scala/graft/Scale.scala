@@ -755,6 +755,48 @@ object Scale {
     time("kmeans_1x") { kmeansShape(emb1) }
     time(s"kmeans_${mult}x") { kmeansShape(embN) }
 
+    // farthest-point coreset (q235 shape): k scans against selected-
+    // center literals, each into a top-1 TakeOrderedAndProject, plus
+    // the census scan — N× vectors must stay scan-bound (no shuffle of
+    // the corpus at any round)
+    def fpsShape(e: DataFrame): Long =
+      operators.KMeans.farthestPointSample(e, "vec_id", "embedding",
+        k = 8, scale = 1000).count()
+    time("fps_1x") { fpsShape(emb1) }
+    time(s"fps_${mult}x") { fpsShape(embN) }
+
+    // IVF hot-cell split (q236 shape): trigger pass is a cell-only
+    // count; member work (seeding, reassign, re-center) touches hot
+    // cells only — N× corpus with the same nCells makes every cell hot
+    // and ~N× bigger, so the split machinery itself must scale ~linear
+    def ivfsplitShape(e: DataFrame): Long = {
+      val (cent, asg) = operators.Ann.ivfIndex(e, nCentroids = 8,
+        initById = true)
+      val n = e.count()
+      val (census, _, _) = operators.Ann.splitHotCells(
+        cent.localCheckpoint(true), asg.localCheckpoint(true),
+        maxCellRows = n / 8L)
+      census.count()
+    }
+    time("ivfsplit_1x") { ivfsplitShape(emb1) }
+    time(s"ivfsplit_${mult}x") { ivfsplitShape(embN) }
+
+    // walk co-occurrence (q237 shape): pairs ride ONE lead-array window
+    // over the walk table; mult disjoint graph copies multiply walks,
+    // positions, and pairs together — window + two count aggs must
+    // stay ~linear (the scalar T/P totals are one-row broadcasts)
+    def walkcoocShape(li: DataFrame): Long = {
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val seeds = li.filter(col("l_partkey") % 97 === 0)
+        .select((col("l_partkey") * 2 + 1).as("id")).distinct()
+      Graph.walkCooccurrence(edges, seeds, steps = 4, window = 2).count()
+    }
+    time("walkcooc_1x") { walkcoocShape(li1) }
+    time(s"walkcooc_${mult}x") { walkcoocShape(liT) }
+
     // first-seen n-gram novelty (q193 shape, post-window-fix): the
     // amplified corpus repeats every text ~mult times, so EVERY gram's
     // document frequency scales ×mult — exactly the stopword-skew

@@ -3651,6 +3651,28 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 === 0),
         "doc_id", "text", bins = 256)
         .orderBy("doc_id")
+    }),
+
+    // Tokenizer fertility audit per language (Bpe.encodeCounts + lang
+    // rollup): subwords per million tokens and chars per million
+    // subwords by lang — the "is the tokenizer fair to every language"
+    // check a multilingual pretraining budget runs (high fertility =
+    // that language pays more sequence length per word). q139's
+    // train+encode replay, rolled up over the documents dimension.
+    "q239_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Bpe.encodeCounts(docs, "doc_id", "text", steps = 5)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum("n_subwords").as("n_subwords"),
+          expr("(sum(n_subwords) * 1000000) div sum(n_tokens)")
+            .as("fertility_ppm"),
+          expr("(sum(n_chars) * 1000000) div sum(n_subwords)")
+            .as("chars_per_subword_ppm"))
+        .orderBy("lang")
     })
   )
 
@@ -3775,6 +3797,45 @@ object SparkEntry {
        |SELECT sel.ord, sel.id AS vec_id, CAST(sel.d AS BIGINT) AS radius2,
        |  COALESCE(cnt.n_members, 0) AS n_members
        |FROM sel LEFT JOIN cnt USING (ord) ORDER BY ord""".stripMargin
+  }
+
+  /** Shared BPE train+encode replay (q139 / q239): tokenize → doc-token
+    * counts (`dt`) → vocabulary → 5 greedy merge rounds → per-token
+    * subword widths (`widths`). Ends at the `widths` CTE; callers
+    * append their own rollup over `dt JOIN widths`. */
+  private val bpeEncodeCtes: String = {
+    val k = 5
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pr, sum(wc) AS c FROM (
+         |    SELECT s.wc, s.syms[u.i] || ' ' || s.syms[u.i + 1] AS pr
+         |    FROM (SELECT string_split_regex(trim(w), '\\s+') AS syms, wc
+         |          FROM w${i - 1}) s,
+         |         UNNEST(generate_series(1, len(s.syms) - 1)) AS u(i))
+         |  GROUP BY pr),
+         |m$i AS (SELECT pr FROM p$i ORDER BY c DESC, pr LIMIT 1),
+         |w$i AS (
+         |  SELECT tok, replace(w,
+         |    ' ' || split_part(pr, ' ', 1) || '  ' ||
+         |      split_part(pr, ' ', 2) || ' ',
+         |    ' ' || replace(pr, ' ', '') || ' ') AS w, wc
+         |  FROM w${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, u.tok FROM (
+       |    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+       |    FROM documents) t, UNNEST(tk) AS u(tok)
+       |  WHERE length(u.tok) > 0),
+       |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |v AS (SELECT tok, count(*) AS wc FROM toks GROUP BY tok),
+       |w0 AS (
+       |  SELECT tok, ' ' || array_to_string(list_transform(
+       |    generate_series(1, length(tok)), i -> substr(tok, i, 1)), '  ')
+       |    || ' ' AS w, wc FROM v),
+       |$rounds,
+       |widths AS (SELECT tok,
+       |  CAST(len(string_split_regex(trim(w), '\\s+')) AS BIGINT) AS n_sub
+       |  FROM w$k)""".stripMargin
   }
 
   /** q238's fixed-point log2 over a named BIGINT expression — DuckDB
@@ -7617,44 +7678,32 @@ object SparkEntry {
         .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
     },
 
-    "q139_bpe_encode" -> {
-      val k = 5
-      val rounds = (1 to k).map { i =>
-        s"""p$i AS (
-           |  SELECT pr, sum(wc) AS c FROM (
-           |    SELECT s.wc, s.syms[u.i] || ' ' || s.syms[u.i + 1] AS pr
-           |    FROM (SELECT string_split_regex(trim(w), '\\s+') AS syms, wc
-           |          FROM w${i - 1}) s,
-           |         UNNEST(generate_series(1, len(s.syms) - 1)) AS u(i))
-           |  GROUP BY pr),
-           |m$i AS (SELECT pr FROM p$i ORDER BY c DESC, pr LIMIT 1),
-           |w$i AS (
-           |  SELECT tok, replace(w,
-           |    ' ' || split_part(pr, ' ', 1) || '  ' ||
-           |      split_part(pr, ' ', 2) || ' ',
-           |    ' ' || replace(pr, ' ', '') || ' ') AS w, wc
-           |  FROM w${i - 1}, m$i)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH toks AS (
-         |  SELECT doc_id, u.tok FROM (
-         |    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
-         |    FROM documents) t, UNNEST(tk) AS u(tok)
-         |  WHERE length(u.tok) > 0),
-         |dt AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
-         |v AS (SELECT tok, count(*) AS wc FROM toks GROUP BY tok),
-         |w0 AS (
-         |  SELECT tok, ' ' || array_to_string(list_transform(
-         |    generate_series(1, length(tok)), i -> substr(tok, i, 1)), '  ')
-         |    || ' ' AS w, wc FROM v),
-         |$rounds,
-         |widths AS (SELECT tok,
-         |  CAST(len(string_split_regex(trim(w), '\\s+')) AS BIGINT) AS n_sub
-         |  FROM w$k)
-         |SELECT dt.doc_id, CAST(sum(dt.cnt) AS BIGINT) AS n_tokens,
-         |  CAST(sum(dt.cnt * widths.n_sub) AS BIGINT) AS n_subwords
-         |FROM dt JOIN widths ON dt.tok = widths.tok
-         |GROUP BY dt.doc_id ORDER BY doc_id""".stripMargin
-    },
+    // bpeEncodeCtes is already margin-stripped — concatenate, never
+    // re-stripMargin over it (a second strip eats one pipe of a `||`
+    // concat continuation line)
+    "q139_bpe_encode" ->
+      (bpeEncodeCtes + "\n" +
+        """SELECT dt.doc_id, CAST(sum(dt.cnt) AS BIGINT) AS n_tokens,
+          |  CAST(sum(dt.cnt * widths.n_sub) AS BIGINT) AS n_subwords
+          |FROM dt JOIN widths ON dt.tok = widths.tok
+          |GROUP BY dt.doc_id ORDER BY doc_id""".stripMargin),
+
+    "q239_tokenizer_fertility" ->
+      (bpeEncodeCtes + ",\n" +
+        """enc AS (
+          |  SELECT dt.doc_id, sum(dt.cnt) AS n_tokens,
+          |    sum(dt.cnt * widths.n_sub) AS n_subwords
+          |  FROM dt JOIN widths ON dt.tok = widths.tok
+          |  GROUP BY dt.doc_id)
+          |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(enc.n_tokens) AS BIGINT) AS n_tokens,
+          |  CAST(sum(enc.n_subwords) AS BIGINT) AS n_subwords,
+          |  CAST((sum(enc.n_subwords) * 1000000) // sum(enc.n_tokens)
+          |    AS BIGINT) AS fertility_ppm,
+          |  CAST((sum(d.n_chars) * 1000000) // sum(enc.n_subwords)
+          |    AS BIGINT) AS chars_per_subword_ppm
+          |FROM enc JOIN documents d USING (doc_id)
+          |GROUP BY d.lang ORDER BY lang""".stripMargin),
 
     "q140_int8_gram" ->
       """WITH m AS (
