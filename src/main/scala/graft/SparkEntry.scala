@@ -3673,6 +3673,58 @@ object SparkEntry {
           expr("(sum(n_chars) * 1000000) div sum(n_subwords)")
             .as("chars_per_subword_ppm"))
         .orderBy("lang")
+    }),
+
+    // Coreset coverage audit (KMeans.coresetCoverage) — the maintenance
+    // op of the coreset family: the corpus (vec_id % 10 != 0) selects
+    // its 8-center coreset ONCE (materialized like a store, q218
+    // pattern, vectors re-joined from the corpus); the batch (vec_id %
+    // 10 == 0) is assigned against the center literals without re-
+    // running the greedy loop. Radius budget = the coreset's own
+    // tightest selection radius; per center: batch members, worst
+    // dist², integer mean dist², over-budget count. All fixed-point —
+    // the q235 determinism carried through the audit.
+    "q240_coreset_coverage" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      val coreset = KMeans.farthestPointSample(corpus, "vec_id",
+        "embedding", k = 8).localCheckpoint(true)
+      val centers = coreset.join(corpus, Seq("vec_id"))
+        .select(col("ord"), col("embedding"))
+      val thr = coreset.filter(col("ord") >= 1)
+        .agg(min("radius2")).first().getLong(0)
+      KMeans.coresetCoverage(centers,
+        e.filter(col("vec_id") % 10 === 0), maxRadius2 = thr)
+        .orderBy("ord")
+    }),
+
+    // Split-leakage audit: near-duplicate pairs (q28's portable
+    // MinHash-LSH) whose members land in DIFFERENT train/val/test
+    // splits under the stable md5 split (q55) — the eval-contamination
+    // check every held-out set needs (a test doc with a near-dup in
+    // train inflates the benchmark). One row per unordered split pair
+    // with its pair count and a leak flag; cross-split rows > 0 mean
+    // dedup must run BEFORE splitting, or splits must be assigned per
+    // duplicate CLUSTER, not per doc.
+    "q241_split_leakage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minHashNearDuplicates(docs, "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 32, threshold = 0.10,
+        exactVerify = false, portableHash = true)
+      val split = docs.select(col("doc_id"),
+        TextFunctions.stableSplit(col("doc_id")).as("split"))
+      pairs
+        .join(split.select(col("doc_id").as("id_a"),
+          col("split").as("sa")), Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"),
+          col("split").as("sb")), Seq("id_b"))
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak",
+          (col("split_a") =!= col("split_b")).cast("long"))
+        .orderBy("split_a", "split_b")
     })
   )
 
@@ -3753,26 +3805,68 @@ object SparkEntry {
     * dist² to the newest center)), equal by construction to the Spark
     * side's min over all selected centers. Built by a string loop —
     * eight near-identical CTE pairs are less reviewable handwritten. */
-  private val fpsOracleSql: String = {
-    def dist2(a: String, b: String): String =
-      s"list_aggregate(list_transform(range(64), i -> " +
-        s"($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), 'sum')"
+  /** Shared portable MinHash-LSH replay (q28 / q241), through the
+    * signature-agreement `est` CTE; pre-stripped — callers concatenate
+    * their threshold/rollup suffix. */
+  private val minhashPairsCtes: String =
+    """WITH tk AS (
+      |  SELECT doc_id AS id,
+      |    string_split_regex(lower(trim(text)), '\s+') AS t0
+      |  FROM documents),
+      |sets AS (
+      |  SELECT id, list_sort(list_distinct(list_transform(
+      |    list_transform(generate_series(1, len(t0) - 1),
+      |                   i -> t0[i] || ' ' || t0[i+1]),
+      |    sh -> ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647))) AS sh
+      |  FROM tk),
+      |sigs AS (
+      |  SELECT id, list_transform(range(64), i ->
+      |    list_min(list_transform(sh, h ->
+      |      ((((i+1)*1103515245 + 12345) % 2147483646 + 1) * h
+      |        + ((i+7)*69069 + 1) % 2147483647) % 2147483647))) AS sig
+      |  FROM sets WHERE len(sh) > 0),
+      |banded AS (
+      |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
+      |  FROM sigs s, range(32) r(b)),
+      |ok AS (
+      |  SELECT b, s1, s2 FROM banded GROUP BY b, s1, s2
+      |  HAVING count(*) <= 64),
+      |pruned AS (SELECT banded.* FROM banded JOIN ok USING (b, s1, s2)),
+      |cand AS (
+      |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      |  FROM pruned x JOIN pruned y USING (b, s1, s2) WHERE x.id < y.id),
+      |est AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1]))
+      |      AS DOUBLE) / 64 AS jaccard
+      |  FROM cand c JOIN sigs sa ON sa.id = c.id_a
+      |              JOIN sigs sb ON sb.id = c.id_b)""".stripMargin
+
+  /** DuckDB integer dist² between two named 64-long-list columns —
+    * shared by the fps/coverage oracles. */
+  private def duckDist2(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(64), i -> " +
+      s"($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), 'sum')"
+
+  /** The greedy selection CTE chain (q through `sel`), parameterized by
+    * the corpus predicate; pre-stripped — callers CONCATENATE their
+    * suffix (never re-stripMargin over it, the q139 pipe lesson). */
+  private def fpsCtes(where: String): String = {
     val rounds = (1 until 8).map { i =>
-      val prev = if (i == 1) "d1" else s"d$i"
       val notIn = (0 until i).map(j => s"SELECT id FROM s$j")
         .mkString(" UNION ALL ")
       val dcte =
         if (i == 1)
           s"""d1 AS MATERIALIZED (
-             |  SELECT q.id, q.v, ${dist2("q.v", "s.v")} AS d
+             |  SELECT q.id, q.v, ${duckDist2("q.v", "s.v")} AS d
              |  FROM q, s0 s),""".stripMargin
         else
           s"""d$i AS MATERIALIZED (
-             |  SELECT p.id, p.v, LEAST(p.d, ${dist2("p.v", "s.v")}) AS d
+             |  SELECT p.id, p.v, LEAST(p.d, ${duckDist2("p.v", "s.v")}) AS d
              |  FROM d${i - 1} p, s${i - 1} s),""".stripMargin
       s"""$dcte
          |s$i AS MATERIALIZED (
-         |  SELECT id, v, d FROM $prev
+         |  SELECT id, v, d FROM d$i
          |  WHERE id NOT IN ($notIn)
          |  ORDER BY d DESC, id LIMIT 1),""".stripMargin
     }.mkString("\n")
@@ -3782,22 +3876,26 @@ object SparkEntry {
     s"""WITH q AS MATERIALIZED (
        |  SELECT vec_id AS id, list_transform(embedding, x ->
        |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  $where),
        |s0 AS MATERIALIZED (
        |  SELECT id, v, 0::BIGINT AS d FROM q ORDER BY id LIMIT 1),
        |$rounds
        |sel AS MATERIALIZED (
-       |  $sel),
-       |best AS (
-       |  SELECT id, ord FROM (
-       |    SELECT q.id, sel.ord, ${dist2("q.v", "sel.v")} AS dd
-       |    FROM q, sel)
-       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dd, ord) = 1),
-       |cnt AS (SELECT ord, count(*) AS n_members FROM best GROUP BY ord)
-       |SELECT sel.ord, sel.id AS vec_id, CAST(sel.d AS BIGINT) AS radius2,
-       |  COALESCE(cnt.n_members, 0) AS n_members
-       |FROM sel LEFT JOIN cnt USING (ord) ORDER BY ord""".stripMargin
+       |  $sel)""".stripMargin
   }
+
+  private val fpsOracleSql: String =
+    fpsCtes("") + ",\n" +
+      s"""best AS (
+         |  SELECT id, ord FROM (
+         |    SELECT q.id, sel.ord, ${duckDist2("q.v", "sel.v")} AS dd
+         |    FROM q, sel)
+         |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY dd, ord) = 1),
+         |cnt AS (SELECT ord, count(*) AS n_members FROM best GROUP BY ord)
+         |SELECT sel.ord, sel.id AS vec_id, CAST(sel.d AS BIGINT) AS radius2,
+         |  COALESCE(cnt.n_members, 0) AS n_members
+         |FROM sel LEFT JOIN cnt USING (ord) ORDER BY ord""".stripMargin
 
   /** Shared BPE train+encode replay (q139 / q239): tokenize → doc-token
     * counts (`dt`) → vocabulary → 5 greedy merge rounds → per-token
@@ -3845,6 +3943,30 @@ object SparkEntry {
       s"((($x) << 20) >> (length(bin($x)) - 1)) - 1048576)"
 
   def oracleSql: Map[String, String] = Map(
+    "q240_coreset_coverage" ->
+      (fpsCtes("WHERE vec_id % 10 <> 0") + ",\n" +
+        s"""bq AS (
+           |  SELECT vec_id, list_transform(embedding, x ->
+           |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |ba AS (
+           |  SELECT vec_id, ord, dd FROM (
+           |    SELECT b.vec_id, sel.ord, ${duckDist2("b.v", "sel.v")} AS dd
+           |    FROM bq b, sel)
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dd, ord) = 1),
+           |thr AS (SELECT CAST(min(d) AS BIGINT) AS r FROM sel
+           |  WHERE ord >= 1),
+           |agg AS (
+           |  SELECT ord, count(*) AS n_batch, max(dd) AS max_d2,
+           |    sum(dd) // count(*) AS avg_d2,
+           |    sum(CASE WHEN dd > thr.r THEN 1 ELSE 0 END) AS n_over
+           |  FROM ba, thr GROUP BY ord)
+           |SELECT sel.ord, CAST(COALESCE(agg.n_batch, 0) AS BIGINT) AS n_batch,
+           |  CAST(COALESCE(agg.max_d2, 0) AS BIGINT) AS max_d2,
+           |  CAST(COALESCE(agg.avg_d2, 0) AS BIGINT) AS avg_d2,
+           |  CAST(COALESCE(agg.n_over, 0) AS BIGINT) AS n_over
+           |FROM sel LEFT JOIN agg USING (ord) ORDER BY sel.ord""".stripMargin),
     "q238_importance_weights" ->
       s"""WITH rtk AS MATERIALIZED (
          |  SELECT doc_id,
@@ -6085,40 +6207,29 @@ object SparkEntry {
     // hashes, affine family hᵢ=(aᵢh+bᵢ) mod 2³¹−1, 32 bands × 2 rows,
     // hot-bucket cap 64, signature-agreement Jaccard estimate ≥ 0.10.
     "q28_minhash_neardup" ->
-      """WITH tk AS (
-        |  SELECT doc_id AS id,
-        |    string_split_regex(lower(trim(text)), '\s+') AS t0
-        |  FROM documents),
-        |sets AS (
-        |  SELECT id, list_sort(list_distinct(list_transform(
-        |    list_transform(generate_series(1, len(t0) - 1),
-        |                   i -> t0[i] || ' ' || t0[i+1]),
-        |    sh -> ('0x' || substr(md5(sh), 1, 8))::BIGINT % 2147483647))) AS sh
-        |  FROM tk),
-        |sigs AS (
-        |  SELECT id, list_transform(range(64), i ->
-        |    list_min(list_transform(sh, h ->
-        |      ((((i+1)*1103515245 + 12345) % 2147483646 + 1) * h
-        |        + ((i+7)*69069 + 1) % 2147483647) % 2147483647))) AS sig
-        |  FROM sets WHERE len(sh) > 0),
-        |banded AS (
-        |  SELECT s.id, r.b, s.sig[2*r.b + 1] AS s1, s.sig[2*r.b + 2] AS s2
-        |  FROM sigs s, range(32) r(b)),
-        |ok AS (
-        |  SELECT b, s1, s2 FROM banded GROUP BY b, s1, s2
-        |  HAVING count(*) <= 64),
-        |pruned AS (SELECT banded.* FROM banded JOIN ok USING (b, s1, s2)),
-        |cand AS (
-        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
-        |  FROM pruned x JOIN pruned y USING (b, s1, s2) WHERE x.id < y.id),
-        |est AS (
-        |  SELECT c.id_a, c.id_b,
-        |    CAST(len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1]))
-        |      AS DOUBLE) / 64 AS jaccard
-        |  FROM cand c JOIN sigs sa ON sa.id = c.id_a
-        |              JOIN sigs sb ON sb.id = c.id_b)
-        |SELECT id_a, id_b, jaccard FROM est WHERE jaccard >= 0.10
-        |ORDER BY id_a, id_b""".stripMargin,
+      (minhashPairsCtes + "\n" +
+        """SELECT id_a, id_b, jaccard FROM est WHERE jaccard >= 0.10
+          |ORDER BY id_a, id_b""".stripMargin),
+
+    "q241_split_leakage" ->
+      (minhashPairsCtes + ",\n" +
+        """pairs AS (SELECT id_a, id_b FROM est WHERE jaccard >= 0.10),
+          |sp AS (SELECT doc_id,
+          |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('d','e')
+          |       THEN 'val'
+          |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+          |       THEN 'test' ELSE 'train' END AS split
+          |  FROM documents),
+          |lab AS (
+          |  SELECT least(a.split, b.split) AS split_a,
+          |         greatest(a.split, b.split) AS split_b
+          |  FROM pairs JOIN sp a ON a.doc_id = pairs.id_a
+          |             JOIN sp b ON b.doc_id = pairs.id_b)
+          |SELECT split_a, split_b, count(*) AS n_pairs,
+          |  CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT)
+          |    AS is_leak
+          |FROM lab GROUP BY split_a, split_b
+          |ORDER BY split_a, split_b""".stripMargin),
 
     // Exact mirror of the portable SimHash: distinct lowercase tokens,
     // bit j of token = bit (j mod 8) of md5 byte ⌊j/8⌋ (hex chars

@@ -174,6 +174,52 @@ object KMeans {
         coalesce(col("n_members"), lit(0L)).as("n_members"))
   }
 
+  /** Coverage audit of a persisted [[farthestPointSample]] coreset
+    * against a new batch — the maintenance op of the coreset family
+    * (the [[Ann.assignCells]] pattern): yesterday's centers are read
+    * back (with their vectors re-joined from the corpus) and today's
+    * batch is assigned WITHOUT re-running the greedy loop; per center
+    * the audit reports how many batch points it absorbs, how far the
+    * worst one sits, and how many exceed the caller's radius budget —
+    * sustained `n_over` growth is the re-select signal (the coreset no
+    * longer covers the drifted distribution).
+    *
+    * Same fixed-point grid as selection, so the audit is bit-exact
+    * under a SQL oracle. Scale shape: centers are a k·dim licensed
+    * collect baked into scan-stage literals; the batch is scanned once
+    * (argmin over k codegen'd integer dist²) into a k-row agg; the
+    * k-row left join restores centers that absorb nothing.
+    *
+    * @param centers (ord, vecCol) — k rows
+    * @return (ord, n_batch, max_d2, avg_d2, n_over), one row per
+    *         center; zeros for centers with no batch members */
+  def coresetCoverage(centers: DataFrame, batch: DataFrame,
+      maxRadius2: Long, idCol: String = "vec_id",
+      vecCol: String = "embedding", scale: Int = 1000): DataFrame = {
+    val cent = centers
+      .select(col("ord").cast("long"), quantize(col(vecCol), scale).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    require(cent.nonEmpty, "empty coreset")
+    val scored = cent.map { case (ord, cv) =>
+      struct(dist2(col("v"), cv).as("d"), lit(ord).as("i"))
+    }
+    val assigned = batch
+      .select(quantize(col(vecCol), scale).as("v"))
+      .withColumn("best", array_min(array(scored: _*)))
+      .select(col("best").getField("i").as("ord"),
+        col("best").getField("d").as("d2"))
+    val agg = assigned.groupBy("ord")
+      .agg(count(lit(1)).as("n_batch"), max("d2").as("max_d2"),
+        expr("sum(d2) div count(1)").as("avg_d2"),
+        sum(when(col("d2") > maxRadius2, 1L).otherwise(0L)).as("n_over"))
+    centers.select(col("ord").cast("long").as("ord"))
+      .join(agg, Seq("ord"), "left")
+      .select(col("ord"), coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        coalesce(col("max_d2"), lit(0L)).as("max_d2"),
+        coalesce(col("avg_d2"), lit(0L)).as("avg_d2"),
+        coalesce(col("n_over"), lit(0L)).as("n_over"))
+  }
+
   /** Per-cluster simplified (centroid-distance) silhouette — the
     * clustering-quality gate next to [[integerLloydAssign]]: for each
     * vector, a = d² to its own (nearest) centroid, b = min d² to any

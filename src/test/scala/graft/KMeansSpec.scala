@@ -113,6 +113,24 @@ class KMeansSpec extends SparkSpec {
     assert(got.map(_._4).sum == q.length)
   }
 
+  test("coresetCoverage: hand-computed audit; ties to lower ord; empty center reads zeros") {
+    // centers on a line at 0, 10, 100; batch at 1, 4, 5, 9, 12.
+    // 5 is equidistant (25e6 both) → ties to ord 0. Budget 2e6:
+    // ord 0 absorbs {1,4,5} (over: 4,5), ord 1 absorbs {9,12}
+    // (over: 12), ord 2 absorbs nothing and must read zeros.
+    val centers = Seq((0L, Seq(0f)), (1L, Seq(10f)), (2L, Seq(100f)))
+      .toDF("ord", "embedding")
+    val batch = Seq((1L, Seq(1f)), (2L, Seq(4f)), (3L, Seq(5f)),
+      (4L, Seq(9f)), (5L, Seq(12f))).toDF("vec_id", "embedding")
+    val got = KMeans.coresetCoverage(centers, batch,
+      maxRadius2 = 2000000L)
+      .orderBy("ord").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3L, 25000000L, 14000000L, 2L),
+      (1L, 2L, 4000000L, 2500000L, 1L),
+      (2L, 0L, 0L, 0L, 0L)), s"got $got")
+  }
+
   test("simplifiedSilhouette: separated clusters read ~1e6, identical points read 0") {
     // k=2, rounds=1: centroids = the two lowest ids, one per cluster.
     // v2 joins c0: a=1, b=998001 -> 999998; v0: a=0, b=1e6 -> 1e6
