@@ -96,7 +96,8 @@ object Plans {
       "q238_importance_weights" -> "DSIR importance weights: scan-stage tokenize+md5-bucket (re-scanned, never a materialized token explosion), bins-row bucket-score table BROADCAST into the per-doc agg, fixed-point log2 is pure codegen integer math (bitlength + shifts) — the only corpus-sized exchange is the (doc, bucket) partial agg",
       "q239_tokenizer_fertility" -> "tokenizer fertility by language: q139's cached (doc, tok) projection feeds trainer and encoder (one tokenize scan), vocab-sized merge work, width join deliberately shuffled (100 TB vocab outgrows broadcast), lang rollup over doc-sized rows",
       "q240_coreset_coverage" -> "coreset coverage audit: batch scanned ONCE against the k center literals (codegen integer dist² argmin), k-row agg, k-row left join restores empty centers — the greedy selection ran upstream on the store side, the audit itself never shuffles the batch",
-      "q241_split_leakage" -> "near-dup split leakage: q28's banded minhash pairs (pair-sized) join the doc-sized split table twice — pair side small so both joins broadcast the pairs at this SF; at scale they are id-keyed shuffle joins of (id, split) projections; final rollup is 6 rows")
+      "q241_split_leakage" -> "near-dup split leakage: q28's banded minhash pairs (pair-sized) join the doc-sized split table twice — pair side small so both joins broadcast the pairs at this SF; at scale they are id-keyed shuffle joins of (id, split) projections; final rollup is 6 rows",
+      "q242_coreset_extend" -> "coreset extension (first new round shown in the k-row output plan): the greedy loop continues from the STORED centers as baked literals — per round one scan of the drifted corpus into a top-1 TakeOrderedAndProject, no shuffle of the corpus, append rows only")
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `graft.Plans`, sf0.01)\n\n")
     sb.append("Evidence for ARCHITECTURE.md's claims: `PushedFilters`/`ReadSchema`\n")

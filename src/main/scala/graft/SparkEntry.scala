@@ -3725,6 +3725,24 @@ object SparkEntry {
         .withColumn("is_leak",
           (col("split_a") =!= col("split_b")).cast("long"))
         .orderBy("split_a", "split_b")
+    }),
+
+    // Coreset extension (KMeans.extendCoreset) — the lifecycle's third
+    // op: q240's 8-center coreset (selected on the % 10 != 0 corpus,
+    // materialized like a store) is EXTENDED with 4 more centers over
+    // the full drifted corpus (batch included) — the greedy loop
+    // continues from the stored centers, so existing center ids stay
+    // stable and only append rows ship. Output = the 4 new (ord, id,
+    // radius2) rows, ord continuing after the store.
+    "q242_coreset_extend" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      val coreset = KMeans.farthestPointSample(corpus, "vec_id",
+        "embedding", k = 8).localCheckpoint(true)
+      val centers = coreset.join(corpus, Seq("vec_id"))
+        .select(col("ord"), col("vec_id"), col("embedding"))
+      KMeans.extendCoreset(centers, e, "vec_id", "embedding", kAdd = 4)
+        .orderBy("ord")
     })
   )
 
@@ -3943,6 +3961,43 @@ object SparkEntry {
       s"((($x) << 20) >> (length(bin($x)) - 1)) - 1048576)"
 
   def oracleSql: Map[String, String] = Map(
+    "q242_coreset_extend" -> {
+      val rounds = (1 to 4).map { i =>
+        val notIn = ("SELECT id FROM sel" +:
+          (1 until i).map(j => s"SELECT id FROM t$j")).mkString(" UNION ALL ")
+        val ecte =
+          if (i == 1)
+            s"""e1 AS MATERIALIZED (
+               |  SELECT id, v, dd AS d FROM (
+               |    SELECT id, v, dd,
+               |      row_number() OVER (PARTITION BY id ORDER BY dd) AS rn
+               |    FROM (SELECT q2.id, q2.v, ${duckDist2("q2.v", "sel.v")}
+               |            AS dd FROM q2, sel))
+               |  WHERE rn = 1),""".stripMargin
+          else
+            s"""e$i AS MATERIALIZED (
+               |  SELECT p.id, p.v, LEAST(p.d, ${duckDist2("p.v", "t.v")}) AS d
+               |  FROM e${i - 1} p, t${i - 1} t),""".stripMargin
+        s"""$ecte
+           |t$i AS MATERIALIZED (
+           |  SELECT id, v, d FROM e$i
+           |  WHERE id NOT IN ($notIn)
+           |  ORDER BY d DESC, id LIMIT 1),""".stripMargin
+      }.mkString("\n")
+      val out = (1 to 4).map(i =>
+        s"SELECT CAST(${7 + i} AS BIGINT) AS ord, id AS vec_id, " +
+          s"CAST(d AS BIGINT) AS radius2 FROM t$i")
+        .mkString("\n  UNION ALL ")
+      fpsCtes("WHERE vec_id % 10 <> 0") + ",\n" +
+        s"""q2 AS MATERIALIZED (
+           |  SELECT vec_id AS id, list_transform(embedding, x ->
+           |    CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+           |  FROM embeddings),
+           |$rounds
+           |ext AS (
+           |  $out)
+           |SELECT ord, vec_id, radius2 FROM ext ORDER BY ord""".stripMargin
+    },
     "q240_coreset_coverage" ->
       (fpsCtes("WHERE vec_id % 10 <> 0") + ",\n" +
         s"""bq AS (

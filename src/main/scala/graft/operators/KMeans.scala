@@ -126,22 +126,19 @@ object KMeans {
     *         member count of each center under nearest-center
     *         assignment over the full input (ties to the lower ord) —
     *         the coreset WEIGHTS. */
-  def farthestPointSample(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, scale: Int = 1000): DataFrame = {
-    require(k >= 1, s"need k >= 1 (got $k)")
-    val spark = df.sparkSession
-    val q = df.select(col(idCol).cast("long").as("id"),
-        quantize(col(vecCol), scale).as("v"))
-      .localCheckpoint(true)
-    val seed = q.orderBy("id").limit(1).collect()
-    require(seed.nonEmpty, "farthestPointSample on an empty input")
-    // (id, center vector, radius2-at-selection), selection order
-    var selected = Vector[(Long, Seq[Long], Long)](
-      (seed(0).getLong(0), seed(0).getSeq[Long](1), 0L))
+  /** The shared greedy rounds behind [[farthestPointSample]] and
+    * [[extendCoreset]]: grow `selected` ((id, vec, radius2) in
+    * selection order) to `k` entries by repeated argmax-min-dist² picks
+    * from the checkpointed quantized frame `q` (columns id, v).
+    * Min-dist² against ALL selected centers is re-derived from baked
+    * literals each round — no growing lineage, no per-round checkpoint;
+    * k²/2 total dist evals beat k materializations of a corpus-wide
+    * frame. */
+  private def greedyRounds(q: DataFrame,
+      selected0: Vector[(Long, Seq[Long], Long)], k: Int)
+      : Vector[(Long, Seq[Long], Long)] = {
+    var selected = selected0
     while (selected.size < k) {
-      // min-dist² against ALL selected centers as baked literals: no
-      // growing lineage, no per-round checkpoint — k²/2 total dist
-      // evals is cheaper than k materializations of a corpus-wide frame
       val dmin = array_min(array(
         selected.map(c => dist2(col("v"), c._2)): _*))
       val next = q
@@ -154,6 +151,60 @@ object KMeans {
       selected :+= ((next(0).getLong(0), next(0).getSeq[Long](1),
         next(0).getLong(2)))
     }
+    selected
+  }
+
+  /** Extend a persisted [[farthestPointSample]] coreset with `kAdd`
+    * more centers over NEW data — the third op of the coreset
+    * lifecycle (select → [[coresetCoverage]] audit → extend): when the
+    * audit's over-radius counts say the distribution drifted, the
+    * greedy loop CONTINUES from the stored centers over the drifted
+    * corpus instead of re-selecting from scratch, so existing center
+    * ids (and everything downstream keyed on them) stay stable — the
+    * [[Ann.assignCells]] append discipline applied to coresets.
+    *
+    * Same argmax-min-dist² rounds, same fixed-point grid, stored
+    * center ids excluded — the appended rows are exactly what a fresh
+    * k+kAdd selection would have picked next had the new data been
+    * present with these centers chosen.
+    *
+    * @param centers (ord, idCol, vecCol) — the persisted coreset with
+    *                vectors re-joined
+    * @return the kAdd APPEND rows (ord continuing after the stored
+    *         max, idCol, radius2) */
+  def extendCoreset(centers: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String, kAdd: Int, scale: Int = 1000): DataFrame = {
+    require(kAdd >= 1, s"need kAdd >= 1 (got $kAdd)")
+    val spark = df.sparkSession
+    val cent = centers.select(col("ord").cast("long"),
+        col(idCol).cast("long"), quantize(col(vecCol), scale).as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1) // ≤ k rows — licensed
+    require(cent.nonEmpty, "extendCoreset on an empty coreset")
+    val q = df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol), scale).as("v"))
+      .localCheckpoint(true)
+    val grown = greedyRounds(q,
+      cent.map { case (_, id, v) => (id, v, 0L) }.toVector,
+      cent.length + kAdd)
+    import spark.implicits._
+    grown.drop(cent.length).zipWithIndex
+      .map { case ((id, _, r), j) => (cent.last._1 + 1 + j, id, r) }
+      .toDF("ord", idCol, "radius2")
+  }
+
+  def farthestPointSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol), scale).as("v"))
+      .localCheckpoint(true)
+    val seed = q.orderBy("id").limit(1).collect()
+    require(seed.nonEmpty, "farthestPointSample on an empty input")
+    // (id, center vector, radius2-at-selection), selection order
+    val selected = greedyRounds(q,
+      Vector((seed(0).getLong(0), seed(0).getSeq[Long](1), 0L)), k)
     // census: nearest selected center per point, ties to the lower ord
     val scored = selected.zipWithIndex.map { case ((_, cv, _), ord) =>
       struct(dist2(col("v"), cv).as("d"), lit(ord).as("i"))

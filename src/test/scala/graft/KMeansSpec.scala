@@ -113,6 +113,72 @@ class KMeansSpec extends SparkSpec {
     assert(got.map(_._4).sum == q.length)
   }
 
+  test("extendCoreset continues the greedy sequence exactly; drift pulls new centers") {
+    val e = Tables.embeddings(spark, sfDir)
+    val base = KMeans.farthestPointSample(e, "vec_id", "embedding", k = 6)
+      .localCheckpoint(true)
+    val centers = base.join(e, Seq("vec_id"))
+      .select(col("ord"), col("vec_id"), col("embedding"))
+    // prefix stability: extending the stored 6 by 3 over the SAME data
+    // reproduces rows 6..8 of a fresh 9-center selection exactly
+    val ext = KMeans.extendCoreset(centers, e, "vec_id", "embedding",
+      kAdd = 3).as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val full = KMeans.farthestPointSample(e, "vec_id", "embedding", k = 9)
+      .select("ord", "vec_id", "radius2")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(ext == full.drop(6), s"ext $ext vs full tail ${full.drop(6)}")
+    // drifted data: a far-away cluster must win the first extension pick
+    val drift = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(30.0f)).as("embedding"))
+    val pick = KMeans.extendCoreset(centers,
+      e.select("vec_id", "embedding").unionByName(drift),
+      "vec_id", "embedding", kAdd = 1)
+      .as[(Long, Long, Long)].collect().head
+    assert(pick._2 >= 1000000L,
+      s"extension must reach into the drifted region: $pick")
+    assert(pick._1 == 6L)
+  }
+
+  test("coresetCoverage is batch-decomposable: streaming micro-batch audits sum to the batch audit") {
+    import org.apache.spark.sql.streaming.Trigger
+    val e = Tables.embeddings(spark, sfDir).limit(300).localCheckpoint(true)
+    val centers = KMeans.farthestPointSample(e, "vec_id", "embedding",
+      k = 4).join(e, Seq("vec_id")).select(col("ord"), col("embedding"))
+      .localCheckpoint(true) // stable store across micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("fpscov").toString
+    val src = s"$dir/src"; new java.io.File(src).mkdirs()
+    val rows = e.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    rows.grouped(100).foreach(g =>
+      g.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(src))
+    val acc = scala.collection.mutable.Map[Long, (Long, Long, Long)]()
+    var nBatches = 0
+    val q = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        nBatches += 1
+        KMeans.coresetCoverage(centers, batch, maxRadius2 = 2000000L)
+          .collect().foreach { r =>
+            val (n, mx, ov) = acc.getOrElse(r.getLong(0), (0L, 0L, 0L))
+            acc(r.getLong(0)) = (n + r.getLong(1),
+              math.max(mx, r.getLong(2)), ov + r.getLong(4))
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(nBatches >= 2, s"wanted multiple micro-batches, got $nBatches")
+    // n/max/over are per-point and additive — the stateless audit over
+    // micro-batches reassembles the one-shot batch audit exactly
+    val want = KMeans.coresetCoverage(centers, e, maxRadius2 = 2000000L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(acc.toMap == want, s"streaming $acc vs batch $want")
+  }
+
   test("coresetCoverage: hand-computed audit; ties to lower ord; empty center reads zeros") {
     // centers on a line at 0, 10, 100; batch at 1, 4, 5, 9, 12.
     // 5 is equidistant (25e6 both) → ties to ord 0. Budget 2e6:
