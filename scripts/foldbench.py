@@ -5,16 +5,20 @@ many runs converge where no single run is clean).
 
 Usage: python3 scripts/foldbench.py <out.json> <run1.json> [run2.json ...]
 
-Each run file holds Bench's one-line JSON record. The output carries
-per-query mins, their total, and the core total (forced-regime queries
-excluded, matching Bench's own core_value rule).
+Each run file holds Bench's one-line JSON record, OR a prior mins file
+(re-serialized to one line) whose evidence base carries forward: its
+"runs" count is summed instead of counting the file as one run
+(ADVICE r14 — the old len(inputs) under-reported a folded prior record's
+eleven runs as one). The output carries per-query mins, their total, and
+the core total (forced-regime queries excluded, matching Bench's own
+core_value rule).
 """
 import json
 import sys
 
 
 def main(out_path, run_paths):
-    mins, forced, sf = {}, set(), None
+    mins, forced, sf, runs = {}, set(), None, 0
     for p in run_paths:
         # Bench may emit its record line more than once (stdout tail +
         # final compact line) — take the first JSON line
@@ -22,14 +26,17 @@ def main(out_path, run_paths):
             run = json.loads(f.readline())
         sf = run.get("sf", sf)
         forced.update(run.get("forced_regime", []))
+        # a prior mins file declares its own runs count; a raw bench
+        # record counts as one run
+        runs += run.get("runs", 1) if "total" in run else 1
         for q, sec in run["queries"].items():
             if isinstance(sec, (int, float)):
                 mins[q] = min(mins.get(q, float("inf")), sec)
     total = round(sum(mins.values()), 2)
     core = round(sum(v for q, v in mins.items() if q not in forced), 2)
     rec = {
-        "metric": "per-query mins across round-14 runs",
-        "runs": len(run_paths),
+        "metric": "per-query mins across bench runs",
+        "runs": runs,
         "n": len(mins),
         "sf": sf,
         "total": total,
@@ -39,7 +46,7 @@ def main(out_path, run_paths):
     }
     with open(out_path, "w") as f:
         json.dump(rec, f, indent=1)
-    print(f"folded {len(run_paths)} runs -> {out_path}: "
+    print(f"folded {runs} runs ({len(run_paths)} inputs) -> {out_path}: "
           f"n={len(mins)} total={total} core={core}")
 
 

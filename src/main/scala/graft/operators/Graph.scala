@@ -1348,12 +1348,25 @@ object Graph {
     * table each materialize once and feed their scalar totals via
     * broadcast one-row frames (shared-branch rule, no driver collect);
     * the only shuffles are the walk-keyed window and the two count
-    * aggs. Association math is safe in longs up to T ≈ 3·10⁶ positions
-    * (c_ab·T²·10⁶ < 2⁶³); beyond that shard the corpus or drop the 10⁶
-    * scale — at walk corpora past that size you are training, not
-    * auditing.
+    * aggs. Association math runs in DECIMAL(38,0) (numerator
+    * c_ab·T²·10⁶ ≤ T³·10⁶ stays exact through T ≈ 10¹⁰ positions; the
+    * old long spelling wrapped silently at T ≈ 3·10⁶ for any
+    * c_ab ≥ 2), floored back to BIGINT by `div` — identical in DuckDB.
     *
     * @return (na, nb, c_ab, lift_ppm), na < nb, c_ab >= minCount */
+  /** [[walkCooccurrence]]'s association score over columns
+    * (c_ab, t, ca, cb, p): `c_ab·T²·10⁶ div (c_a·c_b·P)` with BOTH
+    * products in DECIMAL(38,0) (the q227/q229 discipline) — the long
+    * spelling wraps SILENTLY once c_ab·T²·10⁶ passes 2⁶³ (at T = 3·10⁶
+    * any c_ab ≥ 2 already does — VERDICT r14 #2) while DuckDB would
+    * raise, an unguarded cross-engine divergence. Decimal keeps the
+    * products exact through ~10³⁸; `div` floors back to BIGINT
+    * identically in both engines, and values are unchanged wherever
+    * the long math didn't wrap (GraphSpec lift-overflow test). */
+  private[graft] def liftPpm: org.apache.spark.sql.Column =
+    expr("(cast(c_ab as decimal(38,0)) * t * t * 1000000) div " +
+      "(cast(ca as decimal(38,0)) * cb * p)")
+
   def walkCooccurrence(edges: DataFrame, seeds: DataFrame, steps: Int,
       window: Int, minCount: Long = 2L,
       broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
@@ -1380,8 +1393,7 @@ object Graph {
       .join(occ.select(col("node").as("na"), col("c").as("ca")), Seq("na"))
       .join(occ.select(col("node").as("nb"), col("c").as("cb")), Seq("nb"))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
-      .select(col("na"), col("nb"), col("c_ab"),
-        expr("(c_ab * t * t * 1000000) div (ca * cb * p)").as("lift_ppm"))
+      .select(col("na"), col("nb"), col("c_ab"), liftPpm.as("lift_ppm"))
   }
 
   /** One co-bucketed k-core survivor filter (exposed for plan

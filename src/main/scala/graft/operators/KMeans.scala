@@ -134,6 +134,20 @@ object KMeans {
     * literals each round — no growing lineage, no per-round checkpoint;
     * k²/2 total dist evals beat k materializations of a corpus-wide
     * frame. */
+  /** Validate a collected coreset store's ords: must be exactly
+    * 0..k-1 (sorted input), the [[Ann]] `collectCentroids` discipline
+    * (ADVICE r14) — a double-appended store (duplicate ord) would
+    * silently duplicate coverage rows / bake duplicate center
+    * literals, and a filtered store (ord gaps) would make
+    * [[extendCoreset]] continue from `last.ord` into colliding or
+    * gapped ids. Persisted index stores must fail LOUDLY on read. */
+  private def requireContiguousOrds(ords: Seq[Long], what: String): Unit =
+    require(ords == (0L until ords.length.toLong),
+      s"$what ords must be exactly 0..${ords.length - 1} (a filtered " +
+        "or double-appended coreset store corrupts extension ids and " +
+        s"coverage rows); got ${ords.take(24).mkString(",")}" +
+        (if (ords.length > 24) ",…" else ""))
+
   private def greedyRounds(q: DataFrame,
       selected0: Vector[(Long, Seq[Long], Long)], k: Int)
       : Vector[(Long, Seq[Long], Long)] = {
@@ -181,6 +195,7 @@ object KMeans {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
       .sortBy(_._1) // ≤ k rows — licensed
     require(cent.nonEmpty, "extendCoreset on an empty coreset")
+    requireContiguousOrds(cent.map(_._1).toSeq, "extendCoreset centers")
     val q = df.select(col(idCol).cast("long").as("id"),
         quantize(col(vecCol), scale).as("v"))
       .localCheckpoint(true)
@@ -251,6 +266,7 @@ object KMeans {
       .select(col("ord").cast("long"), quantize(col(vecCol), scale).as("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
     require(cent.nonEmpty, "empty coreset")
+    requireContiguousOrds(cent.map(_._1).toSeq, "coresetCoverage centers")
     val scored = cent.map { case (ord, cv) =>
       struct(dist2(col("v"), cv).as("d"), lit(ord).as("i"))
     }

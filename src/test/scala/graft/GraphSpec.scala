@@ -893,4 +893,27 @@ class GraphSpec extends SparkSpec {
       minCount = 1L).count() == 7L)
   }
 
+  test("walkCooccurrence lift is exact at and over the old 64-bit bound") {
+    // counts where the LONG spelling of c_ab·t²·10⁶ wraps (silently,
+    // non-ANSI): t = 3·10⁶ with c_ab = 2 is ~1.8e19 > 2⁶³−1 ≈ 9.2e18.
+    // The DECIMAL(38,0) expression must floor the true quotient.
+    val cases = Seq(
+      // (c_ab, t, ca, cb, p) — first is AT the old headline bound
+      // (c_ab = 1 still fits longs: parity with the old math),
+      // the rest wrap the long numerator
+      (1L, 3000000L, 1500000L, 1500000L, 2999999L),
+      (2L, 3000000L, 1500000L, 1500000L, 2999999L),
+      (1000L, 3000000L, 1500000L, 1500000L, 2999999L),
+      (123456L, 2999999L, 7L, 11L, 2999998L))
+    val got = cases.toDF("c_ab", "t", "ca", "cb", "p")
+      .select(col("c_ab"), Graph.liftPpm.as("lift_ppm"))
+      .as[(Long, Long)].collect().toMap
+    cases.foreach { case (cab, t, ca, cb, p) =>
+      val want = (BigInt(cab) * BigInt(t) * BigInt(t) * 1000000) /
+        (BigInt(ca) * BigInt(cb) * BigInt(p))
+      assert(BigInt(got(cab)) == want,
+        s"lift for c_ab=$cab: got ${got(cab)}, want $want")
+    }
+  }
+
 }

@@ -197,6 +197,35 @@ class KMeansSpec extends SparkSpec {
       (2L, 0L, 0L, 0L, 0L)), s"got $got")
   }
 
+  test("coreset store reads fail loudly on gapped or duplicated ords") {
+    // The persisted-index-store invariant (ADVICE r14): a FILTERED
+    // store (ord gap) or a DOUBLE-APPENDED store (duplicate ord) must
+    // refuse, not silently duplicate coverage rows / continue ords
+    // from last.ord into collisions.
+    val batch = Seq((1L, Seq(1f)), (2L, Seq(4f))).toDF("vec_id", "embedding")
+    val gapped = Seq((0L, 1L, Seq(0f)), (2L, 2L, Seq(100f)))
+      .toDF("ord", "vec_id", "embedding")
+    val dup = Seq((0L, 1L, Seq(0f)), (1L, 2L, Seq(10f)), (1L, 3L, Seq(20f)))
+      .toDF("ord", "vec_id", "embedding")
+    for (bad <- Seq(gapped, dup)) {
+      val e1 = intercept[IllegalArgumentException] {
+        KMeans.coresetCoverage(bad.select("ord", "embedding"), batch,
+          maxRadius2 = 2000000L).collect()
+      }
+      assert(e1.getMessage.contains("must be exactly 0.."), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        KMeans.extendCoreset(bad, batch, "vec_id", "embedding", kAdd = 1)
+          .collect()
+      }
+      assert(e2.getMessage.contains("must be exactly 0.."), e2.getMessage)
+    }
+    // a healthy 0..k-1 store still reads fine
+    val ok = Seq((0L, 1L, Seq(0f)), (1L, 2L, Seq(10f)))
+      .toDF("ord", "vec_id", "embedding")
+    assert(KMeans.coresetCoverage(ok.select("ord", "embedding"), batch,
+      maxRadius2 = 2000000L).count() == 2L)
+  }
+
   test("simplifiedSilhouette: separated clusters read ~1e6, identical points read 0") {
     // k=2, rounds=1: centroids = the two lowest ids, one per cluster.
     // v2 joins c0: a=1, b=998001 -> 999998; v0: a=0, b=1e6 -> 1e6
