@@ -22,13 +22,19 @@ object Probe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.local("probe", 32)
+    // SPARK_GRAFT_CONF="k=v;k=v" — runtime-settable confs for A/B probes
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
     val jobs = new java.util.concurrent.atomic.AtomicLong(0)
     val stages = new java.util.concurrent.atomic.AtomicLong(0)
     val tasks = new java.util.concurrent.atomic.AtomicLong(0)
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
-    // per-stage run-time attribution: stage name → (count, run ms, cpu ms)
-    val stageAgg = new java.util.concurrent.ConcurrentHashMap[
-      String, (Long, Long, Long)]()
+    // per-stage run-time attribution: one record per completed stage
+    // (id, numTasks, run ms, cpu ms, rdd-scope summary)
+    val stageAgg = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Int, Long, Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); ()
@@ -37,10 +43,13 @@ object Probe {
         stages.incrementAndGet()
         val m = s.stageInfo.taskMetrics
         if (m != null) {
-          val key = s.stageInfo.name.take(120)
-          stageAgg.merge(key,
-            (1L, m.executorRunTime, m.executorCpuTime / 1000000L),
-            (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+          // rdd scopes, innermost-first, deduped — names the operators
+          // the stage actually ran (AQE stages all share one callsite)
+          val scopes = s.stageInfo.rddInfos.sortBy(_.id)
+            .flatMap(r => r.scope.map(_.name).orElse(Option(r.name)))
+            .distinct.mkString(" | ").take(200)
+          stageAgg.add((s.stageInfo.stageId, s.stageInfo.numTasks,
+            m.executorRunTime, m.executorCpuTime / 1000000L, scopes))
         }
         ()
       }
@@ -80,10 +89,10 @@ object Probe {
           f"tasks=${tasks.get - t0} taskTotalSec=${(taskMs.get - m0) / 1e3}%.2f")
       }
       import scala.jdk.CollectionConverters._
-      stageAgg.asScala.toSeq.sortBy(-_._2._2).take(12).foreach {
-        case (k, (n, run, cpu)) =>
-          println(f"[probe-stage] $name n=$n%d runSec=${run / 1e3}%.2f " +
-            f"cpuSec=${cpu / 1e3}%.2f  $k")
+      stageAgg.asScala.toSeq.sortBy(-_._3).take(16).foreach {
+        case (id, nt, run, cpu, scopes) =>
+          println(f"[probe-stage] $name id=$id%d tasks=$nt%d " +
+            f"runSec=${run / 1e3}%.2f cpuSec=${cpu / 1e3}%.2f  $scopes")
       }
     }
     spark.stop()

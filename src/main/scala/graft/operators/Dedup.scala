@@ -752,13 +752,18 @@ object Dedup {
         .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       val parent = labels.select(col("id").as("__pid"), col("label").as("__plabel"))
-      val next = cand.join(parent, cand("label") === parent("__pid"), "left")
-        .select(cand("id"),
-          least(cand("label"), coalesce(col("__plabel"), cand("label"))).as("label"),
-          (least(cand("label"), coalesce(col("__plabel"), cand("label"))) <
-            col("__old")).as("__changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("__changed")).limit(1).count() == 0
+      // changed-row count observed in the checkpoint job itself
+      // (round-15 loop-action fusion, GraphTuning.checkpointWithCount
+      // pattern) — the old convergence check was one extra job per
+      // round over the just-checkpointed label table
+      val (next, nChanged) = GraphTuning.checkpointObserving(
+        cand.join(parent, cand("label") === parent("__pid"), "left")
+          .select(cand("id"),
+            least(cand("label"), coalesce(col("__plabel"), cand("label"))).as("label"),
+            (least(cand("label"), coalesce(col("__plabel"), cand("label"))) <
+              col("__old")).as("__changed")),
+        sum(when(col("__changed"), 1L).otherwise(0L)))
+      converged = nChanged == 0
       labels = next.drop("__changed")
       iter += 1
     }

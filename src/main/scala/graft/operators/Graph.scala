@@ -404,24 +404,28 @@ object Graph {
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("dst")).cache()
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    val seed0 = seeds.select(col("id").cast("long"), lit(0L).as("dist"))
-      .distinct().localCheckpoint(true)
+    // frontier counts OBSERVED in the checkpoint jobs (round-15 fusion)
+    // — the old per-hop isEmpty was one extra job per hop
+    val (seed0, nSeed) = GraphTuning.checkpointWithCount(
+      seeds.select(col("id").cast("long"), lit(0L).as("dist")).distinct())
     // Only each hop's NEW frontier is ever materialized: the visited set
     // stays a lazy union of the checkpointed frontiers (scanning k small
     // flat frames per anti-join), where re-checkpointing the union would
     // rewrite every visited row once per hop — O(hops · nodes) total.
     var frontiers = List(seed0)
     var frontier = seed0
+    var nFrontier = nSeed
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && nFrontier > 0) {
       hop += 1
       val visited = frontiers.map(_.select("id")).reduce(_ unionByName _)
-      frontier = ew
+      val fn = GraphTuning.checkpointWithCount(ew
         .join(maybeB(frontier.select(col("id").as("src"))), Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(maybeB(visited), Seq("id"), "left_anti")
-        .withColumn("dist", lit(hop.toLong))
-        .localCheckpoint(true)
+        .withColumn("dist", lit(hop.toLong)))
+      frontier = fn._1
+      nFrontier = fn._2
       frontiers ::= frontier
     }
     ew.unpersist(blocking = false)
@@ -589,11 +593,11 @@ object Graph {
     val spark = edges.sparkSession
     // Bit assignment = rank of the distinct seed ids: a <= 64-row
     // single-partition window, deterministic across engines.
-    val sd = seeds.select(col("id").cast("long")).distinct()
-      .withColumn("bit",
-        row_number().over(Window.orderBy(col("id"))) - 1)
-      .localCheckpoint(true)
-    require(sd.count() <= 64, "multiSourceBfs packs at most 64 seeds")
+    val (sd, nSeeds) = GraphTuning.checkpointWithCount(
+      seeds.select(col("id").cast("long")).distinct()
+        .withColumn("bit",
+          row_number().over(Window.orderBy(col("id"))) - 1))
+    require(nSeeds <= 64, "multiSourceBfs packs at most 64 seeds")
     val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
     val edgeUpper = GraphTuning.rowUpperBound(edges)
     val (nodeEst, nodeSrc) = edgeUpper match {
@@ -608,14 +612,16 @@ object Graph {
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("dst")).cache()
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // frontier counts observed in the checkpoint jobs (round-15 fusion)
     val f0 = sd.select(col("id"),
         expr("shiftleft(CAST(1 AS BIGINT), bit)").as("bits"),
         lit(0L).as("hop"))
       .localCheckpoint(true)
     var frontiers = List(f0)
     var frontier = f0
+    var nFrontier = nSeeds
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && nFrontier > 0) {
       hop += 1
       // Reached masks so far: lazy union of the checkpointed frontiers,
       // re-merged per round (reached-set-sized, the bfsDistances
@@ -627,14 +633,15 @@ object Graph {
         .join(maybeB(frontier.select(col("id").as("src"), col("bits"))),
           Seq("src"))
         .groupBy(col("dst").as("id")).agg(expr("bit_or(bits)").as("g"))
-      frontier = gathered
+      val fn = GraphTuning.checkpointWithCount(gathered
         .join(maybeB(seen), Seq("id"), "left")
         .select(col("id"), col("g")
           .bitwiseAND(bitwise_not(coalesce(col("seen"), lit(0L))))
           .as("bits"))
         .filter(col("bits") =!= 0L)
-        .withColumn("hop", lit(hop.toLong))
-        .localCheckpoint(true)
+        .withColumn("hop", lit(hop.toLong)))
+      frontier = fn._1
+      nFrontier = fn._2
       frontiers ::= frontier
     }
     ew.unpersist(blocking = false)
@@ -750,6 +757,20 @@ object Graph {
     def write(df: DataFrame, table: String, bucketCols: Seq[String]): Unit = {
       graft.io.Bucketing.writeBucketed(df, table, bucketCols, numBuckets)
       created += table
+    }
+    /** [[write]] with a long-valued aggregate OBSERVED during the
+      * bucketed-write job itself (round-15 loop-action fusion, the
+      * [[GraphTuning.checkpointWithCount]] pattern applied to the
+      * co-bucketed regimes): the loops' convergence/frontier counts
+      * previously RE-READ the just-written table — at 100 TB a full
+      * per-round pass over the round's label/frontier table. */
+    def writeObserving(df: DataFrame, table: String,
+        bucketCols: Seq[String],
+        metric: org.apache.spark.sql.Column): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      write(df.observe(obs, coalesce(metric, lit(0L)).as("n")),
+        table, bucketCols)
+      GraphTuning.longMetric(obs.get("n"))
     }
     def dropAll(): Unit = dropTables(spark, created.toSeq: _*)
   }
@@ -946,11 +967,13 @@ object Graph {
       var it = 0
       while (!converged && it < maxIterations) {
         it += 1
-        wt.write(
+        // changed-row count observed in the bucketed write itself —
+        // the old convergence check re-read the whole label table
+        val nChanged = wt.writeObserving(
           ccCoBucketedRound(spark, edgesTbl, lblTbl(it - 1)),
-          lblTbl(it), Seq("id"))
-        converged = spark.table(lblTbl(it))
-          .filter(col("__changed")).limit(1).count() == 0
+          lblTbl(it), Seq("id"),
+          sum(when(col("__changed"), 1L).otherwise(0L)))
+        converged = nChanged == 0
       }
       spark.table(lblTbl(it)).select(col("id"), col("label"))
         .localCheckpoint(true)
@@ -1000,20 +1023,21 @@ object Graph {
         edgesTbl, Seq("src"))
       val seed0 = seeds.select(col("id").cast("long").as("src"),
         lit(0L).as("dist")).distinct()
-      wt.write(seed0, frontTbl(0), Seq("src"))
+      // frontier sizes observed in the bucketed writes themselves —
+      // the old loop re-read each just-written frontier table to count
+      var frontierSize =
+        wt.writeObserving(seed0, frontTbl(0), Seq("src"), count(lit(1)))
       wt.write(spark.table(frontTbl(0)), visTbl(0), Seq("src"))
       var hop = 0
-      var frontierSize = spark.table(frontTbl(0)).count()
       while (hop < maxHops && frontierSize > 0) {
         hop += 1
-        wt.write(
+        frontierSize = wt.writeObserving(
           bfsCoBucketedRound(spark, edgesTbl, frontTbl(hop - 1), visTbl(hop - 1),
             nb, hop),
-          frontTbl(hop), Seq("src"))
+          frontTbl(hop), Seq("src"), count(lit(1)))
         wt.write(
           spark.table(visTbl(hop - 1)).unionByName(spark.table(frontTbl(hop))),
           visTbl(hop), Seq("src"))
-        frontierSize = spark.table(frontTbl(hop)).count()
       }
       spark.table(visTbl(hop))
         .select(col("src").as("id"), col("dist")).localCheckpoint(true)
@@ -1087,22 +1111,26 @@ object Graph {
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).repartition(col("dst")).cache()
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    var best = seeds.select(col("id").cast("long"), lit(0L).as("dist"))
-      .distinct().localCheckpoint(true)
+    // frontier counts observed in the checkpoint jobs (round-15
+    // fusion) — the old loop paid TWO isEmpty jobs per round (the
+    // while guard plus the best-rewrite guard)
+    var (best, nFrontier) = GraphTuning.checkpointWithCount(
+      seeds.select(col("id").cast("long"), lit(0L).as("dist")).distinct())
     var frontier = best
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && nFrontier > 0) {
       round += 1
       val cand = ew
         .join(maybeB(frontier.select(col("id").as("src"),
           col("dist").as("fd"))), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("fd") + col("w")).as("cand"))
-      frontier = cand
+      val fn = GraphTuning.checkpointWithCount(cand
         .join(maybeB(best.withColumnRenamed("dist", "old")), Seq("id"), "left")
         .filter(col("old").isNull || col("cand") < col("old"))
-        .select(col("id"), col("cand").as("dist"))
-        .localCheckpoint(true)
+        .select(col("id"), col("cand").as("dist")))
+      frontier = fn._1
+      nFrontier = fn._2
       // best rewrite as REPLACE (anti-join old rows out, union the
       // strictly-better frontier in) rather than union+groupBy-min: in
       // the broadcast regime the anti side broadcasts, so the rewrite
@@ -1112,7 +1140,7 @@ object Graph {
       // parity at sf0.1 (3.12 s vs 3.23 s min-of-5, inside the 0.6 s
       // spread — the checkpoint write dominates at this size); kept
       // for the structural zero-shuffle edge when `best` is large.
-      if (!frontier.isEmpty)
+      if (nFrontier > 0)
         best = best.join(maybeB(frontier.select("id")), Seq("id"), "left_anti")
           .unionByName(frontier)
           .localCheckpoint(true)
@@ -1164,23 +1192,25 @@ object Graph {
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("t").cast("long")).repartition(col("dst")).cache()
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    var best = seeds.select(col("id").cast("long"), lit(-1L).as("arr"))
-      .distinct().localCheckpoint(true)
+    // frontier counts observed in the checkpoint jobs (round-15 fusion)
+    var (best, nFrontier) = GraphTuning.checkpointWithCount(
+      seeds.select(col("id").cast("long"), lit(-1L).as("arr")).distinct())
     var frontier = best
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && nFrontier > 0) {
       round += 1
       val cand = ew
         .join(maybeB(frontier.select(col("id").as("src"),
           col("arr").as("fa"))), Seq("src"))
         .filter(col("t") > col("fa"))
         .groupBy(col("dst").as("id")).agg(min(col("t")).as("cand"))
-      frontier = cand
+      val fn = GraphTuning.checkpointWithCount(cand
         .join(maybeB(best.withColumnRenamed("arr", "old")), Seq("id"), "left")
         .filter(col("old").isNull || col("cand") < col("old"))
-        .select(col("id"), col("cand").as("arr"))
-        .localCheckpoint(true)
-      if (!frontier.isEmpty)
+        .select(col("id"), col("cand").as("arr")))
+      frontier = fn._1
+      nFrontier = fn._2
+      if (nFrontier > 0)
         best = best.join(maybeB(frontier.select("id")), Seq("id"), "left_anti")
           .unionByName(frontier)
           .localCheckpoint(true)
@@ -1236,16 +1266,18 @@ object Graph {
         edgesTbl, Seq("src"))
       val seed0 = seeds.select(col("id").cast("long").as("src"),
         lit(0L).as("dist")).distinct()
-      wt.write(seed0, frontTbl(0), Seq("src"))
+      // frontier sizes observed in the bucketed writes themselves —
+      // the old loop re-read each just-written frontier table to count
+      var frontierSize =
+        wt.writeObserving(seed0, frontTbl(0), Seq("src"), count(lit(1)))
       wt.write(spark.table(frontTbl(0)), bestTbl(0), Seq("src"))
       var round = 0
-      var frontierSize = spark.table(frontTbl(0)).count()
       while (round < maxRounds && frontierSize > 0) {
         round += 1
-        wt.write(
+        frontierSize = wt.writeObserving(
           ssspCoBucketedRound(spark, edgesTbl, frontTbl(round - 1),
             bestTbl(round - 1), nb),
-          frontTbl(round), Seq("src"))
+          frontTbl(round), Seq("src"), count(lit(1)))
         wt.write(
           spark.table(bestTbl(round - 1))
             .join(spark.table(frontTbl(round)).withColumnRenamed("dist", "nd"),
@@ -1253,7 +1285,6 @@ object Graph {
             .select(col("src"),
               coalesce(col("nd"), col("dist")).as("dist")),
           bestTbl(round), Seq("src"))
-        frontierSize = spark.table(frontTbl(round)).count()
       }
       spark.table(bestTbl(round))
         .select(col("src").as("id"), col("dist")).localCheckpoint(true)
@@ -1303,24 +1334,28 @@ object Graph {
     def maybeB(df: DataFrame): DataFrame = if (d.broadcast) broadcast(df) else df
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .repartition(col("src")).cache()
-    val seed0 = seeds.select(col("id").cast("long").as("walk"))
-      .distinct().localCheckpoint(true)
+    // walk-state counts observed in the checkpoint jobs (round-15
+    // fusion) — the old per-step isEmpty was one extra job per step
+    val (seed0, nSeed) = GraphTuning.checkpointWithCount(
+      seeds.select(col("id").cast("long").as("walk")).distinct())
     var cur = seed0.withColumn("node", col("walk"))
+    var nCur = nSeed
     var out = List(cur.withColumn("step", lit(0L)))
     var t = 0
-    while (t < steps && !cur.isEmpty) {
+    while (t < steps && nCur > 0) {
       t += 1
       // the portable per-step key: md5_32("walk:t:candidate") — the
       // exact string the oracle rebuilds (Corpus.md5Uniform contract)
       val h = conv(substring(md5(concat(col("walk").cast("string"),
         lit(s":$t:"), col("dst").cast("string")).cast("binary")), 1, 8),
         16, 10).cast("bigint")
-      cur = ew
+      val cn = GraphTuning.checkpointWithCount(ew
         .join(maybeB(cur.select(col("node").as("src"), col("walk"))), Seq("src"))
         .select(col("walk"), col("dst"), h.as("h"))
         .groupBy("walk").agg(min(struct(col("h"), col("dst"))).as("m"))
-        .select(col("walk"), col("m.dst").as("node"))
-        .localCheckpoint(true)
+        .select(col("walk"), col("m.dst").as("node")))
+      cur = cn._1
+      nCur = cn._2
       out ::= cur.withColumn("step", lit(t.toLong))
     }
     ew.unpersist(blocking = false)
@@ -1434,7 +1469,9 @@ object Graph {
     try {
       val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
         .filter(col("src") =!= col("dst")).distinct()
-      wt.write(e0, srcTbl(0), Seq("src"))
+      // edge counts observed in the bucketed writes themselves —
+      // the old loop re-read each just-written edge table to count
+      var m = wt.writeObserving(e0, srcTbl(0), Seq("src"), count(lit(1)))
       wt.write(spark.table(srcTbl(0)), dstTbl(0), Seq("dst"))
       // degrees with zero Exchange: out-half aggregated on the src-bucketed
       // copy, in-half on the dst-bucketed copy, merged bucket-to-bucket
@@ -1448,7 +1485,6 @@ object Graph {
             (coalesce(col("od"), lit(0L)) + coalesce(col("in_d"), lit(0L)))
               .as("deg"))
       }
-      var m = spark.table(srcTbl(0)).count()
       var round = 0
       var done = m == 0L
       while (!done && round < maxRounds) {
@@ -1459,8 +1495,8 @@ object Graph {
         wt.write(
           kCoreCoBucketedFilter(spark, srcTbl(round - 1), keepTbl(round)),
           dstTbl(round), Seq("dst"))
-        wt.write(spark.table(dstTbl(round)), srcTbl(round), Seq("src"))
-        val m2 = spark.table(srcTbl(round)).count()
+        val m2 = wt.writeObserving(spark.table(dstTbl(round)),
+          srcTbl(round), Seq("src"), count(lit(1)))
         done = m2 == m
         m = m2
       }
@@ -1549,8 +1585,11 @@ object Graph {
     val sd = seeds.select(col("id").cast("long")).distinct()
       .localCheckpoint(true)
     val base = scale - dampingScaled
-    var ranks = sd.withColumn("rank", lit(scale)).localCheckpoint(true)
-    var nRanks = ranks.count()
+    // per-round count OBSERVED in the checkpoint job (the round-15
+    // loop-action fusion, GraphTuning.checkpointWithCount) — the old
+    // separate ranks.count() was one extra job per round
+    var (ranks, nRanks) = GraphTuning.checkpointWithCount(
+      sd.withColumn("rank", lit(scale)))
     var it = 0
     while (it < iterations) {
       it += 1
@@ -1559,12 +1598,13 @@ object Graph {
         .join(r.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), expr("rank div deg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
-      ranks = sd.withColumn("r", lit(base))
-        .unionByName(contrib.select(col("id"),
-          expr(s"($dampingScaled * s) div $scale").as("r")))
-        .groupBy("id").agg(sum(col("r")).as("rank"))
-        .localCheckpoint(true)
-      nRanks = ranks.count()
+      val rn = GraphTuning.checkpointWithCount(
+        sd.withColumn("r", lit(base))
+          .unionByName(contrib.select(col("id"),
+            expr(s"($dampingScaled * s) div $scale").as("r")))
+          .groupBy("id").agg(sum(col("r")).as("rank")))
+      ranks = rn._1
+      nRanks = rn._2
     }
     ew.unpersist(blocking = false)
     ranks
@@ -1592,14 +1632,16 @@ object Graph {
     * Above `broadcastNodeLimit` use [[kCoreCoBucketed]]. */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int,
       broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
-    var e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+    // edge counts observed in the checkpoint jobs (round-15 fusion) —
+    // the old per-round e.count() was a whole extra PASS over the
+    // round's surviving edge set
+    var (e, m) = GraphTuning.checkpointWithCount(
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .filter(col("src") =!= col("dst")).distinct())
     def degrees(ed: DataFrame): DataFrame =
       ed.select(col("src").as("id"))
         .unionAll(ed.select(col("dst").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-    var m = e.count()
     // #nodes <= 2m, so the edge count (needed anyway for the fixpoint
     // test) bounds the keep set without a separate distinct-count
     // action. The decision is RE-TAKEN every round against the CURRENT
@@ -1625,13 +1667,13 @@ object Graph {
       def maybeB(df: DataFrame): DataFrame =
         if (small) broadcast(df) else df
       val keep = degrees(e).filter(col("deg") >= k).select("id")
-      e = e
+      val en = GraphTuning.checkpointWithCount(e
         .join(maybeB(keep.withColumnRenamed("id", "src")), Seq("src"), "semi")
         .join(maybeB(keep.withColumnRenamed("id", "dst")), Seq("dst"), "semi")
-        .select("src", "dst").localCheckpoint(true)
-      val m2 = e.count()
-      done = m2 == m
-      m = m2
+        .select("src", "dst"))
+      e = en._1
+      done = en._2 == m
+      m = en._2
     }
     degrees(e).select(col("id"), col("deg"))
   }
@@ -1967,6 +2009,23 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct()
       .cache()
+    // edgeSupportCanon unpersists `canon` itself (a no-op for the
+    // checkpointed frames the trussPeel rounds pass in)
+    edgeSupportCanon(canon, broadcastNodeLimit, broadcastEdgeLimit)
+  }
+
+  /** [[edgeSupport]] over an ALREADY-canonical edge set: `canon` must
+    * hold (a, b) with a < b, de-duplicated, and be cheap to re-scan
+    * (cached or checkpointed — it feeds the stats agg, the triangle
+    * stream and the zero-fill union). [[trussPeel]] rounds ≥ 2 feed
+    * their checkpointed survivor set here directly: the survivor set
+    * is canonical by construction, so the re-canonicalize `distinct`
+    * the public entry would pay — a full edge-set exchange PER PEEL
+    * ROUND — is skipped (round-15; plan evidence in
+    * plans/r15/q163_truss_peel_{before,after}.txt). */
+  private[graft] def edgeSupportCanon(canon: DataFrame,
+      broadcastNodeLimit: Long = GraphTuning.Auto,
+      broadcastEdgeLimit: Long = 32000000L): DataFrame = {
     val st = canon.agg(count(lit(1)).as("m"),
       min(col("a")).as("lo"), max(col("b")).as("hi"),
       (approx_count_distinct(col("a")) + approx_count_distinct(col("b")))
@@ -1977,7 +2036,7 @@ object Graph {
       canon.unpersist(blocking = false)
       return out
     }
-    val tm = orientedTriangleStream(edges.sparkSession, canon, st, nEdges,
+    val tm = orientedTriangleStream(canon.sparkSession, canon, st, nEdges,
       broadcastNodeLimit, broadcastEdgeLimit)
     // No join for the zero-fill: every canonical edge enters the SAME
     // partial agg with weight 0 alongside the triangle fan-out's 1s —
@@ -2015,21 +2074,30 @@ object Graph {
       broadcastEdgeLimit: Long = 32000000L): DataFrame = {
     require(k >= 2, "k must be >= 2")
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    var cur = edges.select(col("src"), col("dst"))
+    // Round 1 canonicalizes the raw input; every later round's survivor
+    // set is canonical BY CONSTRUCTION (a filter of round 1's canon
+    // set) and goes straight to [[edgeSupportCanon]] — the public
+    // entry's re-canonicalize distinct would be a full edge-set
+    // exchange per round. The survivor set stays a LAZY narrow filter
+    // of the round's already-checkpointed support table (the old loop
+    // re-checkpointed it — a second copy of the surviving edges per
+    // round); its count is one cheap narrow job over the checkpoint.
+    var cur: DataFrame = null
     var round = 0
     var m = -1L
     var converged = false
     while (round < maxRounds && !converged) {
       round += 1
-      val sup = edgeSupport(cur, broadcastNodeLimit, broadcastEdgeLimit)
-      cur = sup.filter(col("support") >= k - 2)
-        .select(col("a").as("src"), col("b").as("dst"))
-        .localCheckpoint(true)
+      val sup =
+        if (round == 1)
+          edgeSupport(edges, broadcastNodeLimit, broadcastEdgeLimit)
+        else edgeSupportCanon(cur, broadcastNodeLimit, broadcastEdgeLimit)
+      cur = sup.filter(col("support") >= k - 2).select("a", "b")
       val m2 = cur.count()
       converged = m2 == m
       m = m2
     }
-    cur.select(col("src").as("a"), col("dst").as("b"))
+    cur
   }
 
   /** k-bounded FW-BW coloring — the partition-refinement step of
@@ -2091,13 +2159,17 @@ object Graph {
       .unionByName(base.select(lit(1).as("tag"),
         col("dst").as("src"), col("src").as("dst")))
       .repartition(col("tag"), col("dst")).cache()
-    var best = e.select(col("tag"), col("src").as("id"))
-      .unionByName(e.select(col("tag"), col("dst").as("id")))
-      .distinct().select(col("tag"), col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+    // the initial frontier is the full tagged node set — its count is
+    // observed in the same checkpoint job (round-15 fusion); per round
+    // the improved-row count rides the joined checkpoint, so the old
+    // per-round frontier isEmpty job is gone
+    var (best, nFrontier) = GraphTuning.checkpointWithCount(
+      e.select(col("tag"), col("src").as("id"))
+        .unionByName(e.select(col("tag"), col("dst").as("id")))
+        .distinct().select(col("tag"), col("id"), col("id").as("lbl")))
     var frontier = best
     var round = 0
-    while (round < maxRounds && !frontier.isEmpty) {
+    while (round < maxRounds && nFrontier > 0) {
       round += 1
       val cand = e
         .join(maybeB(frontier.select(col("tag"), col("id").as("dst"),
@@ -2106,14 +2178,16 @@ object Graph {
         .agg(min(col("fl")).as("cnd"))
       // ONE materialization carries both outputs of the round: the
       // rewritten best table and (via the `imp` flag) the frontier.
-      val joined = best.join(maybeB(cand), Seq("tag", "id"), "left_outer")
-        .select(col("tag"), col("id"),
-          when(col("cnd") < col("lbl"), col("cnd"))
-            .otherwise(col("lbl")).as("lbl"),
-          (col("cnd") < col("lbl")).as("imp"))
-        .localCheckpoint(true)
+      val (joined, nImp) = GraphTuning.checkpointObserving(
+        best.join(maybeB(cand), Seq("tag", "id"), "left_outer")
+          .select(col("tag"), col("id"),
+            when(col("cnd") < col("lbl"), col("cnd"))
+              .otherwise(col("lbl")).as("lbl"),
+            (col("cnd") < col("lbl")).as("imp")),
+        sum(when(col("imp"), 1L).otherwise(0L)))
       best = joined.select("tag", "id", "lbl")
       frontier = joined.filter(col("imp")).select("tag", "id", "lbl")
+      nFrontier = nImp
     }
     e.unpersist(blocking = false)
     best.groupBy("id").agg(

@@ -207,6 +207,39 @@ object GraphTuning extends Logging {
     }
   }
 
+  /** Eager localCheckpoint with the row count OBSERVED during the
+    * materialization job itself (`Dataset.observe` + CollectMetrics) —
+    * the round-15 loop-action fusion: every iterative kernel needs its
+    * per-round table's count (fixpoint / empty-frontier tests), and a
+    * separate `count()`/`isEmpty` after the checkpoint is one extra
+    * job per round — for edge-sized tables (kCore, trussPeel) a whole
+    * extra PASS over the round's data. The observed metric rides the
+    * checkpoint job's tasks, so the count is free: same rows, same
+    * checkpoint, one job instead of two. The returned frame is the
+    * checkpointed LogicalRDD — the CollectMetrics node does NOT
+    * survive into downstream plans. */
+  def checkpointWithCount(df: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{count, lit}
+    checkpointObserving(df, count(lit(1)))
+  }
+
+  /** [[checkpointWithCount]] with a caller-chosen long-valued aggregate
+    * (e.g. `sum(when(imp, 1))` — the SCC loop's improved-row count). */
+  def checkpointObserving(df: DataFrame,
+      metric: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs, coalesce(metric, lit(0L)).as("n"))
+      .localCheckpoint(true)
+    (out, longMetric(obs.get("n")))
+  }
+
+  private[operators] def longMetric(x: Any): Long = x match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case other => other.toString.toLong
+  }
+
   /** Proven-fit broadcast license (the repo-wide routing discipline —
     * `Dedup.incrementalNearDuplicates`, `Sketch.mergeTrailing`, the
     * `Ann` probe batches): a bound only LICENSES the broadcast when it

@@ -45,10 +45,37 @@ object Spectral {
         floor(col("x").cast("double") * quantScale + 0.5).cast("long")
           .as("qx"))
 
+  /** Eager checkpoint of a half-matvec with its max-abs OBSERVED
+    * during the materialization job (`Dataset.observe`, the round-15
+    * loop-action fusion — see [[GraphTuning.checkpointWithCount]]):
+    * the old loop paid a separate max-abs aggregate job per
+    * half-matvec on top of the checkpoint job. Fails loudly on an
+    * all-zero iterate exactly as the separate agg did. */
+  private def checkpointMaxAbs(df: DataFrame,
+      colName: String): (DataFrame, Any) = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = df.observe(obs, max(abs(col(colName))).as("m"))
+      .localCheckpoint(true)
+    val m = obs.get.get("m").orNull
+    require(m != null && java.math.BigDecimal.valueOf(0)
+      .compareTo(new java.math.BigDecimal(m.toString)) < 0,
+      "power iteration hit an all-zero iterate")
+    (out, m)
+  }
+
   /** The fixed-point loop over a (vid, pos, qx) triple frame. With
     * `decimalSums` the matvec aggregates run in DECIMAL(38,0) (for the
     * deflated pass, whose triples carry the v₁ Gram factor); the
-    * returned iterate components are BIGINT either way. */
+    * returned iterate components are BIGINT either way.
+    *
+    * Round shape (round-15): TWO jobs per round — the u and w
+    * half-matvec checkpoints, each with its max-abs observed in the
+    * materialization job. The normalized iterates (`un`, and `v`
+    * itself) are LAZY narrow projections over the checkpointed
+    * half-matvecs: d-row (or corpus-row) maps whose re-evaluation per
+    * use costs nothing, where the old loop materialized v with a
+    * third checkpoint job per round and paid two more max-abs agg
+    * jobs. */
   private def powerLoop(q: DataFrame, rounds: Int, normScale: Long,
       decimalSums: Boolean): DataFrame = {
     val acc = if (decimalSums) "CAST(qx AS DECIMAL(38,0))" else "qx"
@@ -56,27 +83,18 @@ object Spectral {
       .select(col("pos"), lit(normScale).as("v"))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val u = q.join(broadcast(v), Seq("pos"))
-        .groupBy("vid").agg(sum(expr(s"$acc * v")).as("u"))
-        .localCheckpoint(true)
-      val mu = u.agg(max(abs(col("u")))).first().get(0)
-      require(mu != null && java.math.BigDecimal.valueOf(0)
-        .compareTo(new java.math.BigDecimal(mu.toString)) < 0,
-        "power iteration hit an all-zero iterate")
+      val (u, mu) = checkpointMaxAbs(
+        q.join(broadcast(v), Seq("pos"))
+          .groupBy("vid").agg(sum(expr(s"$acc * v")).as("u")), "u")
       val un = u.select(col("vid"),
         expr(s"CAST((CAST(u AS DECIMAL(38,0)) * $normScale) div " +
           s"CAST('$mu' AS DECIMAL(38,0)) AS BIGINT)").as("un"))
-      val w = q.join(un, Seq("vid"))
-        .groupBy("pos").agg(sum(expr(s"$acc * un")).as("w"))
-        .localCheckpoint(true)
-      val mw = w.agg(max(abs(col("w")))).first().get(0)
-      require(mw != null && java.math.BigDecimal.valueOf(0)
-        .compareTo(new java.math.BigDecimal(mw.toString)) < 0,
-        "power iteration hit an all-zero iterate")
+      val (w, mw) = checkpointMaxAbs(
+        q.join(un, Seq("vid"))
+          .groupBy("pos").agg(sum(expr(s"$acc * un")).as("w")), "w")
       v = w.select(col("pos"),
         expr(s"CAST((CAST(w AS DECIMAL(38,0)) * $normScale) div " +
           s"CAST('$mw' AS DECIMAL(38,0)) AS BIGINT)").as("v"))
-        .localCheckpoint(true)
     }
     v
   }

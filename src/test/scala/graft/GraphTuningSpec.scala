@@ -282,6 +282,31 @@ class GraphTuningSpec extends SparkSpec {
     } finally spark.conf.unset("graft.test.bytes")
   }
 
+  test("checkpointWithCount: count observed in the checkpoint job, one job total") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 10).select("l_orderkey")
+    val want = df.count()
+    var got = -1L
+    var out: org.apache.spark.sql.DataFrame = null
+    val jobs = countJobs {
+      val r = GraphTuning.checkpointWithCount(df)
+      out = r._1; got = r._2
+    }
+    assert(got == want, s"observed $got, want $want")
+    assert(out.count() == want) // the returned frame is the same rows
+    assert(jobs == 1, s"fused checkpoint must cost ONE job, used $jobs")
+    // empty frames observe 0 (sum-style metrics coalesce to 0 too)
+    val (e, n0) = GraphTuning.checkpointWithCount(df.filter(lit(false)))
+    assert(n0 == 0L && e.isEmpty)
+    // caller-chosen aggregate: conditional count (the SCC imp-flag shape)
+    val flagged = Tables.lineitem(spark, sfDir)
+      .select((col("l_quantity") > 25).as("imp"))
+    val wantImp = flagged.filter(col("imp")).count()
+    val (_, nImp) = GraphTuning.checkpointObserving(flagged,
+      sum(when(col("imp"), 1L).otherwise(0L)))
+    assert(nImp == wantImp, s"observed $nImp, want $wantImp")
+  }
+
   test("memoizedCount: identical plans pay the count job once") {
     def frame() = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 10).select("l_orderkey")
