@@ -20,10 +20,18 @@ import sys
 def main(out_path, run_paths):
     mins, forced, sf, runs = {}, set(), None, 0
     for p in run_paths:
-        # Bench may emit its record line more than once (stdout tail +
-        # final compact line) — take the first JSON line
+        # Accept both shapes: a whole-file JSON document (a prior mins
+        # file, even a pretty-printed one) or a multi-line capture where
+        # only the first line is the record (Bench stdout saved with the
+        # trailing compact line) — whole-file parse first, first-line
+        # fallback (ADVICE r15: the old readline()-only reader crashed
+        # on this script's own indent=1 output).
         with open(p) as f:
-            run = json.loads(f.readline())
+            text = f.read()
+        try:
+            run = json.loads(text)
+        except json.JSONDecodeError:
+            run = json.loads(text.splitlines()[0])
         sf = run.get("sf", sf)
         forced.update(run.get("forced_regime", []))
         # a prior mins file declares its own runs count; a raw bench
@@ -44,8 +52,11 @@ def main(out_path, run_paths):
         "forced_regime": sorted(forced),
         "queries": {q: mins[q] for q in sorted(mins)},
     }
+    # one line, like Bench's own record — every consumer (including this
+    # script's first-line fallback) can readline() it
     with open(out_path, "w") as f:
-        json.dump(rec, f, indent=1)
+        json.dump(rec, f)
+        f.write("\n")
     print(f"folded {runs} runs ({len(run_paths)} inputs) -> {out_path}: "
           f"n={len(mins)} total={total} core={core}")
 

@@ -24,8 +24,11 @@ object Probe {
     val spark = GraftSession.local("probe", 32)
     // SPARK_GRAFT_CONF="k=v;k=v" — runtime-settable confs for A/B probes
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CONF: malformed segment '$kv' (expected key=value)")
+      }
     })
     val jobs = new java.util.concurrent.atomic.AtomicLong(0)
     val stages = new java.util.concurrent.atomic.AtomicLong(0)

@@ -2574,7 +2574,12 @@ object SparkEntry {
         .unionByName(
           li.select(col("p").as("src"), col("o").as("dst"), col("q")))
         .groupBy("src", "dst").agg(sum("q").as("w"))
-      Graph.weightedPageRank(e, iterations = 2).orderBy("id")
+      // the union construction makes the edge set symmetric by
+      // construction — declares it so the loop skips the exact node
+      // table and the per-round node left-join (results identical:
+      // every node has an in-edge)
+      Graph.weightedPageRank(e, iterations = 2, symmetric = true)
+        .orderBy("id")
     }),
 
     // Bipartite cohesion: per-part butterfly (4-cycle) counts over the
@@ -2663,8 +2668,15 @@ object SparkEntry {
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true)
+      // deg feeds BOTH endpoint joins; left lazy it is planned as two
+      // independent Generate+agg subtrees (no exchange reuse across the
+      // differently-aliased broadcast builds) — a whole duplicate pass
+      // over the edge set (round-16; the shared-branch rule, guide §5).
+      // Node-sized, so the checkpoint is cheap and both broadcasts
+      // build from the materialized table.
       val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
         .groupBy("id").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
       val dir2 = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       val xy = dir2
         .join(deg.select(col("id").as("a"), col("d").as("dx")), Seq("a"))
@@ -2688,17 +2700,30 @@ object SparkEntry {
     // TakeOrdered. The squared cosine avoids sqrt entirely, keeping the
     // ranking integer-exact.
     "q184_item_sim" -> ((s, dir) => {
-      val os = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-        .withColumn("ns", count(lit(1)).over(Window.partitionBy("o")))
-        .filter(col("ns") <= 8).select("o", "p")
+      // ONE order-keyed shuffle (the coOccurrenceEdges discipline,
+      // round-16): CollectLongsDistinctCapped dedups AND hub-guards per
+      // order inside the groupBy — the old construction paid a (o, p)
+      // distinct exchange, an order-keyed window pass and an order-keyed
+      // SELF-JOIN for the pair explosion. Pairs now explode map-side
+      // over the checkpointed capped groups; the degree table is a
+      // second narrow scan of the same groups. Identical qualifying
+      // orders (a >8-distinct group collects cap+1 items and is
+      // filtered, exactly the old ns <= 8 window test), identical
+      // pair counts and degrees — oracle re-proven at all three SFs.
+      val grouped = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(graft.expressions.CollectCapped.collectLongsDistinctCapped(
+          col("l_partkey").cast("long"), 8).as("items"))
+        .filter(size(col("items")) <= 8)
         .localCheckpoint(true)
-      val deg = os.groupBy(col("p").as("id")).agg(count(lit(1)).as("d"))
-      val pw = os.as("x").join(os.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-        .agg(count(lit(1)).as("w"))
+      val deg = grouped.select(explode(col("items")).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val pw = grouped.select(explode(expr(
+          "filter(flatten(transform(items, x -> transform(items, " +
+            "y -> named_struct('a', x, 'b', y)))), s -> s.a < s.b)"))
+          .as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
       pw.join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
         .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))

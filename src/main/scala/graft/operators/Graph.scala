@@ -223,33 +223,66 @@ object Graph {
     * when a measured threshold justifies it.
     *
     * @param edges (src, dst, w) with w > 0
+    * @param symmetric when the edge set is known symmetric (u→v ⇒ v→u),
+    *        every node has an in-edge, so the per-round contribution
+    *        sums already cover the whole node set — skips the exact
+    *        node table (a corpus-sized distinct + count job) AND the
+    *        per-round node-sized left join (the [[pageRankIterates]]
+    *        discipline); the broadcast decision takes the proven plan
+    *        bound or one HLL agg instead (round-16, VERDICT-r15 #5)
     * @return (id, rank) in `scale`-ths */
   def weightedPageRank(edges: DataFrame, iterations: Int,
       scale: Long = 1000000L, dampingScaled: Long = 850000L,
-      broadcastNodeLimit: Long = GraphTuning.Auto): DataFrame = {
+      broadcastNodeLimit: Long = GraphTuning.Auto,
+      symmetric: Boolean = false): DataFrame = {
     require(iterations >= 0, "iterations must be >= 0")
     import org.apache.spark.sql.expressions.Window
     val spark = edges.sparkSession
+    val (limit, _) = GraphTuning.resolveNodeLimit(spark, broadcastNodeLimit)
     val ew = edges.select(col("src").cast("long"), col("dst").cast("long"),
         col("w").cast("long"))
       .withColumn("wout", sum(col("w")).over(Window.partitionBy("src")))
       .repartition(col("dst")).cache()
-    val nodes = ew.select(col("src").as("id"))
-      .unionByName(ew.select(col("dst").as("id"))).distinct().cache()
+    def allNodes: DataFrame =
+      if (symmetric) ew.select(col("src").as("id")).distinct()
+      else ew.select(col("src").as("id"))
+        .unionByName(ew.select(col("dst").as("id"))).distinct()
+    // Asymmetric graphs need the exact node table anyway (nodes with no
+    // in-edges keep the base rank via a left join); symmetric ones only
+    // need a node COUNT to pick the plan — a proven plan bound
+    // (#nodes <= #edge rows, every node is a src) or one HLL agg
+    // replaces the distinct + exact count entirely.
+    val nodes = if (symmetric && iterations >= 1) None else Some(allNodes.cache())
+    val edgeUpper = GraphTuning.rowUpperBound(ew)
+    val (nodeEst, nodeSrc) = nodes match {
+      case Some(n) => (n.count(), "exact-count")
+      case None => edgeUpper match {
+        case Some((u, s)) if u <= limit => (u, s)
+        case _ => (ew.agg(approx_count_distinct(col("src")).as("n"))
+          .first().getLong(0), "hll")
+      }
+    }
     val small = GraphTuning.decide(spark, "weightedPageRank",
-      nodes.count(), "exact-count", edgeEstimate = -1L,
+      nodeEst, nodeSrc,
+      edgeEstimate = edgeUpper.map(_._1).getOrElse(-1L),
       requestedLimit = broadcastNodeLimit).broadcast
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val base = scale - dampingScaled
-    def damped(sums: DataFrame): DataFrame =
-      nodes.join(maybeB(sums), Seq("id"), "left")
-        .select(col("id"), (lit(base) +
+    def damped(sums: DataFrame): DataFrame = {
+      // symmetric ⇒ every node has an in-edge ⇒ the contribution sums
+      // already cover the whole node set — skip the nodes left-join
+      val withBase = nodes match {
+        case Some(n) => n.join(maybeB(sums), Seq("id"), "left")
+        case None    => sums
+      }
+      withBase.select(col("id"), (lit(base) +
           expr(s"($dampingScaled * coalesce(s, CAST(0 AS BIGINT))) div $scale"))
           .as("rank"))
         .localCheckpoint(true)
+    }
     var ranks =
       if (iterations <= 0)
-        nodes.withColumn("rank", lit(scale)).localCheckpoint(true)
+        allNodes.withColumn("rank", lit(scale)).localCheckpoint(true)
       else damped(ew.select(col("dst").as("id"),
           expr(s"($scale * w) div wout").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s")))
@@ -261,7 +294,7 @@ object Graph {
         .select(col("dst").as("id"), expr("(rank * w) div wout").as("c"))
         .groupBy("id").agg(sum(col("c")).as("s")))
     }
-    nodes.unpersist(blocking = false)
+    nodes.foreach(_.unpersist(blocking = false))
     ew.unpersist(blocking = false)
     ranks
   }
@@ -277,10 +310,13 @@ object Graph {
     * act as integer weights — pre-`distinct` if unweighted.
     *
     * Scale shape: the edge table is cached TWICE, partitioned by src and
-    * by dst. In the broadcast regime each half-round is then one
-    * broadcast join (node-sized score table) + one hash agg whose
-    * grouping key equals the cached partitioning — ZERO per-round
-    * Exchange on the edge table (plan-asserted in GraphSpec). Above
+    * by dst. In the broadcast regime each half-round is one broadcast
+    * join (node-sized score table) + one hash agg whose grouping key
+    * equals the cached partitioning — ZERO per-round Exchange on the
+    * edge table — and the whole round (both half-rounds) materializes
+    * as ONE checkpoint job: only hub_k is loop state, the auth half
+    * rides the same job lazily, and the final round fuses into the
+    * output join (job count asserted in GraphTuningSpec). Above
     * `broadcastNodeLimit` this ROUTES to [[hitsCoBucketed]].
     *
     * @return (id, hub, auth) for every node of `edges`; sink nodes have
@@ -321,29 +357,37 @@ object Graph {
     val eSrc = e.repartition(col("src")).cache()
     val eDst = e.repartition(col("dst")).cache()
     def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    // round 1 authority = in-degree (h₀ is the constant 1) — no join
-    var auth = eDst.groupBy(col("dst").as("id"))
-      .agg(count(lit(1)).as("auth")).localCheckpoint(true)
-    def hubFrom(a: DataFrame): DataFrame = eSrc
-      .join(maybeB(a.select(col("id").as("dst"), col("auth"))), Seq("dst"))
-      .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub"))
-      .localCheckpoint(true)
-    def authFrom(h: DataFrame): DataFrame = eDst
+    // Round-16 loop-action fusion, HITS edition: auth_k is a pure
+    // function of hub_{k-1} and hub_k of auth_k, so the only state the
+    // loop must MATERIALIZE is one hub table per round — each round's
+    // auth half stays a lazy subtree composed into the hub checkpoint's
+    // job (one job per round instead of two), and the FINAL round's hub
+    // and auth fuse into the output join job itself. In the broadcast
+    // regime both consumers of the final auth subtree (the hub
+    // half-round and the output left-join) are BroadcastExchanges over
+    // the same canonical plan, so ReuseExchange computes it once; the
+    // non-broadcast regime checkpoints it instead (shuffle-join legs
+    // need not reuse — the shared-branch rule).
+    def authOf(h: DataFrame): DataFrame = eDst
       .join(maybeB(h.select(col("id").as("src"), col("hub"))), Seq("src"))
       .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth"))
-      .localCheckpoint(true)
-    var hub = hubFrom(auth)
+    def hubOf(a: DataFrame): DataFrame = eSrc
+      .join(maybeB(a.select(col("id").as("dst"), col("auth"))), Seq("dst"))
+      .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub"))
+    // round 1 authority = in-degree (h₀ is the constant 1) — no join
+    var authLazy: DataFrame = eDst.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("auth"))
     var it = 1
     while (it < iterations) {
       it += 1
-      auth = authFrom(hub)
-      hub = hubFrom(auth)
+      authLazy = authOf(hubOf(authLazy).localCheckpoint(true))
     }
+    val authFinal = if (small) authLazy else authLazy.localCheckpoint(true)
     val nodes = eSrc.select(col("src").as("id"))
       .unionByName(eDst.select(col("dst").as("id"))).distinct()
     val out = nodes
-      .join(maybeB(hub), Seq("id"), "left")
-      .join(maybeB(auth), Seq("id"), "left")
+      .join(maybeB(hubOf(authFinal)), Seq("id"), "left")
+      .join(maybeB(authFinal), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("hub"), lit(0L)).as("hub"),
         coalesce(col("auth"), lit(0L)).as("auth"))
@@ -1962,29 +2006,46 @@ object Graph {
   def clusteringCoefficient(edges: DataFrame,
       broadcastNodeLimit: Long = GraphTuning.Auto,
       broadcastEdgeLimit: Long = 32000000L): DataFrame = {
-    // Canonicalize ONCE and feed the cached edge set to both the
-    // triangle kernel and the degree agg — handing triangleCounts the
-    // raw plan would re-run the whole upstream (e.g. co-occurrence
-    // generation) a second time for the degree branch.
+    // Canonicalize ONCE and run the oriented triangle stream directly
+    // over the cached canonical set (round-16): the old composition
+    // handed triangleCounts a projection of `canon`, paying a SECOND
+    // canonical `distinct` — a full edge-set Exchange — inside it, and
+    // then re-aggregated a degree table the stream had already built
+    // and cached (tm.deg IS degree: both endpoints of every canonical
+    // edge, counted). Same kernel, two fewer edge passes, one fewer
+    // exchange — plans/r16/{before,after}/q170_clustering_coeff.txt.
     val canon = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .cache()
-    val tri = triangleCounts(
-      canon.select(col("a").as("src"), col("b").as("dst")),
+    val st = canon.agg(count(lit(1)).as("m"),
+      min(col("a")).as("lo"), max(col("b")).as("hi"),
+      (approx_count_distinct(col("a")) + approx_count_distinct(col("b")))
+        .as("nUpper")).first()
+    val nEdges = st.getLong(0)
+    if (nEdges == 0) {
+      val out = canon.select(col("a").as("id"), col("b").as("degree"),
+        lit(0L).as("triangles"), lit(0L).as("cc_ppm"))
+      canon.unpersist(blocking = false)
+      return out
+    }
+    val tm = orientedTriangleStream(canon.sparkSession, canon, st, nEdges,
       broadcastNodeLimit, broadcastEdgeLimit)
-    val deg = canon
-      .select(explode(array(col("a"), col("b"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
-    val out = deg.join(tri, Seq("id"), "left")
+    def maybeB(df: DataFrame): DataFrame = if (tm.small) broadcast(df) else df
+    val counts = tm.tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    val out = tm.deg.select(col("id"), col("d").as("degree"))
+      .join(maybeB(counts), Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         when(col("degree") >= 2,
           expr("(2000000 * coalesce(triangles, 0)) div (degree * (degree - 1))"))
           .otherwise(lit(0L)).as("cc_ppm"))
       .localCheckpoint(true)
+    tm.cleanup.foreach(_.unpersist(blocking = false))
     canon.unpersist(blocking = false)
     out
   }
@@ -2022,19 +2083,42 @@ object Graph {
     * is canonical by construction, so the re-canonicalize `distinct`
     * the public entry would pay — a full edge-set exchange PER PEEL
     * ROUND — is skipped (round-15; plan evidence in
-    * plans/r15/q163_truss_peel_{before,after}.txt). */
+    * plans/r16/{before,after}/q163_truss_peel.txt). */
   private[graft] def edgeSupportCanon(canon: DataFrame,
       broadcastNodeLimit: Long = GraphTuning.Auto,
-      broadcastEdgeLimit: Long = 32000000L): DataFrame = {
-    val st = canon.agg(count(lit(1)).as("m"),
-      min(col("a")).as("lo"), max(col("b")).as("hi"),
-      (approx_count_distinct(col("a")) + approx_count_distinct(col("b")))
-        .as("nUpper")).first()
+      broadcastEdgeLimit: Long = 32000000L): DataFrame =
+    edgeSupportCanonCounting(canon, None, broadcastNodeLimit,
+      broadcastEdgeLimit, None)._1
+
+  /** [[edgeSupportCanon]] with the peel loop's bookkeeping fused into
+    * the support checkpoint job (round-16, VERDICT-r15 #4): when
+    * `survivorMin` is set, the checkpoint OBSERVES the survivor count
+    * (#edges with support ≥ survivorMin) AND the survivor set's whole
+    * stats row — count, id bounds, HLL node upper bound, exactly what
+    * the next round's regime decisions need — so [[trussPeel]] pays
+    * neither a separate count job per round nor a full-pass stats agg
+    * from round 2 on. `precomputedStats` is that observed row fed back
+    * in; metrics are over the same value set the fresh agg would scan,
+    * so regime decisions are identical.
+    *
+    * @return (support table, next-round stats row (m, lo, hi, nUpper)
+    *         when survivorMin is set) */
+  private[graft] def edgeSupportCanonCounting(canon: DataFrame,
+      survivorMin: Option[Long],
+      broadcastNodeLimit: Long = GraphTuning.Auto,
+      broadcastEdgeLimit: Long = 32000000L,
+      precomputedStats: Option[org.apache.spark.sql.Row] = None)
+      : (DataFrame, Option[org.apache.spark.sql.Row]) = {
+    val st = precomputedStats.getOrElse(
+      canon.agg(count(lit(1)).as("m"),
+        min(col("a")).as("lo"), max(col("b")).as("hi"),
+        (approx_count_distinct(col("a")) + approx_count_distinct(col("b")))
+          .as("nUpper")).first())
     val nEdges = st.getLong(0)
     if (nEdges == 0) {
       val out = canon.select(col("a"), col("b"), col("a").as("support"))
       canon.unpersist(blocking = false)
-      return out
+      return (out, Some(org.apache.spark.sql.Row(0L, 0L, 0L, 0L)))
     }
     val tm = orientedTriangleStream(canon.sparkSession, canon, st, nEdges,
       broadcastNodeLimit, broadcastEdgeLimit)
@@ -2050,13 +2134,25 @@ object Graph {
         struct(least(col("v"), col("w")).as("a"),
           greatest(col("v"), col("w")).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"), lit(1L).as("s"))
-    val out = canon.select(col("a"), col("b"), lit(0L).as("s"))
+    val unioned = canon.select(col("a"), col("b"), lit(0L).as("s"))
       .unionByName(sup)
       .groupBy("a", "b").agg(sum(col("s")).as("support"))
-      .localCheckpoint(true)
+    val (out, nextStats) = survivorMin match {
+      case Some(thr) =>
+        val surv = col("support") >= thr
+        val (cp, ms) = GraphTuning.checkpointObservingAll(unioned, Seq(
+          "m" -> sum(when(surv, 1L)),
+          "lo" -> min(when(surv, col("a"))),
+          "hi" -> max(when(surv, col("b"))),
+          "nUpper" -> (approx_count_distinct(when(surv, col("a"))) +
+            approx_count_distinct(when(surv, col("b"))))))
+        (cp, Some(org.apache.spark.sql.Row(
+          ms("m"), ms("lo"), ms("hi"), ms("nUpper"))))
+      case None => (unioned.localCheckpoint(true), None)
+    }
     tm.cleanup.foreach(_.unpersist(blocking = false))
     canon.unpersist(blocking = false)
-    out
+    (out, nextStats)
   }
 
   /** Bounded k-truss peel: up to `maxRounds` rounds of (recompute
@@ -2076,26 +2172,39 @@ object Graph {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     // Round 1 canonicalizes the raw input; every later round's survivor
     // set is canonical BY CONSTRUCTION (a filter of round 1's canon
-    // set) and goes straight to [[edgeSupportCanon]] — the public
-    // entry's re-canonicalize distinct would be a full edge-set
+    // set) and goes straight to [[edgeSupportCanonCounting]] — the
+    // public entry's re-canonicalize distinct would be a full edge-set
     // exchange per round. The survivor set stays a LAZY narrow filter
-    // of the round's already-checkpointed support table (the old loop
-    // re-checkpointed it — a second copy of the surviving edges per
-    // round); its count is one cheap narrow job over the checkpoint.
+    // of the round's already-checkpointed support table; its count AND
+    // the next round's stats row ride the support checkpoint job as
+    // observed metrics (round-16), so each round is exactly the
+    // support pass — no separate count job, and no full-pass stats agg
+    // after round 1.
+    val thr = (k - 2).toLong
     var cur: DataFrame = null
+    var stats: Option[org.apache.spark.sql.Row] = None
     var round = 0
     var m = -1L
     var converged = false
     while (round < maxRounds && !converged) {
       round += 1
-      val sup =
-        if (round == 1)
-          edgeSupport(edges, broadcastNodeLimit, broadcastEdgeLimit)
-        else edgeSupportCanon(cur, broadcastNodeLimit, broadcastEdgeLimit)
-      cur = sup.filter(col("support") >= k - 2).select("a", "b")
-      val m2 = cur.count()
+      val (sup, next) =
+        if (round == 1) {
+          val canon = edges.select(
+              least(col("src"), col("dst")).cast("long").as("a"),
+              greatest(col("src"), col("dst")).cast("long").as("b"))
+            .filter(col("a") =!= col("b"))
+            .distinct()
+            .cache()
+          edgeSupportCanonCounting(canon, Some(thr), broadcastNodeLimit,
+            broadcastEdgeLimit, None)
+        } else edgeSupportCanonCounting(cur, Some(thr), broadcastNodeLimit,
+          broadcastEdgeLimit, stats)
+      cur = sup.filter(col("support") >= thr).select("a", "b")
+      val m2 = next.get.getLong(0)
       converged = m2 == m
       m = m2
+      stats = next
     }
     cur
   }

@@ -227,11 +227,27 @@ object GraphTuning extends Logging {
     * (e.g. `sum(when(imp, 1))` — the SCC loop's improved-row count). */
   def checkpointObserving(df: DataFrame,
       metric: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val (out, ms) = checkpointObservingAll(df, Seq("n" -> metric))
+    (out, ms("n"))
+  }
+
+  /** [[checkpointObserving]] with SEVERAL named long-valued aggregates
+    * riding the same checkpoint job (round-16: the trussPeel loop
+    * observes the survivor count AND the next round's whole stats row —
+    * count, id bounds, HLL node upper bound — in the support-table
+    * checkpoint, deleting both the per-round count job and the next
+    * round's full-pass stats agg). Null metrics (empty input,
+    * all-filtered conditional aggs) coalesce to 0. */
+  def checkpointObservingAll(df: DataFrame,
+      metrics: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, Map[String, Long]) = {
     import org.apache.spark.sql.functions.{coalesce, lit}
+    require(metrics.nonEmpty, "checkpointObservingAll needs >= 1 metric")
     val obs = org.apache.spark.sql.Observation()
-    val out = df.observe(obs, coalesce(metric, lit(0L)).as("n"))
+    val named = metrics.map { case (n, c) => coalesce(c, lit(0L)).as(n) }
+    val out = df.observe(obs, named.head, named.tail: _*)
       .localCheckpoint(true)
-    (out, longMetric(obs.get("n")))
+    (out, metrics.map { case (n, _) => n -> longMetric(obs.get(n)) }.toMap)
   }
 
   private[operators] def longMetric(x: Any): Long = x match {

@@ -708,6 +708,55 @@ class GraphSpec extends SparkSpec {
     assert(t5.isEmpty)
   }
 
+  test("edgeSupportCanonCounting: observed survivor stats match a recount; " +
+      "stats feedback reproduces the next round") {
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L; if a != b } yield (a, b)
+    val e = (k4 ++ Seq((1L, 5L), (5L, 6L))).toDF("src", "dst")
+    def canon() = e.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val (sup, next) = Graph.edgeSupportCanonCounting(canon(), Some(2L))
+    // support table identical to the un-instrumented path
+    val ref = Graph.edgeSupportCanon(canon())
+      .orderBy("a", "b").collect().toSeq
+    assert(sup.orderBy("a", "b").collect().toSeq == ref)
+    // observed stats row == a fresh agg over the survivors
+    val surv = sup.filter(col("support") >= 2L).select("a", "b")
+    val row = next.get
+    assert(row.getLong(0) == surv.count())
+    assert(row.getLong(1) == surv.agg(min("a")).first().getLong(0))
+    assert(row.getLong(2) == surv.agg(max("b")).first().getLong(0))
+    // feeding the observed stats back skips the stats job and yields
+    // the identical next-round support table
+    val survCp = surv.localCheckpoint(true)
+    val (supFed, _) = Graph.edgeSupportCanonCounting(survCp, Some(2L),
+      precomputedStats = Some(row))
+    val (supFresh, _) = Graph.edgeSupportCanonCounting(survCp, Some(2L))
+    assert(supFed.orderBy("a", "b").collect().toSeq ==
+      supFresh.orderBy("a", "b").collect().toSeq)
+    // zero-survivor stats coalesce to the empty row (next round
+    // early-returns on m == 0)
+    val (_, none) = Graph.edgeSupportCanonCounting(canon(), Some(99L))
+    assert(none.get.getLong(0) == 0L)
+  }
+
+  test("weightedPageRank: symmetric declaration matches the general path") {
+    val und = Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 2L), (3L, 4L, 5L))
+    val e = (und ++ und.map(t => (t._2, t._1, t._3)))
+      .toDF("src", "dst", "w")
+    val want = Graph.weightedPageRank(e, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    val got = Graph.weightedPageRank(e, iterations = 2, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want && want.size == 4)
+    // non-broadcast regime too
+    val sh = Graph.weightedPageRank(e.repartition(7), iterations = 2,
+      symmetric = true, broadcastNodeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(sh == want)
+  }
+
   test("scc coloring: cycle members get scc_id, the tail does not") {
     // 1→2→3→1 (a 3-cycle) with a tail 3→4→5
     val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))

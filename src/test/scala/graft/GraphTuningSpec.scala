@@ -307,6 +307,47 @@ class GraphTuningSpec extends SparkSpec {
     assert(nImp == wantImp, s"observed $nImp, want $wantImp")
   }
 
+  test("hits: one checkpoint job per extra round (auth half-round fused)") {
+    // dense-ish bipartite graph, broadcast regime; every extra iteration
+    // must add exactly one hub checkpoint plus its broadcast builds —
+    // the pre-round-16 loop checkpointed BOTH half-rounds (two jobs)
+    val e = Seq.tabulate(200)(i => (i.toLong % 23, 100L + (i * 7 % 31)))
+      .distinct.toDF("src", "dst")
+    def run(iters: Int): Int = countJobs {
+      Graph.hits(e, iterations = iters).collect()
+      ()
+    }
+    val j2 = run(2); val j3 = run(3); val j4 = run(4)
+    val m23 = j3 - j2; val m34 = j4 - j3
+    assert(m23 == m34,
+      s"per-round marginal job cost must be constant: jobs=$j2/$j3/$j4")
+    assert(m23 <= 3,
+      s"round must be one fused checkpoint (+broadcast builds), got marginal=$m23")
+  }
+
+  test("checkpointObservingAll: several metrics ride one checkpoint job") {
+    val df = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 10)
+      .select(col("l_orderkey").as("a"), col("l_partkey").as("b"))
+    val wantN = df.count()
+    val wantLo = df.agg(min("a")).first().getLong(0)
+    val wantHi = df.agg(max("b")).first().getLong(0)
+    var ms: Map[String, Long] = null
+    val jobs = countJobs {
+      ms = GraphTuning.checkpointObservingAll(df, Seq(
+        "n" -> count(lit(1)),
+        "lo" -> min(col("a")),
+        "hi" -> max(col("b"))))._2
+    }
+    assert(ms == Map("n" -> wantN, "lo" -> wantLo, "hi" -> wantHi))
+    assert(jobs == 1, s"fused multi-metric checkpoint must cost ONE job, used $jobs")
+    // all-null conditional aggregates coalesce to 0 (the empty-survivor shape)
+    val (_, zs) = GraphTuning.checkpointObservingAll(df, Seq(
+      "m" -> sum(when(col("a") < 0, 1L)),
+      "lo" -> min(when(col("a") < 0, col("a")))))
+    assert(zs == Map("m" -> 0L, "lo" -> 0L))
+  }
+
   test("memoizedCount: identical plans pay the count job once") {
     def frame() = Tables.lineitem(spark, sfDir)
       .filter(col("l_quantity") > 10).select("l_orderkey")
